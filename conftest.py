@@ -1,0 +1,6 @@
+"""Repo-root conftest: make simhash_spark importable without installation."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent))

@@ -1,0 +1,58 @@
+"""Pipeline configuration — the frozen shingle/signature config.
+
+BASELINE.json requires bit-for-bit fingerprint reproduction "at the same
+shingle/signature config"; this dataclass IS that config. The defaults are
+the frozen canonical spec (SURVEY.md §7.1) that tests/vectors.json was
+generated with. Changing a default invalidates the vectors — don't.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # --- tokenizer / shingling (SURVEY.md §7.1) ---
+    shingle_k: int = 3            # k consecutive tokens per shingle; k=1 == reference word scheme
+    # --- MinHash (Broder'97; banding per MMDS ch.3) ---
+    n_perm: int = 128             # permutations
+    n_bands: int = 32             # bands
+    band_rows: int = 4            # rows per band (n_perm = n_bands * band_rows)
+    minhash_seed: int = 42        # rng seed for (a, b) coefficient draw
+    # --- SimHash pigeonhole rotation index (Manku'07 §3) ---
+    hamming_radius: int = 3       # verified Hamming threshold on simhash
+    n_blocks: int = 4             # bit blocks the 64-bit fp is split into
+    # key = combination of (n_blocks - hamming_radius) blocks; with the
+    # default (4, 3) that is the classic 4 single-block rotation tables.
+    # Scale config for 10^12 rows: n_blocks=8 -> C(8,5)=56 tables of 40-bit
+    # keys, expected bucket size n/2^40 (see operators/candidates.py).
+    phash_radius: int = 3         # Hamming threshold on the stored pHash
+    # --- substring stage (winnowing anchors + per-group suffix array) ---
+    substr_min_len: int = 48      # L: min shared-substring chars to report
+    substr_window: int = 24       # w: char w-gram size (anchor unit)
+    # winnowing guarantee: any shared run of >= w + s - 1 = L chars shares
+    # an anchor, s = L - w + 1
+    # --- skew / hot-bucket handling ---
+    bucket_cap: int = 256         # max rows per candidate bucket before salt-split
+    salt_buckets: int = 16        # salt fan-out for capped buckets
+    # --- execution ---
+    shuffle_partitions: int = 32
+    arrow_batch_rows: int = 10_000
+
+    @property
+    def block_bits(self) -> int:
+        return 64 // self.n_blocks
+
+    def __post_init__(self) -> None:
+        if self.n_perm != self.n_bands * self.band_rows:
+            raise ValueError("n_perm must equal n_bands * band_rows")
+        if 64 % self.n_blocks != 0:
+            raise ValueError("n_blocks must divide 64")
+        if self.n_blocks <= self.hamming_radius:
+            raise ValueError("need n_blocks > hamming_radius for the pigeonhole guarantee")
+        if self.substr_window >= self.substr_min_len:
+            raise ValueError("substr_window must be < substr_min_len")
+
+
+DEFAULT_CONFIG = PipelineConfig()
