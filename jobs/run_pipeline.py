@@ -1,0 +1,66 @@
+"""spark-submit entry point for the near-duplicate pipeline.
+
+Usage (BASELINE.json:6 ship shape):
+
+    spark-submit --py-files engine.zip jobs/run_pipeline.py \
+        --input  /path/to/images_parquet_or_iceberg_table \
+        --checkpoint /path/to/checkpoints \
+        --output /path/to/clusters_out \
+        [--parallelism 32] [--no-substring] [--no-phash]
+
+Local test: ``python jobs/run_pipeline.py --input ... --output ...`` (creates
+its own local[N] session). Under spark-submit, uses the provided session conf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="simhash_spark near-duplicate pipeline")
+    ap.add_argument("--input", required=True, help="images parquet path")
+    ap.add_argument("--output", required=True, help="output dir for clusters parquet")
+    ap.add_argument("--checkpoint", default=None, help="stage checkpoint dir (default: <output>/_checkpoints)")
+    ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--no-substring", action="store_true")
+    ap.add_argument("--no-phash", action="store_true")
+    args = ap.parse_args(argv)
+
+    from simhash_spark.config import DEFAULT_CONFIG
+    from simhash_spark.plans.pipeline import run_pipeline
+    from simhash_spark.session import get_spark
+
+    spark = get_spark(parallelism=args.parallelism, app_name="simhash-pipeline")
+    ckpt = args.checkpoint or str(pathlib.Path(args.output) / "_checkpoints")
+    t0 = time.time()
+    res = run_pipeline(
+        spark,
+        args.input,
+        ckpt,
+        DEFAULT_CONFIG,
+        enable_substring=not args.no_substring,
+        include_phash=not args.no_phash,
+    )
+    out = pathlib.Path(args.output)
+    res.clusters.write.mode("overwrite").parquet(str(out / "clusters"))
+    res.verified.write.mode("overwrite").parquet(str(out / "verified_pairs"))
+    stats = {
+        "rows": res.fingerprints.count(),
+        "candidates": res.candidates.count(),
+        "verified": res.verified.count(),
+        "clusters": res.clusters.select("cluster_id").distinct().count(),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

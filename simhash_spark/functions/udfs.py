@@ -1,0 +1,215 @@
+"""Vectorized fingerprint UDFs — the engine's only JVM->Python boundary.
+
+One Arrow-batched pandas UDF computes simhash + minhash + LSH band hashes in a
+single pass over the caption column (the reference reads each article exactly
+once, /root/reference/README.md:19; here: tokenize/hash once, reuse for both
+signatures, mirroring README.md:24's recorded-index two-pass trick).
+
+Batch internals are pure numpy/pandas-vectorized (BASELINE.json:15 — never
+per-row Python): tokens are exploded to a flat array, shingles built by shifted
+object-array concatenation, TF by lexsort + run-length, SimHash by one reduceat
+matrix pass, MinHash by 128 vectorized mulmod61 passes.
+
+The pigeonhole rotation keys deliberately do NOT live here — they are native
+Catalyst bit expressions (see functions/native.py) so candidate generation
+stays entirely JVM-side and codegen'd.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simhash_spark import spec
+from simhash_spark.config import PipelineConfig
+from simhash_spark.stopwords import STOPWORDS
+
+_TOKEN_RE = r"[a-z0-9]+"
+
+FINGERPRINT_SCHEMA = T.StructType(
+    [
+        T.StructField("simhash", T.LongType()),
+        T.StructField("n_shingles", T.IntegerType()),
+        T.StructField("minhash", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _flat_tokens(captions: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """captions -> (row_ids, tokens) flat arrays, stop words removed.
+
+    pandas-vectorized: normalize/findall/explode/isin — no Python loop over rows.
+    Token order within a row is preserved (explode is order-stable).
+    """
+    s = captions.reset_index(drop=True).fillna("")
+    ex = s.str.normalize("NFKC").str.lower().str.findall(_TOKEN_RE).explode()
+    keep = ex.notna() & ~ex.isin(STOPWORDS)
+    ex = ex[keep]
+    return ex.index.to_numpy(np.int64), ex.to_numpy(dtype=object)
+
+
+def _shingles(row_ids: np.ndarray, tokens: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat (row_ids, tokens) -> flat (row_ids, shingle strings), k-grams.
+
+    Shifted object-array concatenation gives all full k-grams in k-1 vector
+    ops; rows with 0 < n < k tokens get the frozen single joined shingle.
+    """
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, dtype=object)
+    if k == 1:
+        return row_ids, tokens
+    if n >= k:
+        same_row = row_ids[: n - k + 1] == row_ids[k - 1 :]
+        sh = tokens[: n - k + 1].copy()
+        for j in range(1, k):
+            sh = sh + spec.SHINGLE_SEP  # object-array elementwise concat
+            sh = sh + tokens[j : n - k + 1 + j]
+        full_rows = row_ids[: n - k + 1][same_row]
+        full_sh = sh[same_row]
+    else:
+        same_row = np.zeros(0, bool)
+        full_rows = np.zeros(0, np.int64)
+        full_sh = np.zeros(0, dtype=object)
+    # short rows: token count in [1, k-1] -> one joined shingle (frozen rule)
+    counts = np.bincount(row_ids) if n else np.zeros(0, np.int64)
+    short = np.flatnonzero((counts > 0) & (counts < k))
+    if len(short):
+        short_mask = np.isin(row_ids, short)
+        grp = pd.Series(tokens[short_mask]).groupby(row_ids[short_mask]).agg(spec.SHINGLE_SEP.join)
+        full_rows = np.concatenate([full_rows, grp.index.to_numpy(np.int64)])
+        full_sh = np.concatenate([full_sh, grp.to_numpy(dtype=object)])
+        order = np.argsort(full_rows, kind="stable")
+        full_rows, full_sh = full_rows[order], full_sh[order]
+    return full_rows, full_sh
+
+
+def fingerprint_batch(captions: pd.Series, cfg: PipelineConfig) -> pd.DataFrame:
+    """The batch kernel behind the UDF — Spark-free, directly unit-testable.
+
+    Returns DataFrame(simhash:int64, n_shingles:int32, minhash:list[int64],
+    bands:list[int64]) aligned with ``captions``.
+    """
+    n_rows = len(captions)
+    row_ids, tokens = _flat_tokens(captions)
+    sh_rows, sh = _shingles(row_ids, tokens, cfg.shingle_k)
+    hashes = spec.fnv1a64_bytes(pd.Series(sh, dtype=object).str.encode("utf-8").tolist())
+
+    n_shingles = np.bincount(sh_rows, minlength=n_rows).astype(np.int32) if n_rows else np.zeros(0, np.int32)
+
+    # TF per (row, shingle-hash): lexsort + run-length (no Python loop)
+    if len(hashes):
+        order = np.lexsort((hashes, sh_rows))
+        r_s, h_s = sh_rows[order], hashes[order]
+        newgrp = np.ones(len(h_s), bool)
+        newgrp[1:] = (r_s[1:] != r_s[:-1]) | (h_s[1:] != h_s[:-1])
+        starts = np.flatnonzero(newgrp)
+        u_rows, u_hashes = r_s[starts], h_s[starts]
+        tf = np.diff(np.append(starts, len(h_s)))
+    else:
+        u_rows = np.zeros(0, np.int64)
+        u_hashes = np.zeros(0, np.uint64)
+        tf = np.zeros(0, np.int64)
+
+    simhash = spec.simhash_batch(u_rows, u_hashes, tf, n_rows)
+
+    a, b = _minhash_coeffs(cfg)
+    row_starts = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(np.bincount(u_rows, minlength=n_rows), out=row_starts[1:])
+    sig = spec.minhash_batch(row_starts, u_hashes, n_rows, a, b)
+    bands = spec.band_hashes(sig, cfg.n_bands, cfg.band_rows)
+
+    return pd.DataFrame(
+        {
+            "simhash": pd.Series(spec.u64_to_i64(simhash)),
+            "n_shingles": pd.Series(n_shingles),
+            "minhash": pd.Series(list(spec.u64_to_i64(sig))),
+            "bands": pd.Series(list(spec.u64_to_i64(bands))),
+        }
+    )
+
+
+_COEFF_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _minhash_coeffs(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
+    key = (cfg.n_perm, cfg.minhash_seed)
+    if key not in _COEFF_CACHE:
+        _COEFF_CACHE[key] = spec.minhash_params(*key)
+    return _COEFF_CACHE[key]
+
+
+def make_fingerprint_udf(cfg: PipelineConfig):
+    """pandas_udf: caption string -> struct(simhash, n_shingles, minhash, bands).
+
+    The closure captures only the (small, frozen) config; the minhash
+    coefficients are re-derived once per python worker from the seed, so no
+    multi-MB broadcast rides along with every task.
+    """
+
+    @F.pandas_udf(FINGERPRINT_SCHEMA)
+    def fingerprint(captions: pd.Series) -> pd.DataFrame:
+        return fingerprint_batch(captions, cfg)
+
+    return fingerprint
+
+
+def with_fingerprints(df, cfg: PipelineConfig, caption_col: str = "caption"):
+    """Append fingerprint columns in one ArrowEvalPython pass."""
+    fp = make_fingerprint_udf(cfg)(F.col(caption_col)).alias("_fp")
+    return df.withColumn("_fp", fp).select("*", "_fp.*").drop("_fp")
+
+
+# --------------------------------------------------------------- substring UDF
+
+
+def make_winnow_udf(cfg: PipelineConfig):
+    """pandas_udf: caption -> array<struct<pos:int, anchor:long>> winnowing
+    anchors over the normalized caption (substring stage, SURVEY.md O15)."""
+    schema = T.ArrayType(
+        T.StructType(
+            [T.StructField("pos", T.IntegerType()), T.StructField("anchor", T.LongType())]
+        )
+    )
+
+    @F.pandas_udf(schema)
+    def winnow(captions: pd.Series) -> pd.Series:
+        s = captions.reset_index(drop=True).fillna("")
+        norm = (
+            s.str.normalize("NFKC")
+            .str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True)
+            .str.strip()
+        )
+        di, pos, ah = spec.winnow_anchors_batch(norm.tolist(), cfg.substr_window, cfg.substr_min_len)
+        ah_i64 = spec.u64_to_i64(ah)
+        out: list[list] = [[] for _ in range(len(s))]
+        for d, p, h in zip(di.tolist(), pos.tolist(), ah_i64.tolist()):
+            out[d].append({"pos": p, "anchor": h})
+        return pd.Series(out)
+
+    return winnow
+
+
+@F.pandas_udf(T.StringType())
+def normalize_substring_udf(captions: pd.Series) -> pd.Series:
+    """spec.normalize_for_substring as a vectorized column: NFKC + lower +
+    non-alnum runs collapsed to single spaces, stripped."""
+    return (
+        captions.fillna("")
+        .str.normalize("NFKC")
+        .str.lower()
+        .str.replace(r"[^a-z0-9]+", " ", regex=True)
+        .str.strip()
+    )
+
+
+def normalized_caption_col(caption_col: str = "caption") -> Column:
+    """Native-Spark equivalent of spec.normalize_for_substring? NO — NFKC has
+    no Catalyst builtin, so normalization lives in the UDFs; this helper exists
+    only for ASCII-safe test data where lower+regexp_replace coincides."""
+    return F.trim(F.regexp_replace(F.lower(F.col(caption_col)), "[^a-z0-9]+", " "))

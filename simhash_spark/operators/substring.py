@@ -1,0 +1,165 @@
+"""Substring stage — winnowing anchors co-locate docs, suffix arrays verify.
+
+Catches near-identical caption RUNS that shingle-based fingerprints miss
+(BASELINE.json:6; Lee et al., ACL 2022 use a corpus suffix array for the same
+purpose). Spark-first decomposition:
+
+1. anchor extraction (vectorized winnowing UDF, spec.winnow_anchors_batch):
+   any two docs sharing a normalized substring of >= L chars share >= 1
+   anchor hash (Schleimer'03 winnowing guarantee) — this turns the global
+   substring-search problem into an equi-join key, so NO cross-partition
+   suffix array is ever needed.
+2. groupBy(anchor) -> applyInPandas: per anchor group, build a suffix array
+   over the concatenated normalized captions (numpy prefix-doubling), Kasai
+   LCP, and report doc pairs inside maximal LCP >= L intervals. Exact — hash
+   collisions die here.
+3. global dedup of emitted pairs.
+
+Hot anchors (boilerplate prefixes shared by millions of captions) are capped
+at ``bucket_cap`` docs per anchor with a deterministic keep rule; dropped
+volume is observable in stage metrics (no silent truncation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from simhash_spark.config import PipelineConfig
+from simhash_spark.functions.udfs import make_winnow_udf
+
+
+def suffix_array(codes: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling — O(n log^2 n) in numpy argsorts."""
+    n = len(codes)
+    rank = np.asarray(codes, dtype=np.int64)
+    idx = np.arange(n)
+    k = 1
+    sa = np.argsort(rank, kind="stable")
+    while True:
+        key2 = np.where(idx + k < n, np.concatenate([rank[k:], np.full(min(k, n), -1)])[:n], -1)
+        order = np.lexsort((key2, rank))
+        new_rank = np.zeros(n, dtype=np.int64)
+        r_o, k_o = rank[order], key2[order]
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (r_o[1:] != r_o[:-1]) | (k_o[1:] != k_o[:-1])
+        new_rank[order] = np.cumsum(changed) - 1
+        rank = new_rank
+        sa = order
+        if rank[order[-1]] == n - 1:
+            return sa
+        k *= 2
+
+
+def lcp_kasai(codes: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP: lcp[i] = LCP(suffix sa[i-1], suffix sa[i]); lcp[0] = 0."""
+    n = len(codes)
+    rank = np.zeros(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            while i + h < n and j + h < n and codes[i + h] == codes[j + h]:
+                h += 1
+            lcp[r] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def _group_pairs(pdf: pd.DataFrame, min_len: int, max_pairs: int) -> pd.DataFrame:
+    """One anchor group: exact shared-substring >= min_len doc pairs via SA."""
+    ids = pdf["id"].tolist()
+    texts = pdf["norm"].tolist()
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}, dtype=str)
+    # concatenate with unique negative sentinels between docs
+    codes_parts, doc_of_parts = [], []
+    for d, t in enumerate(texts):
+        codes_parts.append(np.frombuffer(t.encode("ascii", "replace"), dtype=np.uint8).astype(np.int64))
+        codes_parts.append(np.array([-(d + 1)], dtype=np.int64))
+        doc_of_parts.append(np.full(len(texts[d]) + 1, d, dtype=np.int64))
+    codes = np.concatenate(codes_parts)
+    doc_of = np.concatenate(doc_of_parts)
+    # shift to non-negative for ranking
+    sa = suffix_array(codes - codes.min())
+    lcp = lcp_kasai(codes, sa)
+    # maximal intervals with adjacent LCP >= min_len: all docs inside share a
+    # >= min_len prefix -> every distinct doc pair qualifies
+    hit = lcp >= min_len
+    pairs: set[tuple[str, str]] = set()
+    i = 0
+    n = len(hit)
+    while i < n:
+        if hit[i]:
+            j = i
+            while j < n and hit[j]:
+                j += 1
+            docs = np.unique(doc_of[sa[i - 1 : j]])
+            if len(docs) > 1:
+                for x in range(len(docs)):
+                    for y in range(x + 1, len(docs)):
+                        a, b = ids[docs[x]], ids[docs[y]]
+                        pairs.add((a, b) if a < b else (b, a))
+                        if len(pairs) >= max_pairs:
+                            break
+            i = j
+        else:
+            i += 1
+    if not pairs:
+        return pd.DataFrame({"a": [], "b": []}, dtype=str)
+    srt = sorted(pairs)
+    return pd.DataFrame({"a": [p[0] for p in srt], "b": [p[1] for p in srt]})
+
+
+def substring_pairs(
+    df: DataFrame, cfg: PipelineConfig, id_col: str = "image_id", caption_col: str = "caption"
+) -> DataFrame:
+    """documents -> (a, b, src='substr') pairs sharing a normalized run >= L."""
+    winnow = make_winnow_udf(cfg)
+    anchors = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(winnow(F.col(caption_col))).alias("anch"),
+        )
+        .select("id", F.col("anch.anchor").alias("anchor"))
+        .distinct()
+    )
+    # cap hot anchors deterministically (keep lowest ids); observable drop
+    w = Window.partitionBy("anchor").orderBy("id")
+    anchors = anchors.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= cfg.bucket_cap
+    )
+    # only anchors shared by >1 doc survive (semi-join on sized buckets)
+    sizes = anchors.groupBy("anchor").agg(F.count(F.lit(1)).alias("_n"))
+    multi = anchors.join(sizes.where(F.col("_n") > 1).select("anchor"), "anchor", "left_semi")
+
+    norm_df = df.select(
+        F.col(id_col).alias("id"),
+        _normalize_col(caption_col).alias("norm"),
+    )
+    grouped = multi.join(norm_df, "id")
+
+    min_len, cap = cfg.substr_min_len, cfg.bucket_cap
+    max_pairs = cap * 8
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _group_pairs(pdf, min_len, max_pairs)
+
+    pairs = grouped.groupBy("anchor").applyInPandas(fn, schema="a string, b string")
+    return pairs.distinct().withColumn("src", F.lit("substr"))
+
+
+def _normalize_col(caption_col: str):
+    """The same NFKC normalization the winnow UDF applies, so anchor positions
+    and SA text agree bit-for-bit with spec.normalize_for_substring."""
+    from simhash_spark.functions.udfs import normalize_substring_udf
+
+    return normalize_substring_udf(F.col(caption_col))

@@ -1,0 +1,62 @@
+"""Exact verification — entirely JVM-side, whole-stage-codegen'd.
+
+The reference's popcnt inner loop (/root/reference/README.md:16) becomes ONE
+Catalyst expression: ``bit_count(a_fp XOR b_fp)``. No UDF, no Python worker.
+
+The frozen duplicate predicate (SURVEY.md §5.2 / fixtures.compute_truth):
+
+    dup(a,b) := (hamming(simhash) <= r AND both captions have shingles)
+             OR  hamming(phash)   <= r_p
+             OR  shared normalized caption substring >= L chars (substr stage)
+
+Candidates from ANY index are checked against ALL criteria — a MinHash-LSH
+candidate that happens to be a pixel dup still verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_spark.config import PipelineConfig
+
+
+def verify_pairs(
+    candidates: DataFrame, fp: DataFrame, cfg: PipelineConfig, id_col: str = "image_id"
+) -> DataFrame:
+    """candidates(a, b, src) x fingerprints -> verified_pairs.
+
+    Two shuffle equi-joins attach each side's fingerprints (at cluster scale
+    both sides hash-partition on id; the fingerprint table is the big side and
+    is scanned with only 4 columns — `bytes` never enters this plan).
+    """
+    side = fp.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash").alias("_sim"),
+        F.col("phash").alias("_ph"),
+        F.col("n_shingles").alias("_nsh"),
+    )
+    a = side.select(
+        F.col("_id").alias("a"),
+        F.col("_sim").alias("_sim_a"),
+        F.col("_ph").alias("_ph_a"),
+        F.col("_nsh").alias("_nsh_a"),
+    )
+    b = side.select(
+        F.col("_id").alias("b"),
+        F.col("_sim").alias("_sim_b"),
+        F.col("_ph").alias("_ph_b"),
+        F.col("_nsh").alias("_nsh_b"),
+    )
+    joined = candidates.join(a, "a").join(b, "b")
+    hc = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+    hp = F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b")))
+    caption_ok = (hc <= cfg.hamming_radius) & (F.col("_nsh_a") > 0) & (F.col("_nsh_b") > 0)
+    phash_ok = hp <= cfg.phash_radius
+    substr_ok = F.col("src").contains("substr")
+    return (
+        joined.withColumn("hamming_caption", hc.cast("int"))
+        .withColumn("hamming_phash", hp.cast("int"))
+        .where(caption_ok | phash_ok | substr_ok)
+        .select("a", "b", "hamming_caption", "hamming_phash", "src")
+    )

@@ -1,0 +1,119 @@
+"""The end-to-end near-duplicate pipeline (SURVEY.md §3.2 E1-E3).
+
+Stages (each checkpointed + resumable via CheckpointCatalog):
+
+  E1 fingerprints : scan -> prune bytes -> one ArrowEvalPython pass
+                    (simhash + minhash + bands), phash passthrough
+  E2 candidates   : LSH bands ∪ simhash rotations ∪ phash rotations
+                    -> bucket self-joins (capped/chained) -> union+dedup
+  E2b substr      : winnowing anchors -> per-anchor suffix-array verify
+  E3 verified     : native bit_count Hamming verify of all candidates
+  E4 clusters     : large-star/small-star CC; isolated vertices = singletons
+
+Column pruning is the single most important scan optimization at 10^12 rows:
+E1 selects only (image_id, caption, phash) — the multi-TB `bytes` column
+never leaves the parquet/Iceberg scan (checked by test_pipeline_e2e's
+explain assertion).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
+from simhash_spark.functions.udfs import with_fingerprints
+from simhash_spark.operators.candidates import bucket_stats, explode_band_keys, explode_rotation_keys, generate_candidates
+from simhash_spark.operators.connected_components import connected_components
+from simhash_spark.operators.substring import substring_pairs
+from simhash_spark.operators.verify import verify_pairs
+from simhash_spark.sources.catalog import CheckpointCatalog, input_fingerprint_of
+
+
+def fingerprint_job(spark: SparkSession, src: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """E1: (image_id, caption, phash) -> + simhash, n_shingles, minhash, bands.
+
+    One stage, no shuffle; `bytes` pruned at the scan.
+    """
+    slim = src.select("image_id", "caption", "phash")
+    return with_fingerprints(slim, cfg).drop("caption")
+
+
+def candidate_job(fp: DataFrame, cfg: PipelineConfig, include_phash: bool = True) -> DataFrame:
+    """E2: fingerprints -> candidate pairs (a, b, src)."""
+    return generate_candidates(fp, cfg, include_phash=include_phash)
+
+
+def substring_job(src: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """E2b: captions -> substring candidate pairs (a, b, src='substr')."""
+    return substring_pairs(src.select("image_id", "caption"), cfg)
+
+
+def verify_job(candidates: DataFrame, fp: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """E3: exact Hamming verification of the unioned candidate set."""
+    return verify_pairs(candidates, fp, cfg)
+
+
+def cluster_job(verified: DataFrame, vertices: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """E4: verified pairs -> (image_id, cluster_id = min id in component).
+    Vertices absent from any verified pair are singleton clusters."""
+    labels = connected_components(verified.select("a", "b"))
+    all_ids = vertices.select(F.col("image_id"))
+    singletons = all_ids.join(labels.select(F.col("id").alias("image_id")), "image_id", "left_anti")
+    return labels.select(F.col("id").alias("image_id"), "cluster_id").unionByName(
+        singletons.select("image_id", F.col("image_id").alias("cluster_id"))
+    )
+
+
+@dataclass
+class PipelineResult:
+    fingerprints: DataFrame
+    candidates: DataFrame
+    verified: DataFrame
+    clusters: DataFrame
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    enable_substring: bool = True,
+    include_phash: bool = True,
+) -> PipelineResult:
+    """The resumable end-to-end run: every stage lands in the catalog with a
+    manifest; rerunning after a crash skips complete stages (T5)."""
+    cat = CheckpointCatalog(spark, checkpoint_path)
+    in_fp = input_fingerprint_of(input_path)
+    src = spark.read.parquet(input_path)
+
+    fp = cat.run_stage("01_fingerprints", in_fp, lambda: fingerprint_job(spark, src, cfg))
+
+    def _cand() -> DataFrame:
+        return candidate_job(fp, cfg, include_phash=include_phash)
+
+    cand = cat.run_stage("02_candidates", in_fp, _cand)
+
+    if enable_substring:
+        sub = cat.run_stage("02b_substr", in_fp, lambda: substring_job(src, cfg))
+        all_cand = cand.unionByName(sub).groupBy("a", "b").agg(
+            F.array_join(F.array_sort(F.flatten(F.collect_set(F.split("src", ",")))), ",").alias("src")
+        )
+    else:
+        all_cand = cand
+
+    verified = cat.run_stage("03_verified", in_fp, lambda: verify_job(all_cand, fp, cfg))
+    clusters = cat.run_stage("04_clusters", in_fp, lambda: cluster_job(verified, fp, cfg))
+    return PipelineResult(fp, cand, verified, clusters)
+
+
+def candidate_bucket_stats(fp: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Skew observability: bucket histograms per candidate source."""
+    keyed = (
+        explode_band_keys(fp)
+        .unionByName(explode_rotation_keys(fp, cfg, "simhash"))
+        .unionByName(explode_rotation_keys(fp, cfg, "phash"))
+    )
+    return bucket_stats(keyed)

@@ -1,0 +1,291 @@
+"""Deterministic synthetic image+caption fixtures (FIXTURES.md F1/F2).
+
+Generates the exact `input_hint` schema (image_id, bytes, w, h, fmt, caption,
+phash) with planted duplicate structure, plus brute-force ground truth
+(truth_pairs / truth_clusters) computed independently of the pipeline — the
+differential oracle for the dup-pair recall >= 0.99 gate (BASELINE.json:2).
+
+Images are uncompressed PPM (P6) generated with numpy only (no codec libs in
+the container); phash is an 8x8 average-hash of the generated pixels. The
+pipeline itself never decodes bytes (SURVEY.md §7.7) — bytes exist to prove
+the engine prunes/passes them through untouched.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+from simhash_spark import spec
+from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+_UNICODE_WORDS = ["café", "über", "naïve", "résumé", "señor", "crème"]
+
+
+def _vocab(rng: np.random.Generator) -> np.ndarray:
+    base = [f"w{i:04d}" for i in range(1900)]
+    stops = ["the", "of", "and", "to", "in", "is", "with", "for", "on", "at"] * 9
+    return np.array(base + stops + _UNICODE_WORDS, dtype=object)
+
+
+def _ppm(rng: np.random.Generator, w: int, h: int) -> tuple[bytes, np.ndarray]:
+    """Deterministic random-block-pattern RGB image as raw PPM.
+
+    An 8x8 random block pattern upsampled to (h, w) + small noise: every image
+    gets an essentially uniform-random ahash (a shared gradient would make all
+    phashes collide and fabricate false pixel-dup truth)."""
+    blocks = rng.integers(0, 256, size=(8, 8)).astype(np.float32)
+    pattern = np.kron(blocks, np.ones((h // 8 + 1, w // 8 + 1), np.float32))[:h, :w]
+    noise = rng.integers(0, 16, size=(h, w, 3))
+    px = np.clip(pattern[:, :, None] + noise, 0, 255).astype(np.uint8)
+    header = f"P6\n{w} {h}\n255\n".encode()
+    return header + px.tobytes(), px
+
+
+def ahash64(px: np.ndarray) -> np.uint64:
+    """8x8 average-hash of an (h, w, 3) uint8 image — the fixture's stored
+    perceptual hash. Block-mean downsample, bit i = cell > mean."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    cells = gray[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (cells > cells.mean()).ravel()
+    return spec.pack_bits_u64(np.concatenate([bits, np.zeros(64 - bits.size, bool)]))
+
+
+def make_images_pdf(
+    n_rows: int,
+    seed: int = 42,
+    with_bytes: bool = True,
+    hot_frac: float = 0.01,
+) -> pd.DataFrame:
+    """Planted-cluster corpus: ~55% singletons, small clusters of 2-10 with
+    exact/caption-edit/pixel/substring variants, one hot cluster of
+    ``hot_frac`` identical captions (skew stress)."""
+    rng = np.random.default_rng(seed)
+    vocab = _vocab(rng)
+    rows: list[dict] = []
+
+    def new_caption() -> list[str]:
+        n = int(rng.integers(8, 61))
+        return [str(w) for w in vocab[rng.integers(0, len(vocab), n)]]
+
+    def render(tokens: list[str]) -> str:
+        return " ".join(tokens)
+
+    def add_row(caption: str, phash: np.uint64 | None, dims: tuple[int, int] | None = None):
+        i = len(rows)
+        if dims is None:
+            dims = (int(rng.choice([32, 48, 64])), int(rng.choice([32, 48, 64])))
+        w, h = dims
+        if with_bytes:
+            data, px = _ppm(rng, w, h)
+            ph = ahash64(px) if phash is None else phash
+        else:
+            data = None
+            ph = np.uint64(rng.integers(0, 2**63)) if phash is None else phash
+        rows.append(
+            {
+                "image_id": f"img{i:09d}",
+                "bytes": data,
+                "w": w,
+                "h": h,
+                "fmt": "ppm",
+                "caption": caption,
+                "phash": int(spec.u64_to_i64(np.array([ph]))[0]),
+            }
+        )
+        return ph
+
+    hot_n = max(0, int(n_rows * hot_frac))
+    hot_caption = render(new_caption())
+    for _ in range(hot_n):
+        add_row(hot_caption, None)
+
+    while len(rows) < n_rows:
+        budget = n_rows - len(rows)
+        kind = rng.random()
+        if kind < 0.55 or budget == 1:
+            add_row(render(new_caption()), None)
+            continue
+        size = int(min(budget, rng.integers(2, 11)))
+        base_tokens = new_caption()
+        base_ph = add_row(render(base_tokens), None)
+        for _ in range(size - 1):
+            v = rng.random()
+            if v < 0.3:  # exact dup (caption identical, phash near)
+                add_row(render(base_tokens), _flip_bits(base_ph, rng, 0))
+            elif v < 0.65:  # caption near-dup: 1-2 token substitutions
+                t = list(base_tokens)
+                for _ in range(int(rng.integers(1, 3))):
+                    t[int(rng.integers(0, len(t)))] = str(vocab[int(rng.integers(0, len(vocab)))])
+                add_row(render(t), None)
+            elif v < 0.85:  # pixel near-dup: phash within Hamming<=3, new caption
+                add_row(render(new_caption()), _flip_bits(base_ph, rng, int(rng.integers(0, 4))))
+            else:  # substring dup: verbatim run embedded in different text
+                run = base_tokens[: max(12, len(base_tokens) // 2)]
+                t = new_caption()[:8] + run + new_caption()[:8]
+                add_row(render(t), None)
+    return pd.DataFrame(rows)
+
+
+def _flip_bits(ph: np.uint64, rng: np.random.Generator, k: int) -> np.uint64:
+    v = int(ph)
+    for bit in rng.choice(64, size=k, replace=False):
+        v ^= 1 << int(bit)
+    return np.uint64(v)
+
+
+def make_degenerate_pdf(seed: int = 7) -> pd.DataFrame:
+    """F2: the dev-ex lesson (/root/reference/README.md:11) — tiny/degenerate
+    inputs that broke the reference's scalability branch."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    cases = (
+        [""] * 3
+        + ["the of and to in"] * 2          # stop-only
+        + ["word"] * 2                        # single token
+        + ["identical caption here every time"] * 500  # one giant cluster / hot band
+        + ["日本語だけのキャプション", "🎉🚀", "ＦＵＬＬｗｉｄｔｈ ｔｅｘｔ"]
+    )
+    for i, cap in enumerate(cases):
+        rows.append(
+            {
+                "image_id": f"deg{i:06d}",
+                "bytes": None,
+                "w": 32,
+                "h": 32,
+                "fmt": "ppm",
+                "caption": cap,
+                "phash": int(rng.integers(-(2**62), 2**62)),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+# ----------------------------------------------------------- ground truth
+
+def _lcs_at_least(a: str, b: str, min_len: int) -> bool:
+    """True iff a and b share a common substring of length >= min_len.
+    Checked via length-min_len window set intersection (exact, O(n))."""
+    if len(a) < min_len or len(b) < min_len:
+        return False
+    wins = {a[i : i + min_len] for i in range(len(a) - min_len + 1)}
+    return any(b[i : i + min_len] in wins for i in range(len(b) - min_len + 1))
+
+
+def compute_truth(
+    pdf: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Brute-force ground truth, independent of the Spark pipeline.
+
+    dup(a,b) := hamming(simhash)<=r  OR  hamming(phash)<=r_p  OR  shared
+    normalized substring >= L chars. Clusters = connected components
+    (python union-find). Returns (truth_pairs, truth_clusters).
+    """
+    n = len(pdf)
+    caps = pdf["caption"].fillna("").tolist()
+    fp = np.zeros(n, dtype=np.uint64)
+    for i, c in enumerate(caps):
+        fp[i] = spec.caption_fingerprint(c, cfg.shingle_k)["simhash"]
+    ph = spec.i64_to_u64(pdf["phash"].to_numpy(np.int64))
+
+    pairs: set[tuple[int, int]] = set()
+    kinds: dict[tuple[int, int], str] = {}
+    # caption hamming only counts when BOTH sides have shingles (empty
+    # captions share fp=0 but are not textual duplicates — frozen rule)
+    has = np.array([len(spec.tokenize(c)) > 0 for c in caps])
+    # all-pairs hamming, chunked numpy (n<=2e4 -> fine)
+    for i0 in range(0, n, 2048):
+        i1 = min(n, i0 + 2048)
+        dc = spec.popcount64(fp[i0:i1, None] ^ fp[None, :])
+        dp = spec.popcount64(ph[i0:i1, None] ^ ph[None, :])
+        mc = (dc <= cfg.hamming_radius) & has[i0:i1, None] & has[None, :]
+        mp = dp <= cfg.phash_radius
+        ii, jj = np.nonzero(mc | mp)
+        for di, j in zip(ii, jj):
+            i = i0 + int(di)
+            j = int(j)
+            if i < j:
+                pairs.add((i, j))
+                kinds[(i, j)] = "simhash" if mc[di, j] else "phash"
+    # substring truth: winnow candidates (complete by construction) + exact verify
+    norm = [spec.normalize_for_substring(c) for c in caps]
+    di_, _pos, ah = spec.winnow_anchors_batch(norm, cfg.substr_window, cfg.substr_min_len)
+    by_anchor: dict[int, set[int]] = {}
+    for d, h in zip(di_.tolist(), ah.tolist()):
+        by_anchor.setdefault(h, set()).add(d)
+    cand = {
+        (a, b)
+        for docs in by_anchor.values()
+        if len(docs) > 1
+        for a in docs
+        for b in docs
+        if a < b
+    }
+    for i, j in cand:
+        if (i, j) not in pairs and _lcs_at_least(norm[i], norm[j], cfg.substr_min_len):
+            pairs.add((i, j))
+            kinds[(i, j)] = "substr"
+
+    # union-find -> clusters labeled by min image_id
+    parent = list(range(n))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in pairs:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+
+    ids = pdf["image_id"].tolist()
+    truth_pairs = pd.DataFrame(
+        {
+            "a": [ids[i] for i, _ in sorted(pairs)],
+            "b": [ids[j] for _, j in sorted(pairs)],
+            "kind": [kinds[p] for p in sorted(pairs)],
+        }
+    )
+    truth_clusters = pd.DataFrame(
+        {"image_id": ids, "cluster_id": [ids[find(i)] for i in range(n)]}
+    )
+    return truth_pairs, truth_clusters
+
+
+def write_images_fixture(
+    path: str | pathlib.Path,
+    n_rows: int = 2000,
+    seed: int = 42,
+    with_bytes: bool = True,
+    with_truth: bool = True,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> pathlib.Path:
+    """Write images.parquet (+ truth_pairs/truth_clusters) under ``path``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = pathlib.Path(path)
+    path.mkdir(parents=True, exist_ok=True)
+    pdf = make_images_pdf(n_rows, seed=seed, with_bytes=with_bytes)
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema, preserve_index=False), path / "images.parquet")
+    if with_truth:
+        tp, tc = compute_truth(pdf, cfg)
+        pq.write_table(pa.Table.from_pandas(tp, preserve_index=False), path / "truth_pairs.parquet")
+        pq.write_table(pa.Table.from_pandas(tc, preserve_index=False), path / "truth_clusters.parquet")
+    return path

@@ -1,0 +1,59 @@
+"""Connected components vs a union-find oracle on random graphs (T2 style)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from simhash_spark.operators.connected_components import connected_components
+
+
+def _uf_components(n: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: find(i) for i in range(n)}
+
+
+def _check(spark, n: int, edges: list[tuple[int, int]]):
+    ids = [f"n{i:05d}" for i in range(n)]
+    pdf = pd.DataFrame({"a": [ids[a] for a, _ in edges], "b": [ids[b] for _, b in edges]})
+    df = spark.createDataFrame(pdf, schema="a string, b string")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    want = _uf_components(n, edges)
+    touched = {i for e in edges for i in e}
+    for i in touched:
+        assert got[ids[i]] == ids[want[i]], (i, got[ids[i]], ids[want[i]])
+    assert set(got) == {ids[i] for i in touched}
+
+
+def test_cc_random_graphs(spark):
+    rng = np.random.default_rng(3)
+    for trial, (n, m) in enumerate([(30, 20), (200, 150), (500, 700)]):
+        edges = [tuple(sorted(map(int, rng.integers(0, n, 2)))) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        _check(spark, n, edges)
+
+
+def test_cc_shapes(spark):
+    # chain (worst case for naive propagation), star, two components, self-contained
+    chain = [(i, i + 1) for i in range(40)]
+    _check(spark, 41, chain)
+    star = [(0, i) for i in range(1, 30)]
+    _check(spark, 30, star)
+    two = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    _check(spark, 13, two)
+
+
+def test_cc_empty(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": [], "b": []}), schema="a string, b string")
+    assert connected_components(df).count() == 0

@@ -1,0 +1,93 @@
+"""T2 differential + recall gate: full pipeline vs brute-force ground truth.
+
+The fixture's truth (sources/fixtures.compute_truth) is computed without
+Spark by the canonical numpy spec — the stand-in reference implementation
+(对拍, /root/reference/README.md:11). Gates:
+
+- dup-pair recall >= 0.99 (BASELINE.json:2) — in fact the pigeonhole +
+  winnowing completeness guarantees make the pipeline EXACT here, so we
+  assert full cluster-partition equality, not just 0.99.
+- `bytes` never enters the fingerprint plan (column pruning at the scan).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_spark.config import DEFAULT_CONFIG as CFG
+from simhash_spark.plans.pipeline import run_pipeline
+from simhash_spark.sources.fixtures import compute_truth, make_images_pdf, write_images_fixture
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("images_fx")
+    write_images_fixture(d, n_rows=2000, seed=42, with_bytes=True)
+    return d
+
+
+def test_pipeline_matches_truth(spark, fixture_dir, tmp_path):
+    res = run_pipeline(
+        spark,
+        str(fixture_dir / "images.parquet"),
+        str(tmp_path / "ckpt"),
+        CFG,
+    )
+    clusters = {r["image_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    truth = pd.read_parquet(fixture_dir / "truth_clusters.parquet")
+    truth_map = dict(zip(truth["image_id"], truth["cluster_id"]))
+    tp = pd.read_parquet(fixture_dir / "truth_pairs.parquet")
+
+    # recall: truth pairs that land in the same pipeline cluster
+    same = sum(clusters[a] == clusters[b] for a, b in zip(tp["a"], tp["b"]))
+    recall = same / len(tp)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+
+    # and the stronger differential claim: identical partitions + labels
+    assert clusters == truth_map, "cluster assignment differs from brute-force truth"
+
+
+def test_verified_pairs_subset_of_truth(spark, fixture_dir, tmp_path):
+    """Precision: every verified pair satisfies the frozen dup predicate."""
+    res = run_pipeline(
+        spark,
+        str(fixture_dir / "images.parquet"),
+        str(tmp_path / "ckpt2"),
+        CFG,
+    )
+    ver = {(r["a"], r["b"]) for r in res.verified.select("a", "b").collect()}
+    pdf = pd.read_parquet(fixture_dir / "images.parquet", columns=["image_id", "caption", "phash"])
+    truth_pairs, _ = compute_truth(pdf, CFG)
+    truth = set(zip(truth_pairs["a"], truth_pairs["b"]))
+    extra = ver - truth
+    assert not extra, f"{len(extra)} verified pairs outside truth, e.g. {list(extra)[:5]}"
+
+
+def test_bytes_pruned_from_fingerprint_plan(spark, fixture_dir):
+    from simhash_spark.plans.pipeline import fingerprint_job
+
+    src = spark.read.parquet(str(fixture_dir / "images.parquet"))
+    plan = fingerprint_job(spark, src, CFG)._jdf.queryExecution().executedPlan().toString()
+    assert "bytes" not in plan, "fingerprint scan reads the bytes column"
+    assert "caption" in plan
+
+
+def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
+    from simhash_spark.sources.catalog import CheckpointCatalog, input_fingerprint_of
+
+    ck = tmp_path / "ckpt3"
+    run_pipeline(spark, str(fixture_dir / "images.parquet"), str(ck), CFG)
+    cat = CheckpointCatalog(spark, ck)
+    in_fp = input_fingerprint_of(str(fixture_dir / "images.parquet"))
+    for stage in ("01_fingerprints", "02_candidates", "02b_substr", "03_verified", "04_clusters"):
+        m = cat.manifest(stage)
+        assert m and m["complete"] and m["input_fingerprint"] == in_fp, stage
+        assert m["n_rows"] >= 0 and m["n_partitions"] >= 1
+        assert all("rows" in p and "bytes" in p for p in m["partitions"])
+
+    # second run must not recompute: poison compute to prove it is skipped
+    boom = lambda: (_ for _ in ()).throw(AssertionError("stage recomputed"))
+    out = cat.run_stage("04_clusters", in_fp, boom)
+    assert out.count() == 2000
