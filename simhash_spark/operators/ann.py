@@ -1,0 +1,181 @@
+"""Approximate nearest-neighbor search over an embedding column (brief:
+brute-force cosine top-k baseline + an LSH-bucketed scale path).
+
+- cosine_topk      : exact baseline. Queries are broadcast (small side);
+                     the corpus streams through one codegen'd projection +
+                     a per-query top-k (window row_number). This is the
+                     oracle-checkable reference answer.
+- srp_signature    : random-hyperplane (sign-random-projection) signatures,
+                     one numpy matmul per Arrow batch (Charikar STOC'02 —
+                     the same rounding scheme SimHash comes from).
+- srp_keys         : signature + optional multi-probe (all one-bit flips)
+                     exploded to equi-join keys.
+- srp_topk         : LSH-bucketed top-k — per-bucket candidate join, exact
+                     cosine re-rank, top-k per query. At 10^9 vectors the
+                     bucket join touches ~n/2^bits of the corpus per query
+                     instead of n.
+
+An IVF variant (k-means coarse quantizer) would slot in as: fit centroids on
+a sample (kmeans|| in MLlib), assign = argmax dot(centroid, vec) — another
+broadcast matmul UDF — then the same bucket-join shape on the centroid id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simhash_spark.operators.dedup import cosine_col
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (self-matches excluded).
+
+    Returns (query_id, neighbor_id, rank) with rank 1..k. Ties broken by
+    neighbor_id (frozen, keeps the result deterministic for the oracle).
+    The queries side is explicitly broadcast — the corpus never shuffles.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# --------------------------------------------------------------- SRP LSH
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return np.random.default_rng(seed).standard_normal((dim, n_planes)).astype(np.float64)
+
+
+def make_srp_udf(n_planes: int, seed: int, n_tables: int = 1):
+    """pandas_udf: array<float> -> array<int> of per-table signatures.
+
+    One (batch x dim) @ (dim x planes*tables) matmul per Arrow batch; sign
+    bits packed per table, table index tagged in the high bits so signatures
+    from different tables never collide. Planes are re-derived from the seed
+    per python worker (no broadcast)."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def srp(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim) — dense batch
+        planes = _srp_plane_cache(mat.shape[1], n_planes * n_tables, seed)
+        bits = (mat @ planes) > 0  # (n, tables*planes)
+        bits = bits.reshape(len(mat), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        sigs = bits @ weights + (np.arange(n_tables) << n_planes)[None, :]
+        return pd.Series(list(sigs.astype(np.int32)))
+
+    return srp
+
+
+_PLANE_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _srp_plane_cache(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    key = (dim, n_planes, seed)
+    if key not in _PLANE_CACHE:
+        _PLANE_CACHE[key] = _planes(dim, n_planes, seed)
+    return _PLANE_CACHE[key]
+
+
+def srp_keys(
+    df: DataFrame,
+    vec_col: str,
+    n_planes: int = 16,
+    seed: int = 7,
+    multi_probe: bool = True,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Append exploded bucket keys: per-table SRP signatures plus (optionally)
+    each signature's n_planes one-bit flips. L tables x multi-probe is the
+    standard recall lever for random-projection LSH: per-pair collision
+    probability 1-(1-q)^L where q = p^b + b*p^(b-1)*(1-p), p = 1-theta/pi."""
+    sigs = make_srp_udf(n_planes, seed, n_tables)(F.col(vec_col)).alias("sigs")
+    base = df.withColumn("sigs", sigs)
+    if multi_probe:
+        probes = F.flatten(
+            F.transform(
+                F.col("sigs"),
+                lambda s: F.array(
+                    s, *[s.bitwiseXOR(F.lit(1 << j)).cast("int") for j in range(n_planes)]
+                ),
+            )
+        )
+    else:
+        probes = F.col("sigs")
+    return base.withColumn("key", F.explode(probes)).drop("sigs")
+
+
+def srp_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: equi-join corpus and query bucket keys
+    (queries multi-probed), exact cosine re-rank within candidates, top-k.
+
+    Same output schema as cosine_topk; recall measured against it in tests.
+    n_planes/n_tables trade candidate volume (~ n_tables*(n_planes+1)/2^n_planes
+    of the corpus per query) against recall; the defaults probe ~3% of the
+    corpus per query.
+    """
+    c = srp_keys(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        "cvec",
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        multi_probe=False,
+    )
+    q = srp_keys(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec",
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        multi_probe=True,
+    )
+    cand = (
+        c.join(q, "key")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

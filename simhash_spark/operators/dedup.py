@@ -1,0 +1,192 @@
+"""Corpus deduplication operators (brief: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup) over a generic (id, text) /
+(id, embedding) corpus — the training-data-pipeline face of the engine.
+
+The near-dup machinery (SimHash pigeonhole index, MinHash LSH banding,
+verify, connected components) is the SAME code the image+caption pipeline
+uses (operators/candidates.py etc.); this module adds:
+
+- exact_dedup / exact_dedup_groups : hash-groupBy on md5(text) — one shuffle,
+  map-side partial agg, fully SQL-expressible (oracle-checked).
+- ngram_jaccard_pairs : exact n-gram-shingle Jaccard via explode + self-join
+  on shingle — shuffle on the shingle key; frequent-shingle cap keeps the
+  join output linear at scale (same hot-bucket argument as candidates.py).
+  Fully SQL-expressible (oracle-checked).
+- embedding_near_dup : cosine >= tau pairs. Native zip_with/aggregate dot
+  product (no UDF); scale path buckets by random-hyperplane LSH first
+  (operators/ann.srp_signature) so the self-join is per-bucket, not n^2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ----------------------------------------------------------------- exact dedup
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups: md5(text) -> (content_hash, n_copies, keep_id).
+
+    keep_id = min id (frozen canonical-representative rule). One hash-agg
+    shuffle with map-side combine; at 100 TB this is the cheapest dedup pass
+    and runs first so downstream near-dup stages see each content once.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("id").alias("keep_id"))
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The deduplicated corpus: keep exactly the min-id row per content hash.
+    Implemented as a window-free semi-join (groups are tiny; no sort)."""
+    keep = exact_dedup_groups(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) distinct word-n-grams, native exprs only:
+    split on whitespace -> sliding n-window via transform(sequence) ->
+    explode -> distinct. Short docs (1..n-1 tokens) emit their full join —
+    same frozen short-row rule as spec.shingle_list."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    nt = F.size(toks)
+    grams = F.when(
+        nt >= n,
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(
+        F.when(nt > 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_doc_cap: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle,
+    filtered to jaccard >= threshold. Returns (a, b, n_shared, n_a, n_b,
+    jaccard), a < b.
+
+    Plan: distinct (id, shingle) -> per-doc sizes (broadcastable rollup) ->
+    self-equi-join on shingle (THE shuffle; AQE splits skewed shingles) ->
+    per-pair shared count -> join sizes -> jaccard = shared/(|a|+|b|-shared).
+
+    ``shingle_doc_cap``: shingles present in more than this many docs are
+    dropped before the join (a stop-shingle: at web scale "click here to"
+    appears in 10^9 docs and would emit 10^18 pairs). Dropping can only
+    LOWER jaccard estimates for pairs that share such mega-shingles; the cap
+    is recorded by the caller's manifest, never silent.
+    """
+    sh = ngram_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sh_kept = sh.join(
+        freq.where(F.col("df_") <= shingle_doc_cap).select("shingle"), "shingle"
+    )
+    x, y = sh_kept.alias("x"), sh_kept.alias("y")
+    shared = (
+        x.join(y, "shingle")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "n_shared", "n_a", "n_b", "jaccard")
+    )
+
+
+# ------------------------------------------------------- embedding near-dup
+
+
+def cosine_col(a, b) -> F.Column:
+    """Native cosine similarity between two array<float/double> columns —
+    zip_with product + aggregate sums, whole plan stays JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    use_lsh: bool = True,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a, b, a<b) with cosine >= tau.
+
+    Scale path (use_lsh=True): bucket by a random-hyperplane (SRP) signature
+    first — vectors with cosine >= 0.95 agree on a 16-bit SRP signature with
+    p = (1 - acos(0.95)/pi)^16 ~ 0.27 per table, so we probe the signature
+    AND its 16 one-bit flips (multi-probe) to push recall up while keeping
+    the join equi-key. use_lsh=False is the exact n^2 baseline for tests
+    and the DuckDB oracle.
+    """
+    from simhash_spark.operators.ann import srp_keys
+
+    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if use_lsh:
+        keyed = srp_keys(v, "vec", n_planes=n_planes, seed=seed, multi_probe=True)
+        x, y = keyed.alias("x"), keyed.alias("y")
+        cand = (
+            x.join(y, "key")
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(
+                F.col("x.id").alias("a"),
+                F.col("y.id").alias("b"),
+                F.col("x.vec").alias("va"),
+                F.col("y.vec").alias("vb"),
+            )
+            .dropDuplicates(["a", "b"])
+        )
+    else:
+        x = v.select(F.col("id").alias("a"), F.col("vec").alias("va"))
+        y = v.select(F.col("id").alias("b"), F.col("vec").alias("vb"))
+        cand = x.crossJoin(y).where(F.col("a") < F.col("b"))
+    return (
+        cand.withColumn("cosine", cosine_col(F.col("va"), F.col("vb")))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,160 @@
+"""Multimodal (image/audio/video) column handling for a training-data
+pipeline: opaque binary payloads + typed metadata, processed by Arrow-batched
+``mapInPandas`` — decode, feature-extract, resize, perceptual-hash,
+frame-sample.
+
+What is REAL here (tested end-to-end): the Spark plumbing — schemas, batch
+iteration, column pruning (metadata-only plans never read ``bytes``),
+partition-sized batches — plus a genuine numpy decoder for uncompressed
+binary PPM (P6), the format the synthetic fixtures use, and real block-mean
+resize / average-hash feature extraction on the decoded pixels.
+
+What is STUBBED (no codec libraries in this container — no Pillow/opencv/
+ffmpeg): decoding of compressed formats (png/jpeg/...) raises
+``NotImplementedError`` per row into an ``error`` column (never crashing the
+job — a 100 TB run must quarantine bad rows, not die on row 10^11), and
+video frame-sampling computes deterministic frame OFFSETS without decoding.
+Swap ``decode_rgb`` for a real codec call in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from simhash_spark import spec
+
+SUPPORTED_FMTS = ("ppm",)
+
+
+def decode_rgb(data: bytes, fmt: str) -> np.ndarray:
+    """binary -> (h, w, 3) uint8. Real for PPM P6; NotImplementedError
+    otherwise (clearly-marked stub — container has no image codecs)."""
+    if fmt != "ppm":
+        raise NotImplementedError(f"no codec for format {fmt!r} in this container")
+    if not data.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts = data[:64].split(maxsplit=4)
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    header_len = len(b" ".join(parts[:4])) + 1
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=header_len)
+    return px.reshape(h, w, 3)
+
+
+def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style resize by block averaging (pure numpy): index-map each
+    output cell to an input region and mean-pool. Deterministic."""
+    h, w, c = px.shape
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out = np.empty((out_h, out_w, c), dtype=np.float64)
+    acc = px.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    acc = np.pad(acc, ((1, 0), (1, 0), (0, 0)))
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    out = (
+        acc[ys[1:], :, :][:, xs[1:], :]
+        - acc[ys[:-1], :, :][:, xs[1:], :]
+        - acc[ys[1:], :, :][:, xs[:-1], :]
+        + acc[ys[:-1], :, :][:, xs[:-1], :]
+    ) / area[:, :, None]
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def ahash64(px: np.ndarray) -> np.uint64:
+    """8x8 average-hash of an (h, w, 3) uint8 image: grayscale block-mean
+    downsample to 8x8, bit i = cell > global mean. The fixture's stored
+    perceptual hash is exactly this function."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    cells = gray[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (cells > cells.mean()).ravel()
+    return spec.pack_bits_u64(np.concatenate([bits, np.zeros(64 - bits.size, bool)]))
+
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("phash_computed", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("thumb_bytes", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def image_features(src: DataFrame, thumb: int = 8) -> DataFrame:
+    """Decode + feature-extract + resize in one mapInPandas pass.
+
+    Per-row failures land in ``error`` (quarantine semantics); the thumbnail
+    is raw RGB bytes of a (thumb x thumb) block-mean resize. Input columns
+    pruned to exactly (image_id, bytes, fmt) at the scan.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                row: dict = {
+                    "image_id": image_id, "w": 0, "h": 0, "fmt": fmt,
+                    "phash_computed": 0, "mean_r": 0.0, "mean_g": 0.0,
+                    "mean_b": 0.0, "thumb_bytes": b"", "error": None,
+                }
+                try:
+                    if data is None:
+                        raise ValueError("null bytes")
+                    px = decode_rgb(bytes(data), fmt)
+                    means = px.reshape(-1, 3).mean(axis=0)
+                    tb = block_mean_resize(px, thumb, thumb)
+                    row.update(
+                        w=int(px.shape[1]), h=int(px.shape[0]),
+                        phash_computed=int(spec.u64_to_i64(np.array([ahash64(px)]))[0]),
+                        mean_r=float(means[0]), mean_g=float(means[1]),
+                        mean_b=float(means[2]), thumb_bytes=tb.tobytes(),
+                    )
+                except (NotImplementedError, ValueError) as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+
+    slim = src.select("image_id", "bytes", "fmt")
+    return slim.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+# ------------------------------------------------------------ video stub
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("ts_ms", T.IntegerType()),
+    ]
+)
+
+
+def sample_frame_offsets(videos: DataFrame, fps: float = 1.0) -> DataFrame:
+    """Deterministic frame-sampling plan for (video_id, duration_ms) rows:
+    one output row per sampled frame at ``fps``. The DECODE of each frame is
+    the stubbed step (no ffmpeg here); the exploded row-per-frame shape is
+    the real Spark plumbing a video pipeline fans out on."""
+    n = F.greatest(F.lit(1), F.floor(F.col("duration_ms") * F.lit(fps) / 1000.0)).cast("int")
+    return videos.select(
+        "video_id",
+        F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_idx", "_i"),
+    ).select(
+        "video_id",
+        "frame_idx",
+        (F.col("frame_idx") * F.lit(int(1000 / fps))).cast("int").alias("ts_ms"),
+    )

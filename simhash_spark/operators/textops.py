@@ -1,0 +1,139 @@
+"""Text-analysis operators for a training-data pipeline (brief: language-ID,
+quality scoring, token counting, document fingerprinting).
+
+Everything except the rolling-hash fingerprint is a NATIVE Catalyst column
+expression (whole-stage-codegen'd, no Python worker) and has an exact ANSI-SQL
+mirror for the DuckDB oracle (__spark_entry__.oracle_sql). The fingerprint is
+the frozen FNV-1a spec (simhash_spark.spec) via one vectorized pandas UDF —
+not SQL-expressible, so its driver check is rows-only.
+
+Design note for 100 TB: these are all embarrassingly-parallel per-row
+projections — no shuffle, no UDF except the fingerprint, filters push down to
+the parquet scan. They are the cheap first pass of the corpus-hygiene funnel
+that runs BEFORE the (shuffle-heavy) dedup stages.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Frozen marker-word profiles for the n-gram/stopword language-ID heuristic.
+# Deliberately tiny: the operator demonstrates the scoring plumbing; swap the
+# profiles for real ones (e.g. from fastText wordlists) in production.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "avec"),
+    "es": ("el", "la", "los", "que", "es", "con"),
+}
+
+_EN_STOP_SMALL = ("the", "a", "an", "of", "and", "to", "in", "is", "it")
+
+
+def _marker_regex(words: tuple[str, ...]) -> str:
+    # \b word boundaries exist in both Java regex (Spark) and RE2 (DuckDB)
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def marker_count(text_col: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(_marker_regex(words))))
+
+
+def langid_col(text_col: Column) -> Column:
+    """Argmax of marker-word counts; ties and all-zero -> 'und' (undetermined).
+
+    Ties break by FIRST language (dict order en,de,fr,es) reaching the max —
+    frozen rule, mirrored in the oracle SQL's CASE ordering.
+    """
+    counts = {lang: marker_count(text_col, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # build reversed so earlier langs win ties (last when() checked first... no:
+    # chained when() evaluates in order, so write them in dict order directly)
+    expr = F.when(best == 0, F.lit("und"))
+    for lang in LANG_MARKERS:
+        expr = expr.when(counts[lang] == best, F.lit(lang))
+    return expr.otherwise(out)
+
+
+def langid_oracle_sql(text_expr: str) -> str:
+    """The DuckDB mirror of langid_col — same counts, same tie order."""
+    cnt = {
+        lang: f"len(regexp_extract_all(lower({text_expr}), '{_marker_regex(ws)}'))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    great = "greatest(" + ", ".join(cnt.values()) + ")"
+    whens = "\n        ".join(
+        f"WHEN {cnt[lang]} = {great} THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"CASE WHEN {great} = 0 THEN 'und'\n        {whens}\n        ELSE 'und' END"
+
+
+def token_count_ws(text_col: Column) -> Column:
+    """Whitespace token count; empty/blank text -> 0."""
+    t = F.trim(text_col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+BPE_ISH_RE = "([a-z]+|[0-9]+|[^a-z0-9\\s])"
+
+
+def token_count_bpeish(text_col: Column) -> Column:
+    """BPE-ish token estimate: alpha runs, digit runs, and each remaining
+    non-space symbol count as one token (lowercased input)."""
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(BPE_ISH_RE)))
+
+
+def quality_cols(text_col: Column) -> dict[str, Column]:
+    """Quality-scoring features: lengths + ratios, all exact-rational math so
+    the DuckDB oracle matches bit-for-bit (single IEEE division per ratio)."""
+    n_chars = F.length(text_col)
+    lowered = F.lower(text_col)
+    n_alnum = F.length(F.regexp_replace(lowered, "[^a-z0-9]", ""))
+    n_space = F.length(F.regexp_replace(text_col, r"[^\s]", ""))
+    n_tok = token_count_ws(text_col)
+    n_stop = marker_count(text_col, _EN_STOP_SMALL)
+    safe = F.when(n_chars == 0, F.lit(1)).otherwise(n_chars)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tok,
+        "alnum_ratio": n_alnum.cast("double") / safe.cast("double"),
+        "space_ratio": n_space.cast("double") / safe.cast("double"),
+        "stopword_hits": n_stop,
+        "mean_token_len": F.when(n_tok == 0, F.lit(0.0)).otherwise(
+            n_alnum.cast("double") / n_tok.cast("double")
+        ),
+    }
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    cols = quality_cols(c)
+    out = df
+    for name, col in cols.items():
+        out = out.withColumn(name, col)
+    return out.withColumn("lang_pred", langid_col(c)).withColumn(
+        "n_tokens_bpeish", token_count_bpeish(c)
+    )
+
+
+# ------------------------------------------------- document fingerprint (UDF)
+
+
+def make_doc_fingerprint_udf():
+    """FNV-1a 64 of the UTF-8 text as LongType — the frozen spec hash
+    (simhash_spark.spec.fnv1a64_str), vectorized per Arrow batch. Rolling /
+    content-defined chunk hashes would slot in here the same way."""
+    from simhash_spark import spec
+
+    @F.pandas_udf(T.LongType())
+    def doc_fp(texts: pd.Series) -> pd.Series:
+        h = spec.fnv1a64_str(texts.fillna("").tolist())
+        return pd.Series(spec.u64_to_i64(h))
+
+    return doc_fp

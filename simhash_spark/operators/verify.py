@@ -22,18 +22,26 @@ from simhash_spark.config import PipelineConfig
 
 
 def verify_pairs(
-    candidates: DataFrame, fp: DataFrame, cfg: PipelineConfig, id_col: str = "image_id"
+    candidates: DataFrame,
+    fp: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+    use_phash: bool = True,
 ) -> DataFrame:
     """candidates(a, b, src) x fingerprints -> verified_pairs.
 
     Two shuffle equi-joins attach each side's fingerprints (at cluster scale
     both sides hash-partition on id; the fingerprint table is the big side and
     is scanned with only 4 columns — `bytes` never enters this plan).
+
+    ``use_phash=False`` for text-only corpora (no perceptual hash column):
+    the phash criterion drops out of the predicate and hamming_phash is -1.
     """
+    ph_col = F.col("phash") if use_phash else F.lit(0).cast("long")
     side = fp.select(
         F.col(id_col).alias("_id"),
         F.col("simhash").alias("_sim"),
-        F.col("phash").alias("_ph"),
+        ph_col.alias("_ph"),
         F.col("n_shingles").alias("_nsh"),
     )
     a = side.select(
@@ -50,9 +58,13 @@ def verify_pairs(
     )
     joined = candidates.join(a, "a").join(b, "b")
     hc = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
-    hp = F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b")))
+    hp = (
+        F.bit_count(F.col("_ph_a").bitwiseXOR(F.col("_ph_b")))
+        if use_phash
+        else F.lit(-1)
+    )
     caption_ok = (hc <= cfg.hamming_radius) & (F.col("_nsh_a") > 0) & (F.col("_nsh_b") > 0)
-    phash_ok = hp <= cfg.phash_radius
+    phash_ok = (hp <= cfg.phash_radius) if use_phash else F.lit(False)
     substr_ok = F.col("src").contains("substr")
     return (
         joined.withColumn("hamming_caption", hc.cast("int"))

@@ -1,0 +1,90 @@
+"""Text-corpus near-duplicate pipeline — the same engine (fingerprint UDF,
+LSH/pigeonhole candidates, native Hamming verify, CC clustering) applied to a
+generic (id, text) corpus such as an LLM training set. This is the
+``documents``-table face of the image+caption pipeline in plans/pipeline.py:
+no perceptual hash, substring stage optional.
+
+All stages are lazy DataFrames; callers checkpoint via CheckpointCatalog
+exactly as run_pipeline does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
+from simhash_spark.functions.udfs import with_fingerprints
+from simhash_spark.operators.candidates import bucket_pairs, explode_band_keys, explode_rotation_keys
+from simhash_spark.operators.connected_components import connected_components
+from simhash_spark.operators.substring import substring_pairs
+from simhash_spark.operators.verify import verify_pairs
+
+
+def text_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """(id, text) -> (image_id, simhash, n_shingles, minhash, bands).
+
+    The id is carried under the pipeline's canonical ``image_id`` name so
+    every downstream operator (candidates/verify/CC) applies unchanged.
+    """
+    slim = df.select(
+        F.col(id_col).cast("string").alias("image_id"), F.col(text_col).alias("caption")
+    )
+    return with_fingerprints(slim, cfg).drop("caption")
+
+
+def text_candidates(fp: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """MinHash-LSH ∪ SimHash-pigeonhole candidates (no phash source)."""
+    keyed = explode_band_keys(fp).unionByName(explode_rotation_keys(fp, cfg, "simhash"))
+    pairs = bucket_pairs(keyed, cfg)
+    return pairs.groupBy("a", "b").agg(
+        F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src")
+    )
+
+
+def text_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    enable_substring: bool = False,
+) -> DataFrame:
+    """(id, text) -> verified near-dup pairs (a, b, hamming_caption, src)."""
+    fp = text_fingerprints(df, id_col, text_col, cfg)
+    cand = text_candidates(fp, cfg)
+    if enable_substring:
+        sub = substring_pairs(
+            df.select(
+                F.col(id_col).cast("string").alias("image_id"),
+                F.col(text_col).alias("caption"),
+            ),
+            cfg,
+        )
+        cand = cand.unionByName(sub).groupBy("a", "b").agg(
+            F.array_join(
+                F.array_sort(F.flatten(F.collect_set(F.split("src", ",")))), ","
+            ).alias("src")
+        )
+    return verify_pairs(cand, fp, cfg, use_phash=False).drop("hamming_phash")
+
+
+def text_near_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    enable_substring: bool = False,
+) -> DataFrame:
+    """(id, text) -> (doc_id, cluster_id); singletons labeled by themselves."""
+    pairs = text_near_dup_pairs(df, id_col, text_col, cfg, enable_substring)
+    labels = connected_components(pairs.select("a", "b"))
+    ids = df.select(F.col(id_col).cast("string").alias("image_id"))
+    singletons = ids.join(
+        labels.select(F.col("id").alias("image_id")), "image_id", "left_anti"
+    )
+    return (
+        labels.select(F.col("id").alias(id_col), "cluster_id")
+        .unionByName(singletons.select(F.col("image_id").alias(id_col), F.col("image_id").alias("cluster_id")))
+    )

@@ -44,14 +44,9 @@ def _ppm(rng: np.random.Generator, w: int, h: int) -> tuple[bytes, np.ndarray]:
     return header + px.tobytes(), px
 
 
-def ahash64(px: np.ndarray) -> np.uint64:
-    """8x8 average-hash of an (h, w, 3) uint8 image — the fixture's stored
-    perceptual hash. Block-mean downsample, bit i = cell > mean."""
-    gray = px.astype(np.float64).mean(axis=2)
-    h, w = gray.shape
-    cells = gray[: h - h % 8, : w - w % 8].reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-    bits = (cells > cells.mean()).ravel()
-    return spec.pack_bits_u64(np.concatenate([bits, np.zeros(64 - bits.size, bool)]))
+# the fixture's stored perceptual hash IS the engine's ahash operator —
+# one definition (operators/multimodal.py), so decode-recompute == stored.
+from simhash_spark.operators.multimodal import ahash64  # noqa: E402
 
 
 def make_images_pdf(

@@ -1,0 +1,353 @@
+"""Training-data-pipeline operators: dedup family, ANN, text analysis,
+multimodal plumbing — correctness vs numpy/pure-python oracles on the
+driver's testdata tables and the image fixture."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+# ----------------------------------------------------------------- exact dedup
+
+
+def test_exact_dedup_matches_python(spark, docs):
+    from simhash_spark.operators.dedup import exact_dedup, exact_dedup_groups
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    truth: dict[str, list[int]] = {}
+    for did, txt in zip(pdf["doc_id"], pdf["text"]):
+        truth.setdefault(hashlib.md5(txt.encode()).hexdigest(), []).append(int(did))
+    g = {r["content_hash"]: r for r in exact_dedup_groups(docs, "doc_id", "text").collect()}
+    assert set(g) == set(truth)
+    for h, ids in truth.items():
+        assert g[h]["n_copies"] == len(ids) and g[h]["keep_id"] == min(ids)
+    kept = exact_dedup(docs, "doc_id", "text").count()
+    assert kept == len(truth)
+
+
+def test_exact_dedup_collapses_planted_copies(spark, docs):
+    from simhash_spark.operators.dedup import exact_dedup
+
+    dup = docs.limit(5).withColumn("doc_id", F.col("doc_id") + 100000)
+    both = docs.unionByName(dup)
+    out = exact_dedup(both, "doc_id", "text")
+    assert out.count() == docs.count()
+    # survivors are the original (min) ids
+    assert out.where(F.col("doc_id") >= 100000).count() == 0
+
+
+# ------------------------------------------------------------- n-gram jaccard
+
+
+def _py_jaccard_pairs(pdf: pd.DataFrame, n: int, thr: float) -> set[tuple[int, int]]:
+    shingles = {}
+    for did, txt in zip(pdf["doc_id"], pdf["text"]):
+        toks = txt.strip().lower().split()
+        if len(toks) >= n:
+            s = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        elif toks:
+            s = {" ".join(toks)}
+        else:
+            s = set()
+        shingles[int(did)] = s
+    ids = sorted(shingles)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingles[a], shingles[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= thr:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_vs_python(spark, docs):
+    from simhash_spark.operators.dedup import ngram_jaccard_pairs
+
+    # plant two near-identical docs so the threshold actually fires
+    extra = spark.createDataFrame(
+        [
+            (90001, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "x", 1),
+            (90002, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "x", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(extra)
+    got = {
+        (r["a"], r["b"])
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.5).collect()
+    }
+    truth = _py_jaccard_pairs(corpus.select("doc_id", "text").toPandas(), 3, 0.5)
+    assert got == truth
+    assert (90001, 90002) in got
+
+
+# ------------------------------------------------------------ embedding / ANN
+
+
+def _np_cosine(mat: np.ndarray) -> np.ndarray:
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    x = mat / nrm
+    return x @ x.T
+
+
+@pytest.fixture(scope="module")
+def emb_with_dups(spark, emb):
+    """The driver's embeddings are near-orthogonal (max pair cosine ~0.5),
+    so plant 40 perturbed copies (vec_id+10000, tiny noise) as ground-truth
+    near-dup pairs."""
+    pdf = emb.toPandas().sort_values("vec_id").head(40).reset_index(drop=True)
+    rng = np.random.default_rng(11)
+    rows = []
+    for _, r in pdf.iterrows():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v + rng.normal(0, 0.01 * np.linalg.norm(v) / np.sqrt(len(v)), len(v))
+        rows.append((int(r["vec_id"]) + 10000, [float(x) for x in v], int(r["label"])))
+    dup = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    return emb.unionByName(dup).cache()
+
+
+def test_embedding_near_dup_exact_path(spark, emb_with_dups):
+    from simhash_spark.operators.dedup import embedding_near_dup
+
+    pdf = emb_with_dups.toPandas()
+    mat = np.stack([np.asarray(e, np.float64) for e in pdf["embedding"]])
+    cos = _np_cosine(mat)
+    ids = pdf["vec_id"].to_numpy()
+    thr = 0.95
+    iu = np.triu_indices(len(ids), 1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if cos[i, j] >= thr
+    }
+    got = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup(emb_with_dups, threshold=thr, use_lsh=False).collect()
+    }
+    assert got == truth
+    assert len(truth) >= 35  # the planted pairs are found
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb_with_dups):
+    from simhash_spark.operators.dedup import embedding_near_dup
+
+    thr = 0.95
+    exact = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup(emb_with_dups, threshold=thr, use_lsh=False).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in embedding_near_dup(emb_with_dups, threshold=thr, use_lsh=True).collect()
+    }
+    assert approx <= exact  # verification makes LSH precision exact
+    recall = len(approx & exact) / max(1, len(exact))
+    assert recall >= 0.8, f"SRP-LSH near-dup recall {recall:.3f}"
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    from simhash_spark.operators.ann import cosine_topk
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cos = _np_cosine(mat)
+    np.fill_diagonal(cos, -2.0)
+    ids = pdf["vec_id"].to_numpy()
+    queries = emb.where(F.col("vec_id") < 10)
+    got = cosine_topk(emb, queries, k=5).collect()
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q in range(10):
+        qi = int(np.flatnonzero(ids == q)[0])
+        order = np.lexsort((ids, -cos[qi]))[:5]
+        expect = [int(ids[j]) for j in order]
+        assert [n for _, n in sorted(by_q[q])] == expect, f"query {q}"
+
+
+def test_srp_topk_recall_random_corpus(spark, emb):
+    """Worst case for LSH: near-orthogonal corpus (true top-5 cosines ~0.3-0.5).
+    8 tables x 8 planes with multi-probe still recovers most of the top-5."""
+    from simhash_spark.operators.ann import cosine_topk, srp_topk
+
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_topk(emb, queries, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"SRP top-k recall {recall:.3f} too low"
+
+
+def test_srp_topk_finds_planted_neighbors(spark, emb_with_dups):
+    """The realistic case: queries are the planted perturbed copies; their
+    true nearest neighbor (the original, cosine ~0.9999) must be rank 1."""
+    from simhash_spark.operators.ann import srp_topk
+
+    queries = emb_with_dups.where(F.col("vec_id") >= 10000)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in srp_topk(emb_with_dups, queries, k=1).collect()
+    }
+    hits = sum(1 for q, n in got.items() if n == q - 10000)
+    assert hits >= 36, f"only {hits}/40 planted neighbors found at rank 1"
+
+
+# ----------------------------------------------------------------- text stats
+
+
+def test_text_stats_vs_python(spark, docs):
+    from simhash_spark.operators.textops import LANG_MARKERS, with_text_stats
+
+    out = with_text_stats(docs, "text").orderBy("doc_id").limit(50).collect()
+    import re
+
+    for r in out:
+        t = r["text"]
+        toks = t.strip().split()
+        assert r["n_chars"] == len(t)
+        assert r["n_tokens"] == len(toks)
+        alnum = len(re.sub(r"[^a-z0-9]", "", t.lower()))
+        assert r["alnum_ratio"] == alnum / max(len(t), 1)
+        counts = {
+            lang: len(re.findall(r"\b(" + "|".join(ws) + r")\b", t.lower()))
+            for lang, ws in LANG_MARKERS.items()
+        }
+        best = max(counts.values())
+        expect = "und" if best == 0 else next(k for k in LANG_MARKERS if counts[k] == best)
+        assert r["lang_pred"] == expect
+
+
+def test_doc_fingerprint_matches_spec(spark, docs):
+    from simhash_spark import spec
+    from simhash_spark.operators.textops import make_doc_fingerprint_udf
+
+    got = (
+        docs.select("doc_id", make_doc_fingerprint_udf()(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+        .limit(100)
+        .collect()
+    )
+    pdf = docs.orderBy("doc_id").limit(100).toPandas()
+    expect = spec.u64_to_i64(spec.fnv1a64_str(pdf["text"].tolist()))
+    assert [r["fp"] for r in got] == list(expect)
+
+
+# ----------------------------------------------------------------- multimodal
+
+
+def test_image_features_roundtrip(spark, tmp_path):
+    from simhash_spark.operators.multimodal import decode_rgb, image_features
+    from simhash_spark.sources.fixtures import write_images_fixture
+
+    d = write_images_fixture(tmp_path / "fx", n_rows=60, seed=3, with_truth=False)
+    src = spark.read.parquet(str(d / "images.parquet"))
+    feats = image_features(src).cache()
+    rows = {r["image_id"]: r for r in feats.collect()}
+    pdf = src.select("image_id", "bytes", "w", "h", "phash").toPandas()
+    assert len(rows) == 60
+    n_match_stored = 0
+    from simhash_spark import spec
+    from simhash_spark.operators.multimodal import ahash64
+
+    for _, src_row in pdf.iterrows():
+        r = rows[src_row["image_id"]]
+        assert r["error"] is None
+        assert (r["w"], r["h"]) == (src_row["w"], src_row["h"])
+        px = decode_rgb(bytes(src_row["bytes"]), "ppm")
+        # the Spark-side decode->hash equals the local numpy decode->hash
+        expect = int(spec.u64_to_i64(np.array([ahash64(px)]))[0])
+        assert r["phash_computed"] == expect
+        n_match_stored += r["phash_computed"] == src_row["phash"]
+        assert abs(px.reshape(-1, 3)[:, 0].mean() - r["mean_r"]) < 1e-9
+        assert len(r["thumb_bytes"]) == 8 * 8 * 3
+    # stored phash was synthesized from the pixels for all non-planted rows
+    # (planted pixel near-dups carry a bit-flipped stored hash by design)
+    assert n_match_stored >= 30
+
+
+def test_image_features_quarantines_unknown_format(spark):
+    from simhash_spark.operators.multimodal import image_features
+
+    src = spark.createDataFrame(
+        [("x1", bytearray(b"\x89PNG...."), 4, 4, "png", "c", 0)],
+        "image_id string, bytes binary, w int, h int, fmt string, caption string, phash long",
+    )
+    r = image_features(src).collect()[0]
+    assert r["error"] and "NotImplementedError" in r["error"]
+
+
+def test_frame_sampling(spark):
+    from simhash_spark.operators.multimodal import sample_frame_offsets
+
+    vids = spark.createDataFrame(
+        [("v1", 5000), ("v2", 500)], "video_id string, duration_ms long"
+    )
+    rows = sample_frame_offsets(vids, fps=1.0).collect()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["video_id"], []).append((r["frame_idx"], r["ts_ms"]))
+    assert sorted(by_v["v1"]) == [(i, i * 1000) for i in range(5)]
+    assert by_v["v2"] == [(0, 0)]
+
+
+# ------------------------------------------------------------- text near-dup
+
+
+def test_text_near_dup_clusters_on_documents(spark, docs):
+    from simhash_spark import spec
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+    # plant an exact dup + a 1-token-edit variant of the longest doc; the
+    # variant clusters iff its simhash is within the frozen Hamming radius —
+    # assert consistency with the spec oracle, not a hardcoded outcome
+    base_row = docs.orderBy(F.col("n_chars").desc()).limit(1).collect()[0]
+    base, base_id = base_row["text"], str(base_row["doc_id"])
+    toks = base.split()
+    toks[len(toks) // 2] = "zzzz"
+    edited = " ".join(toks)
+    extra = spark.createDataFrame(
+        [(80001, base, "en", "x", 1), (80002, edited, "en", "x", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = docs.unionByName(extra)
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in text_near_dup_clusters(corpus, "doc_id", "text").collect()
+    }
+    assert len(clusters) == corpus.count()
+    assert clusters["80001"] == clusters[base_id]  # exact dup always clusters
+    h = int(
+        spec.hamming64(
+            np.array([spec.caption_fingerprint(base, CFG.shingle_k)["simhash"]]),
+            np.array([spec.caption_fingerprint(edited, CFG.shingle_k)["simhash"]]),
+        )[0]
+    )
+    if h <= CFG.hamming_radius:
+        assert clusters["80002"] == clusters[base_id], f"hamming {h} but not clustered"
+    else:
+        assert clusters["80002"] != clusters[base_id], f"hamming {h} but clustered"
