@@ -3,8 +3,17 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Coverage map (SURVEY.md §2): every SQL-expressible operator family has an
+oracle-checked entry; the engine's non-SQL surfaces (frozen FNV/SimHash/
+MinHash kernels, iterative CC, SRP-LSH) are registered as rows-only queries
+and are differential-tested against the pure-numpy canonical spec in
+tests/ instead (the reference's 对拍 method).
+
+Float policy: oracle-checked outputs carry only integers, strings, dates, or
+single-division ratios (one IEEE op on identical inputs → identical bits in
+both engines). Money is summed in integer cents.
 """
 
 from __future__ import annotations
@@ -12,27 +21,518 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from simhash_spark.config import DEFAULT_CONFIG as CFG
+
+STOPWORDS_SMALL = ("the", "a", "an", "of", "and", "to", "in", "is", "it")
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def _cents(col) -> F.Column:
+    return F.round(col * 100).cast("long")
+
+
+# --------------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: near-duplicate clustering of the sf0.001 documents corpus —
+    fingerprint UDF -> MinHash-LSH ∪ SimHash-pigeonhole candidates -> native
+    Hamming verify -> iterative connected components."""
+    from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+    docs = spark.read.parquet(_t("/root/testdata/sf0.001", "documents"))
+    return text_near_dup_clusters(docs, "doc_id", "text", CFG)
+
+
+# ------------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- relational operator surface (oracle-checked) ---------
+
+    def scan_filter_project(spark, sf):
+        # O1/O2: predicate pushdown + column pruning + projection
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        return (
+            li.where((F.col("l_quantity") >= 45) & (F.col("l_discount") < 0.02))
+            .select(
+                "l_orderkey",
+                "l_linenumber",
+                F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                    "revenue_cents"
+                ),
+            )
+        )
+
+    q["scan_filter_project"] = scan_filter_project
+
+    def hash_agg(spark, sf):
+        # O4: partial+final hash aggregation (TPC-H Q1 shape, integer money)
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_price_cents"),
+        )
+
+    q["hash_agg"] = hash_agg
+
+    def broadcast_join_agg(spark, sf):
+        # O2-style broadcast of small dims: region ⋈ nation ⋈ customer
+        r = F.broadcast(spark.read.parquet(_t(sf, "region")))
+        n = F.broadcast(spark.read.parquet(_t(sf, "nation")))
+        c = spark.read.parquet(_t(sf, "customer"))
+        return (
+            c.join(n, c.c_nationkey == n.n_nationkey)
+            .join(r, n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+            )
+        )
+
+    q["broadcast_join_agg"] = broadcast_join_agg
+
+    def equi_join_topk(spark, sf):
+        # O11+O16: shuffle equi-join then deterministic top-k
+        o = spark.read.parquet(_t(sf, "orders"))
+        c = spark.read.parquet(_t(sf, "customer"))
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_cents(F.col("o_totalprice"))).alias("total_cents"),
+            )
+            .orderBy(F.col("total_cents").desc(), F.col("c_custkey").asc())
+            .limit(10)
+        )
+
+    q["equi_join_topk"] = equi_join_topk
+
+    def anti_join(spark, sf):
+        # customers with no orders, per market segment (left-anti)
+        o = spark.read.parquet(_t(sf, "orders"))
+        c = spark.read.parquet(_t(sf, "customer"))
+        return (
+            c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+        )
+
+    q["anti_join"] = anti_join
+
+    def distinct_agg(spark, sf):
+        e = spark.read.parquet(_t(sf, "events"))
+        return e.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    q["distinct_agg"] = distinct_agg
+
+    def window_rank(spark, sf):
+        # O11's bucket-cap primitive: row_number per group, deterministic ties
+        from pyspark.sql import Window
+
+        o = spark.read.parquet(_t(sf, "orders"))
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 2)
+            .select("o_custkey", "o_orderkey", F.col("rank").cast("int").alias("rank"))
+        )
+
+    q["window_rank"] = window_rank
+
+    def union_dedup(spark, sf):
+        # O13: UNION-distinct of two key sets
+        s = spark.read.parquet(_t(sf, "supplier")).select(
+            F.col("s_nationkey").alias("nationkey")
+        )
+        c = spark.read.parquet(_t(sf, "customer")).select(
+            F.col("c_nationkey").alias("nationkey")
+        )
+        n = spark.read.parquet(_t(sf, "nation"))
+        return (
+            s.unionByName(c)
+            .distinct()
+            .join(F.broadcast(n), F.col("nationkey") == n.n_nationkey)
+            .select("nationkey", "n_name")
+        )
+
+    q["union_dedup"] = union_dedup
+
+    def bit_ops_hamming(spark, sf):
+        # O12: the native XOR+popcount verify expression, histogrammed
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        h = F.bit_count(F.col("l_orderkey").bitwiseXOR(F.col("l_partkey")))
+        return (
+            li.select(h.cast("int").alias("hamming"))
+            .groupBy("hamming")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+
+    q["bit_ops_hamming"] = bit_ops_hamming
+
+    def events_hourly_agg(spark, sf):
+        # date/time fns + agg over the events (stream-shaped) table
+        e = spark.read.parquet(_t(sf, "events"))
+        return (
+            e.groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "hour"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(_cents(F.col("value"))).alias("value_cents"),
+            )
+        )
+
+    q["events_hourly_agg"] = events_hourly_agg
+
+    def stopword_anti_join(spark, sf):
+        # O2/O3: tokenizer explode + stop-word removal, per-doc kept count
+        d = spark.read.parquet(_t(sf, "documents"))
+        toks = d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("tok"),
+        ).where(F.length("tok") > 0)
+        return (
+            toks.where(~F.col("tok").isin(*STOPWORDS_SMALL))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+        )
+
+    q["stopword_anti_join"] = stopword_anti_join
+
+    # ---------------- training-pipeline operators (oracle-checked) ---------
+
+    def exact_dedup_groups(spark, sf):
+        from simhash_spark.operators.dedup import exact_dedup_groups as op
+
+        return op(spark.read.parquet(_t(sf, "documents")), "doc_id", "text")
+
+    q["exact_dedup_groups"] = exact_dedup_groups
+
+    def ngram_jaccard(spark, sf):
+        from simhash_spark.operators.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            spark.read.parquet(_t(sf, "documents")), "doc_id", "text", n=3, threshold=0.03
+        ).select("a", "b", "n_shared", "n_a", "n_b")
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def text_stats(spark, sf):
+        from simhash_spark.operators.textops import with_text_stats
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        return with_text_stats(d, "text").select(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "alnum_ratio",
+            "stopword_hits",
+            "lang_pred",
+            "n_tokens_bpeish",
+        )
+
+    q["text_stats"] = text_stats
+
+    def ann_topk(spark, sf):
+        from simhash_spark.operators.ann import cosine_topk
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return cosine_topk(emb, queries_df, k=5).select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["ann_topk"] = ann_topk
+
+    def embedding_near_dup(spark, sf):
+        from simhash_spark.operators.dedup import embedding_near_dup as op
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        return op(emb, threshold=0.4, use_lsh=False).select("a", "b")
+
+    q["embedding_near_dup"] = embedding_near_dup
+
+    def frame_sample(spark, sf):
+        from simhash_spark.operators.multimodal import sample_frame_offsets
+
+        e = spark.read.parquet(_t(sf, "events")).where(F.col("event_id") < 100)
+        vids = e.select(
+            F.col("event_id").cast("string").alias("video_id"),
+            ((F.col("event_id") % 10) * 1000 + 500).alias("duration_ms"),
+        )
+        return sample_frame_offsets(vids, fps=1.0)
+
+    q["frame_sample"] = frame_sample
+
+    # ---------------- non-SQL-expressible surfaces (rows-only checks; ------
+    # ---------------- differential-tested vs the numpy spec in tests/) -----
+
+    def simhash_fingerprints(spark, sf):
+        from simhash_spark.plans.text_dedup import text_fingerprints
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        return text_fingerprints(d, "doc_id", "text", CFG).select(
+            F.col("image_id").alias("doc_id"), "simhash", "n_shingles"
+        )
+
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def minhash_lsh_candidates(spark, sf):
+        from simhash_spark.plans.text_dedup import text_candidates, text_fingerprints
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        return text_candidates(text_fingerprints(d, "doc_id", "text", CFG), CFG)
+
+    q["minhash_lsh_candidates"] = minhash_lsh_candidates
+
+    def text_near_dup_clusters(spark, sf):
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
+
+        return op(spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG)
+
+    q["text_near_dup_clusters"] = text_near_dup_clusters
+
+    def substring_pairs_docs(spark, sf):
+        from simhash_spark.operators.substring import substring_pairs
+
+        d = spark.read.parquet(_t(sf, "documents")).select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.col("text").alias("caption"),
+        )
+        return substring_pairs(d, CFG)
+
+    q["substring_pairs_docs"] = substring_pairs_docs
+
+    def embedding_near_dup_lsh(spark, sf):
+        from simhash_spark.operators.dedup import embedding_near_dup as op
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        return op(emb, threshold=0.4, use_lsh=True, n_planes=8).select("a", "b")
+
+    q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
+
+    def image_near_dup_clusters(spark, sf):
+        # the flagship image+caption pipeline on a deterministic synthetic
+        # corpus of the BASELINE input_hint shape (no external data)
+        from simhash_spark.plans.pipeline import (
+            candidate_job,
+            cluster_job,
+            fingerprint_job,
+            verify_job,
+        )
+        from simhash_spark.sources.fixtures import make_images_pdf
+
+        pdf = make_images_pdf(300, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf)
+        fp = fingerprint_job(spark, src, CFG).cache()
+        verified = verify_job(candidate_job(fp, CFG), fp, CFG)
+        return cluster_job(verified, fp, CFG)
+
+    q["image_near_dup_clusters"] = image_near_dup_clusters
+
+    def image_features(spark, sf):
+        from simhash_spark.operators.multimodal import image_features as op
+        from simhash_spark.sources.fixtures import make_images_pdf
+
+        pdf = make_images_pdf(100, seed=42, with_bytes=True)
+        src = spark.createDataFrame(pdf)
+        return op(src).select("image_id", "w", "h", "phash_computed", "error")
+
+    q["image_features"] = image_features
+
+    return q
+
+
+# ---------------------------------------------------------------- oracle SQL
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from simhash_spark.operators.textops import BPE_ISH_RE, langid_oracle_sql, _marker_regex
+
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_SMALL)
+    o: dict[str, str] = {}
+
+    o["scan_filter_project"] = """
+        SELECT l_orderkey, l_linenumber,
+               strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_quantity >= 45 AND l_discount < 0.02
     """
-    return {}
+
+    o["hash_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+        FROM lineitem GROUP BY 1, 2
+    """
+
+    o["broadcast_join_agg"] = """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    """
+
+    o["equi_join_topk"] = """
+        SELECT c_custkey, c_name, count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+        ORDER BY total_cents DESC, c_custkey ASC
+        LIMIT 10
+    """
+
+    o["anti_join"] = """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY 1
+    """
+
+    o["distinct_agg"] = """
+        SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        FROM events GROUP BY 1
+    """
+
+    o["window_rank"] = """
+        SELECT o_custkey, o_orderkey, CAST(rank AS INT) AS rank FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+            FROM orders
+        ) WHERE rank <= 2
+    """
+
+    o["union_dedup"] = """
+        SELECT nationkey, n_name FROM (
+            SELECT s_nationkey AS nationkey FROM supplier
+            UNION
+            SELECT c_nationkey AS nationkey FROM customer
+        ) JOIN nation ON nationkey = n_nationkey
+    """
+
+    o["bit_ops_hamming"] = """
+        SELECT CAST(bit_count(xor(l_orderkey, l_partkey)) AS INT) AS hamming,
+               count(*) AS n_pairs
+        FROM lineitem GROUP BY 1
+    """
+
+    o["events_hourly_agg"] = """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, count(*) AS n_events,
+               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY 1, 2
+    """
+
+    o["stopword_anti_join"] = f"""
+        SELECT doc_id, count(*) AS n_kept FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+            FROM documents
+        ) WHERE length(tok) > 0 AND tok NOT IN ({stop_list})
+        GROUP BY 1
+    """
+
+    o["exact_dedup_groups"] = """
+        SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM documents GROUP BY 1
+    """
+
+    o["ngram_jaccard"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                        ELSE array_to_string(t, ' ') END AS shingle
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+            WHERE length(array_to_string(t, ' ')) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
+        shared AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+            FROM grams x JOIN grams y USING (shingle)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.03
+    """
+
+    count_bpeish = f"len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))"
+    stop_re = _marker_regex(STOPWORDS_SMALL)
+    o["text_stats"] = f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS alnum_ratio,
+               len(regexp_extract_all(lower(text), '{stop_re}')) AS stopword_hits,
+               {langid_oracle_sql("text")} AS lang_pred,
+               {count_bpeish} AS n_tokens_bpeish
+        FROM documents
+    """
+
+    o["ann_topk"] = """
+        WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings),
+             s AS (SELECT qid, nid, list_cosine_similarity(qv, cv) AS cos
+                   FROM q, c WHERE qid != nid)
+        SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT qid, nid,
+                   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+            FROM s
+        ) t(qid, nid, rank) WHERE rank <= 5
+    """
+
+    o["embedding_near_dup"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT x.vec_id AS a, y.vec_id AS b
+        FROM v x, v y
+        WHERE x.vec_id < y.vec_id AND list_cosine_similarity(x.e, y.e) >= 0.4
+    """
+
+    o["frame_sample"] = """
+        WITH v AS (
+            SELECT CAST(event_id AS VARCHAR) AS video_id,
+                   (event_id % 10) * 1000 + 500 AS duration_ms
+            FROM events WHERE event_id < 100
+        )
+        SELECT video_id, CAST(i AS INT) AS frame_idx, CAST(i * 1000 AS INT) AS ts_ms
+        FROM v, LATERAL (SELECT unnest(generate_series(
+                 0, CAST(greatest(1, floor(duration_ms / 1000.0)) AS INT) - 1)) AS i)
+    """
+
+    return o

@@ -1,0 +1,74 @@
+"""T3: the driver-contract gate, reproduced locally — every oracle-checked
+``queries()`` entry is run through Spark AND its ``oracle_sql()`` through
+DuckDB at sf0.01 (the driver's scale), then compared row-for-row after
+sorting columns by name (the driver's canonicalization). Rows-only queries
+are smoke-checked for stable schema + determinism across two runs."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.sort_values(list(pdf.columns), ignore_index=True)
+    return pdf
+
+
+ORACLE_NAMES = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLE_NAMES))
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_parity(spark, duck, name):
+    qs = entrymod.queries()
+    spark_pdf = _canon(qs[name](spark, SF).toPandas())
+    duck_pdf = _canon(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert list(spark_pdf.columns) == list(duck_pdf.columns), "column names differ"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"row count {len(spark_pdf)} vs oracle {len(duck_pdf)}"
+    )
+    for col in spark_pdf.columns:
+        s, d = spark_pdf[col], duck_pdf[col]
+        if s.dtype.kind == "f" or d.dtype.kind == "f":
+            assert np.allclose(
+                s.to_numpy(np.float64), d.to_numpy(np.float64), rtol=0, atol=0
+            ), f"float column {col} differs (bit-exactness expected)"
+        else:
+            same = s.astype(str).to_numpy() == d.astype(str).to_numpy()
+            assert same.all(), f"column {col}: first diff at row {int(np.argmin(same))}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run_and_are_deterministic(spark, name):
+    qs = entrymod.queries()
+    df1 = qs[name](spark, "/root/testdata/sf0.001")
+    p1 = _canon(df1.toPandas())
+    p2 = _canon(qs[name](spark, "/root/testdata/sf0.001").toPandas())
+    assert len(p1) >= 0 and list(p1.columns)
+    pd.testing.assert_frame_equal(p1, p2)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "cluster_id"]
