@@ -38,6 +38,16 @@ FINGERPRINT_SCHEMA = T.StructType(
     ]
 )
 
+# pipeline variant: the full 128-perm minhash signature exists only to be
+# hashed into band keys, so the pipeline never ships it across the Arrow
+# boundary or stores it — 4x less UDF output (1.3 kB -> 0.3 kB/row), which
+# at 10^12 rows is the difference between a 1.3 PB and a 0.3 PB fingerprint
+# table. Column pruning cannot reach inside a UDF; this is the UDF-level
+# equivalent.
+FINGERPRINT_SCHEMA_SLIM = T.StructType(
+    [f for f in FINGERPRINT_SCHEMA.fields if f.name != "minhash"]
+)
+
 
 def _flat_tokens(captions: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """captions -> (row_ids, tokens) flat arrays, stop words removed.
@@ -88,10 +98,12 @@ def _shingles(row_ids: np.ndarray, tokens: np.ndarray, k: int) -> tuple[np.ndarr
     return full_rows, full_sh
 
 
-def fingerprint_batch(captions: pd.Series, cfg: PipelineConfig) -> pd.DataFrame:
+def fingerprint_batch(
+    captions: pd.Series, cfg: PipelineConfig, emit_minhash: bool = True
+) -> pd.DataFrame:
     """The batch kernel behind the UDF — Spark-free, directly unit-testable.
 
-    Returns DataFrame(simhash:int64, n_shingles:int32, minhash:list[int64],
+    Returns DataFrame(simhash:int64, n_shingles:int32, [minhash:list[int64],]
     bands:list[int64]) aligned with ``captions``.
     """
     n_rows = len(captions)
@@ -115,22 +127,35 @@ def fingerprint_batch(captions: pd.Series, cfg: PipelineConfig) -> pd.DataFrame:
         u_hashes = np.zeros(0, np.uint64)
         tf = np.zeros(0, np.int64)
 
-    simhash = spec.simhash_batch(u_rows, u_hashes, tf, n_rows)
-
     a, b = _minhash_coeffs(cfg)
     row_starts = np.zeros(n_rows + 1, np.int64)
     np.cumsum(np.bincount(u_rows, minlength=n_rows), out=row_starts[1:])
-    sig = spec.minhash_batch(row_starts, u_hashes, n_rows, a, b)
+
+    # Kernel calls are chunked by rows: the broadcast (L x n_perm) minhash
+    # temporaries and the simhash bit matrix then stay L2-resident —
+    # measured ~2.5x faster than one pass over a 10k-row Arrow batch
+    # (sweep: 32 rows ~ 1 MB per temp is the optimum). Chunking is invisible
+    # semantically: every kernel is a pure per-row function.
+    CHUNK = 32
+    simhash = np.zeros(n_rows, dtype=np.uint64)
+    sig = np.zeros((n_rows, cfg.n_perm), dtype=np.uint64)
+    for r0 in range(0, n_rows, CHUNK):
+        r1 = min(r0 + CHUNK, n_rows)
+        s0, s1 = row_starts[r0], row_starts[r1]
+        local_starts = row_starts[r0 : r1 + 1] - s0
+        sl = slice(s0, s1)
+        simhash[r0:r1] = spec.simhash_batch(u_rows[sl] - r0, u_hashes[sl], tf[sl], r1 - r0)
+        sig[r0:r1] = spec.minhash_batch(local_starts, u_hashes[sl], r1 - r0, a, b)
     bands = spec.band_hashes(sig, cfg.n_bands, cfg.band_rows)
 
-    return pd.DataFrame(
-        {
-            "simhash": pd.Series(spec.u64_to_i64(simhash)),
-            "n_shingles": pd.Series(n_shingles),
-            "minhash": pd.Series(list(spec.u64_to_i64(sig))),
-            "bands": pd.Series(list(spec.u64_to_i64(bands))),
-        }
-    )
+    cols = {
+        "simhash": pd.Series(spec.u64_to_i64(simhash)),
+        "n_shingles": pd.Series(n_shingles),
+    }
+    if emit_minhash:
+        cols["minhash"] = pd.Series(list(spec.u64_to_i64(sig)))
+    cols["bands"] = pd.Series(list(spec.u64_to_i64(bands)))
+    return pd.DataFrame(cols)
 
 
 _COEFF_CACHE: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
@@ -143,24 +168,28 @@ def _minhash_coeffs(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
     return _COEFF_CACHE[key]
 
 
-def make_fingerprint_udf(cfg: PipelineConfig):
-    """pandas_udf: caption string -> struct(simhash, n_shingles, minhash, bands).
+def make_fingerprint_udf(cfg: PipelineConfig, emit_minhash: bool = True):
+    """pandas_udf: caption string -> struct(simhash, n_shingles, [minhash,]
+    bands).
 
     The closure captures only the (small, frozen) config; the minhash
     coefficients are re-derived once per python worker from the seed, so no
     multi-MB broadcast rides along with every task.
     """
+    schema = FINGERPRINT_SCHEMA if emit_minhash else FINGERPRINT_SCHEMA_SLIM
 
-    @F.pandas_udf(FINGERPRINT_SCHEMA)
+    @F.pandas_udf(schema)
     def fingerprint(captions: pd.Series) -> pd.DataFrame:
-        return fingerprint_batch(captions, cfg)
+        return fingerprint_batch(captions, cfg, emit_minhash=emit_minhash)
 
     return fingerprint
 
 
-def with_fingerprints(df, cfg: PipelineConfig, caption_col: str = "caption"):
+def with_fingerprints(
+    df, cfg: PipelineConfig, caption_col: str = "caption", emit_minhash: bool = True
+):
     """Append fingerprint columns in one ArrowEvalPython pass."""
-    fp = make_fingerprint_udf(cfg)(F.col(caption_col)).alias("_fp")
+    fp = make_fingerprint_udf(cfg, emit_minhash)(F.col(caption_col)).alias("_fp")
     return df.withColumn("_fp", fp).select("*", "_fp.*").drop("_fp")
 
 

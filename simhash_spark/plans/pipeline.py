@@ -33,12 +33,14 @@ from simhash_spark.sources.catalog import CheckpointCatalog, input_fingerprint_o
 
 
 def fingerprint_job(spark: SparkSession, src: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """E1: (image_id, caption, phash) -> + simhash, n_shingles, minhash, bands.
+    """E1: (image_id, caption, phash) -> + simhash, n_shingles, bands.
 
-    One stage, no shuffle; `bytes` pruned at the scan.
+    One stage, no shuffle; `bytes` pruned at the scan; the raw minhash
+    signature stays inside the UDF (only its band hashes leave Python —
+    see FINGERPRINT_SCHEMA_SLIM).
     """
     slim = src.select("image_id", "caption", "phash")
-    return with_fingerprints(slim, cfg).drop("caption")
+    return with_fingerprints(slim, cfg, emit_minhash=False).drop("caption")
 
 
 def candidate_job(fp: DataFrame, cfg: PipelineConfig, include_phash: bool = True) -> DataFrame:

@@ -24,7 +24,7 @@ from simhash_spark.operators.verify import verify_pairs
 def text_fingerprints(
     df: DataFrame, id_col: str, text_col: str, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """(id, text) -> (image_id, simhash, n_shingles, minhash, bands).
+    """(id, text) -> (image_id, simhash, n_shingles, bands).
 
     The id is carried under the pipeline's canonical ``image_id`` name so
     every downstream operator (candidates/verify/CC) applies unchanged.
@@ -32,7 +32,7 @@ def text_fingerprints(
     slim = df.select(
         F.col(id_col).cast("string").alias("image_id"), F.col(text_col).alias("caption")
     )
-    return with_fingerprints(slim, cfg).drop("caption")
+    return with_fingerprints(slim, cfg, emit_minhash=False).drop("caption")
 
 
 def text_candidates(fp: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:

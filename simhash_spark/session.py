@@ -41,6 +41,28 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ObjectHashAggregate (collect_list/collect_set) falls back to a full
+        # SORT-based agg after only 128 distinct keys per partition by
+        # default; the bucket-pair agg has ~1 group per bucket with bounded
+        # (<= bucket_cap) values each, so in-memory hash agg is both safe
+        # and ~3x faster. Per-partition bound at cluster scale comes from
+        # sizing shuffle partitions, not from this threshold.
+        .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+        # local-mode shuffle files on tmpfs: this sandbox has very expensive
+        # syscalls (70%+ system time on disk-backed shuffle); on a real
+        # cluster this conf is per-node spark.local.dir as usual
+        .config("spark.local.dir", "/dev/shm/spark-local")
+        # Catalyst's Union constraint rewrite crashes with
+        # "NoSuchElementException: key not found: <attr>" on the candidate
+        # union plan once localCheckpoint re-analyzes it (Spark 4.1,
+        # UnionBase.rewriteConstraints). The engine's joins/filters all carry
+        # explicit predicates, so inferred constraints buy nothing here.
+        .config("spark.sql.constraintPropagation.enabled", "false")
+        # bypass-merge shuffle writes reducers x mappers files; with this
+        # sandbox's syscall cost that dominated candidate generation (thread
+        # dumps: FileChannel.map0/transferTo). Sort-based writer = one file
+        # per map task.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

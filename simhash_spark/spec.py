@@ -225,10 +225,11 @@ def _mod61(x: np.ndarray) -> np.ndarray:
     return np.where(x >= M61, x - M61, x)
 
 
-def mulmod61(a: np.uint64, x: np.ndarray) -> np.ndarray:
-    """(a * x) mod 2^61-1 for a scalar a < 2^61 and uint64 array x < 2^61,
-    via 32-bit limbs (the 128-bit product never materializes)."""
-    a = np.uint64(a)
+def mulmod61(a, x: np.ndarray) -> np.ndarray:
+    """(a * x) mod 2^61-1 for a < 2^61 (scalar or broadcastable array) and
+    uint64 array x < 2^61, via 32-bit limbs (the 128-bit product never
+    materializes)."""
+    a = np.asarray(a, dtype=np.uint64) if not np.isscalar(a) else np.uint64(a)
     mask32 = np.uint64(0xFFFFFFFF)
     a1, a0 = a >> np.uint64(32), a & mask32
     x1, x0 = x >> np.uint64(32), x & mask32
@@ -260,10 +261,11 @@ def minhash_batch(
     seg_lens = np.diff(row_starts)
     nonempty = seg_lens > 0
     starts_ne = row_starts[:-1][nonempty]
-    for j in range(n_perm):
-        vals = _mod61(mulmod61(a[j], x) + b[j])
-        mins = np.minimum.reduceat(vals, starts_ne)
-        out[nonempty, j] = mins
+    # all permutations in one broadcast pass: mulmod61 is elementwise, so
+    # (L,1) x (1,n_perm) -> (L,n_perm); one reduceat along rows replaces the
+    # n_perm-iteration loop (numpy dispatch overhead dominated it)
+    vals = _mod61(mulmod61(a[None, :], x[:, None]) + b[None, :])
+    out[nonempty] = np.minimum.reduceat(vals, starts_ne, axis=0)
     return out
 
 
