@@ -122,13 +122,29 @@ def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
         ).alias("b"),
     )
 
-    big = packed.join(hot, "k", "left_semi")
-    wo = Window.partitionBy("k").orderBy("id")
-    pairs_big = (
-        big.withColumn("_prev", F.lag("id").over(wo))
+    # BIG buckets: salted spanning chain (O19). A hot bucket of m rows is
+    # split into salt_buckets sub-chains sorted independently (each task
+    # sorts m/S rows, not m), then the S chain heads are linked by one more
+    # tiny chain — together a spanning tree of the bucket (exactly m-1
+    # edges), so connectivity through verification is preserved while the
+    # output stays linear in m and no single task ever sorts the full
+    # hot bucket.
+    big = packed.join(hot, "k", "left_semi").withColumn(
+        "_salt", F.pmod(F.xxhash64("id"), F.lit(cfg.salt_buckets))
+    )
+    w_salt = Window.partitionBy("k", "_salt").orderBy("id")
+    chained = big.withColumn("_prev", F.lag("id").over(w_salt))
+    pairs_chain = chained.where(F.col("_prev").isNotNull()).select(
+        F.col("_prev").alias("a"), F.col("id").alias("b"), "c"
+    )
+    heads = chained.where(F.col("_prev").isNull()).select("k", "c", "id")
+    w_head = Window.partitionBy("k").orderBy("id")
+    pairs_heads = (
+        heads.withColumn("_prev", F.lag("id").over(w_head))
         .where(F.col("_prev").isNotNull())
         .select(F.col("_prev").alias("a"), F.col("id").alias("b"), "c")
     )
+    pairs_big = pairs_chain.unionByName(pairs_heads)
     decode = (
         F.when(F.col("c") == 1, "minhash_lsh")
         .when(F.col("c") == 2, "simhash_rot")

@@ -1,0 +1,112 @@
+"""T4: hot-bucket / skew handling — the salted spanning-chain path for
+buckets over the cap, and the full pipeline on the degenerate corpus
+(the reference's dev-ex lesson: scalable version crashed on SMALL data,
+/root/reference/README.md:11)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from simhash_spark.config import DEFAULT_CONFIG as CFG, PipelineConfig
+
+
+def _components(pairs: set[tuple[str, str]], nodes: list[str]) -> dict[str, str]:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_hot_bucket_salted_chain_spans_bucket(spark):
+    """A bucket over the cap must yield exactly m-1 edges (a spanning tree:
+    linear output, full connectivity) — not C(m,2), not disconnected."""
+    from simhash_spark.operators.candidates import bucket_pairs
+
+    cfg = PipelineConfig(bucket_cap=50, salt_buckets=4)
+    m = 500
+    rows = [(f"id{i:05d}", "minhash_lsh", 0, 42) for i in range(m)]
+    # a second, small bucket sanity-checks the cold path alongside
+    rows += [(f"cold{i}", "minhash_lsh", 0, 99) for i in range(7)]
+    keyed = spark.createDataFrame(rows, "id string, src string, key_idx int, key long")
+    pairs = [(r["a"], r["b"]) for r in bucket_pairs(keyed, cfg).collect()]
+
+    hot_ids = [f"id{i:05d}" for i in range(m)]
+    hot_pairs = [(a, b) for a, b in pairs if a.startswith("id")]
+    cold_pairs = [(a, b) for a, b in pairs if a.startswith("cold")]
+    assert len(hot_pairs) == m - 1, "hot bucket must emit a spanning tree"
+    assert len(cold_pairs) == 21  # C(7,2) — the all-pairs cold path
+    comp = _components(set(hot_pairs), hot_ids)
+    assert len(set(comp[i] for i in hot_ids)) == 1, "hot bucket not fully connected"
+    for a, b in pairs:
+        assert a < b
+
+
+def test_degenerate_corpus_end_to_end(spark, tmp_path):
+    """Empty / stop-only / single-token / unicode captions plus a 500-row
+    identical-caption hot cluster: pipeline must not crash, empty captions
+    must NOT cluster together, the hot cluster must be ONE cluster."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simhash_spark.plans.pipeline import run_pipeline
+    from simhash_spark.sources.fixtures import make_degenerate_pdf
+
+    pdf = make_degenerate_pdf()
+    d = tmp_path / "deg"
+    d.mkdir()
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        d / "images.parquet",
+    )
+    res = run_pipeline(
+        spark, str(d / "images.parquet"), str(tmp_path / "ckpt"), CFG
+    )
+    clusters = {r["image_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    assert len(clusters) == len(pdf)
+
+    ids_by_caption: dict[str, list[str]] = {}
+    for iid, cap in zip(pdf["image_id"], pdf["caption"]):
+        ids_by_caption.setdefault(cap, []).append(iid)
+
+    hot = ids_by_caption["identical caption here every time"]
+    assert len(hot) == 500
+    assert len({clusters[i] for i in hot}) == 1, "hot cluster split"
+
+    # empty and stop-only captions have no shingles -> must stay singletons
+    # (their simhash is 0 but the n_shingles>0 guard blocks fake matches)
+    for cap in ("", "the of and to in"):
+        ids = ids_by_caption[cap]
+        labels = [clusters[i] for i in ids]
+        assert labels == ids, f"no-shingle captions {cap!r} wrongly clustered"
+
+
+def test_bucket_stats_reports_hot_buckets(spark):
+    from simhash_spark.operators.candidates import bucket_stats
+
+    rows = [(f"id{i}", "minhash_lsh", 0, 42) for i in range(300)]
+    keyed = spark.createDataFrame(rows, "id string, src string, key_idx int, key long")
+    stats = {r["src"]: r.asDict() for r in bucket_stats(keyed).collect()}
+    assert stats["minhash_lsh"]["max_bucket"] == 300
+    assert stats["minhash_lsh"]["n_buckets"] == 1
