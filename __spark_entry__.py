@@ -204,6 +204,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_agg"] = events_hourly_agg
 
+    def rollup_agg(spark, sf):
+        # grouping-sets surface: ROLLUP over (returnflag, linestatus)
+        li = spark.read.parquet(_t(sf, "lineitem"))
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            )
+        )
+
+    q["rollup_agg"] = rollup_agg
+
+    def semi_join(spark, sf):
+        # customers WITH at least one order, per segment (left-semi)
+        o = spark.read.parquet(_t(sf, "orders"))
+        c = spark.read.parquet(_t(sf, "customer"))
+        return (
+            c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+        )
+
+    q["semi_join"] = semi_join
+
+    def set_ops(spark, sf):
+        # EXCEPT/INTERSECT surface: nations with customers but no suppliers,
+        # and nations with both (tagged, unioned)
+        s = spark.read.parquet(_t(sf, "supplier")).select(
+            F.col("s_nationkey").alias("nationkey")
+        ).distinct()
+        c = spark.read.parquet(_t(sf, "customer")).select(
+            F.col("c_nationkey").alias("nationkey")
+        ).distinct()
+        only_cust = c.subtract(s).withColumn("tag", F.lit("customers_only"))
+        both = c.intersect(s).withColumn("tag", F.lit("both"))
+        return only_cust.unionByName(both)
+
+    q["set_ops"] = set_ops
+
+    def string_fns(spark, sf):
+        p = spark.read.parquet(_t(sf, "part"))
+        return p.select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace(F.col("p_type"), "[aeiou]", "").alias("type_novowel"),
+        )
+
+    q["string_fns"] = string_fns
+
+    def sort_limit(spark, sf):
+        # global TakeOrderedAndProject with deterministic tiebreak
+        e = spark.read.parquet(_t(sf, "events"))
+        return (
+            e.orderBy(F.col("value").desc(), F.col("event_id").asc())
+            .limit(25)
+            .select("event_id", "event_type", _cents(F.col("value")).alias("value_cents"))
+        )
+
+    q["sort_limit"] = sort_limit
+
     def stopword_anti_join(spark, sf):
         # O2/O3: tokenizer explode + stop-word removal, per-doc kept count
         d = spark.read.parquet(_t(sf, "documents"))
@@ -446,6 +510,45 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n_events,
                sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+
+    o["rollup_agg"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["semi_join"] = """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY 1
+    """
+
+    o["set_ops"] = """
+        WITH s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier),
+             c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer)
+        SELECT nationkey, 'customers_only' AS tag FROM (SELECT * FROM c EXCEPT SELECT * FROM s)
+        UNION ALL
+        SELECT nationkey, 'both' AS tag FROM (SELECT * FROM c INTERSECT SELECT * FROM s)
+    """
+
+    o["string_fns"] = """
+        SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               substr(p_name, 1, 8) AS name_prefix,
+               length(p_name) AS name_len,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               regexp_replace(p_type, '[aeiou]', '', 'g') AS type_novowel
+        FROM part
+    """
+
+    o["sort_limit"] = """
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+        ORDER BY value DESC, event_id ASC
+        LIMIT 25
     """
 
     o["stopword_anti_join"] = f"""

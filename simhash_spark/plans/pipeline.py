@@ -96,7 +96,22 @@ def run_pipeline(
     def _cand() -> DataFrame:
         return candidate_job(fp, cfg, include_phash=include_phash)
 
-    cand = cat.run_stage("02_candidates", in_fp, _cand)
+    def _cand_metrics() -> dict:
+        # skew/recall accounting in the stage manifest: bucket histogram per
+        # index + how many hot buckets were degraded to spanning chains —
+        # the "no silent truncation" rule (SURVEY.md §7.5.3)
+        keyed = explode_band_keys(fp).unionByName(explode_rotation_keys(fp, cfg, "simhash"))
+        if include_phash:
+            keyed = keyed.unionByName(explode_rotation_keys(fp, cfg, "phash"))
+        stats = {r["src"]: r.asDict() for r in bucket_stats(keyed).collect()}
+        hot = sum(1 for s in stats.values() if (s["max_bucket"] or 0) > cfg.bucket_cap)
+        return {
+            "bucket_stats": stats,
+            "bucket_cap": cfg.bucket_cap,
+            "indexes_with_hot_buckets": hot,
+        }
+
+    cand = cat.run_stage("02_candidates", in_fp, _cand, extra_metrics=_cand_metrics)
 
     if enable_substring:
         sub = cat.run_stage("02b_substr", in_fp, lambda: substring_job(src, cfg))

@@ -87,6 +87,11 @@ def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
         assert m["n_rows"] >= 0 and m["n_partitions"] >= 1
         assert all("rows" in p and "bytes" in p for p in m["partitions"])
 
+    # candidate stage records skew accounting (no silent truncation)
+    cm = cat.manifest("02_candidates")
+    assert "bucket_stats" in cm and "minhash_lsh" in cm["bucket_stats"]
+    assert cm["bucket_cap"] > 0 and "indexes_with_hot_buckets" in cm
+
     # second run must not recompute: poison compute to prove it is skipped
     boom = lambda: (_ for _ in ()).throw(AssertionError("stage recomputed"))
     out = cat.run_stage("04_clusters", in_fp, boom)

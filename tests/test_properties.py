@@ -124,3 +124,23 @@ def test_fnv_batch_equals_per_string(strs):
     for i, s in enumerate(strs):
         single = spec.fnv1a64_str([s])[0]
         assert int(batch[i]) == int(single)
+
+
+def test_srp_multiprobe_covers_hamming1():
+    """Any two SRP signatures within Hamming 1 (same table) share >= 1 probe:
+    probes(s) = {s} ∪ {s^bit_j}, so s' = s^e collides at probe s' itself or
+    at s (flipping e back). Table tags in the high bits never collide."""
+    import numpy as np
+
+    n_planes = 8
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        table = int(rng.integers(0, 4))
+        s = (table << n_planes) | int(rng.integers(0, 1 << n_planes))
+        probes_s = {s} | {s ^ (1 << j) for j in range(n_planes)}
+        e = int(rng.integers(0, n_planes))
+        s2 = s ^ (1 << e)
+        probes_s2 = {s2} | {s2 ^ (1 << j) for j in range(n_planes)}
+        assert probes_s & probes_s2
+        other_table = ((table + 1) % 4) << n_planes
+        assert not (probes_s & {other_table | (s & ((1 << n_planes) - 1))}) or table == (table + 1) % 4
