@@ -20,7 +20,10 @@ import pathlib
 import sys
 import time
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+try:  # under spark-submit --py-files the engine zip is already importable
+    import simhash_spark  # noqa: F401
+except ImportError:  # plain `python jobs/run_pipeline.py` from a checkout
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main(argv: list[str] | None = None) -> int:

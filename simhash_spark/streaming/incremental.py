@@ -1,0 +1,64 @@
+"""Incremental ingestion — the Structured Streaming face of the engine.
+
+The reference is a batch program (/root/reference/README.md:13) and the
+BASELINE north rule is batch, so streaming is an *extension*, built the
+obvious Spark-first way (SURVEY.md §7.8): the SAME fingerprint UDF runs on a
+``readStream`` source, and ``foreachBatch`` appends each micro-batch's
+fingerprints to the fingerprint table. Candidate generation/verify/CC then
+run as periodic batch jobs over the (append-only) fingerprint table — the
+standard lambda-free "stream ingest, batch reconcile" dedup deployment:
+fingerprinting is the embarrassingly-parallel 99% of compute and happens
+exactly once per image at ingest time.
+
+Per-record semantics are identical to the batch path by construction: the
+UDF calls the same frozen kernels (tests assert stream output == batch
+output on the same rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
+from simhash_spark.functions.udfs import with_fingerprints
+
+
+def stream_fingerprints(
+    stream_df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Streaming (image_id, caption, phash, ...) -> + simhash, n_shingles,
+    bands. Stateless projection — no watermark needed; works on any
+    streaming source (file/kafka/rate) carrying the input_hint columns."""
+    slim = stream_df.select("image_id", "caption", "phash")
+    return with_fingerprints(slim, cfg, emit_minhash=False).drop("caption")
+
+
+def start_incremental_ingest(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    trigger_once: bool = True,
+):
+    """writeStream via foreachBatch: append each micro-batch's fingerprints
+    to the fingerprint table (parquet locally, Iceberg in production — the
+    append is the only sink operation used, so either backend works).
+
+    Returns the StreamingQuery; caller awaits/stops it. ``trigger_once``
+    processes all available input then stops (the batch-reconcile cadence);
+    pass False for continuous micro-batches.
+    """
+    fp = stream_fingerprints(stream_df, cfg)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_path
+        )
+
+    writer = fp.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
