@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from simhash_spark.config import PipelineConfig
-from simhash_spark.functions.native import pigeonhole_keys_array
+from simhash_spark.functions.native import pigeonhole_key_cols, pigeonhole_keys_array
 
 
 def explode_band_keys(fp: DataFrame, id_col: str = "image_id") -> DataFrame:
@@ -61,6 +61,62 @@ def explode_rotation_keys(
     )
 
 
+def explode_all_keys(
+    fp: DataFrame, cfg: PipelineConfig, id_col: str = "image_id", include_phash: bool = True
+) -> DataFrame:
+    """fingerprints -> (k, id, c): ALL index keys (LSH bands ∪ simhash
+    pigeonhole ∪ phash pigeonhole) in ONE scan + ONE explode.
+
+    The per-branch explode (explode_band_keys ∪ explode_rotation_keys) reads
+    the fingerprint table once per index — three scans and three shuffle-map
+    stages. Here each row builds one array of (code, idx, key) structs from
+    native expressions and explodes once: at 10^12 rows this is the
+    difference between reading the fingerprint checkpoint three times and
+    once. ``k`` is the packed 8-byte bucket key (see bucket_pairs_packed).
+    """
+    struct_t = "array<struct<c:tinyint,i:int,k:bigint>>"
+    has_sh = F.col("n_shingles") > 0
+    band_structs = F.transform(
+        "bands",
+        lambda k, i: F.struct(
+            F.lit(1).cast("tinyint").alias("c"), i.cast("int").alias("i"), k.alias("k")
+        ),
+    )
+    sim_structs = F.array(
+        *[
+            F.struct(
+                F.lit(2).cast("tinyint").alias("c"),
+                F.lit(i).cast("int").alias("i"),
+                col.alias("k"),
+            )
+            for i, col in enumerate(
+                pigeonhole_key_cols("simhash", cfg.n_blocks, cfg.hamming_radius)
+            )
+        ]
+    )
+    arr = F.when(has_sh, F.concat(band_structs, sim_structs)).otherwise(
+        F.array().cast(struct_t)
+    )
+    if include_phash:
+        ph_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(3).cast("tinyint").alias("c"),
+                    F.lit(i).cast("int").alias("i"),
+                    col.alias("k"),
+                )
+                for i, col in enumerate(
+                    pigeonhole_key_cols("phash", cfg.n_blocks, cfg.phash_radius)
+                )
+            ]
+        )
+        arr = F.concat(arr, ph_structs)
+    ex = fp.select(F.col(id_col).alias("id"), F.explode(arr).alias("s"))
+    return ex.select(
+        F.xxhash64("s.c", "s.i", "s.k").alias("k"), "id", F.col("s.c").alias("c")
+    )
+
+
 def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(id, src, key_idx, key) -> candidate pairs (a, b, src), a < b.
 
@@ -95,7 +151,11 @@ def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     packed = keyed.select(
         F.xxhash64("src", "key_idx", "key").alias("k"), F.col("id"), code.alias("c")
     )
+    return bucket_pairs_packed(packed, cfg)
 
+
+def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(k, id, c) packed bucket memberships -> candidate pairs (a, b, src)."""
     # hot keys = buckets over the cap; the right side of the anti-join is
     # only those keys, so AQE turns it into a broadcast and the big table is
     # NOT shuffled for the join — its only shuffles are the two aggs below
@@ -164,14 +224,12 @@ def generate_candidates(
     """All candidate sources unioned, canonicalized, deduplicated:
     MinHash-LSH ∪ SimHash-rotation ∪ pHash-rotation (SURVEY.md O9-O13).
 
-    The per-pair src survives as a comma-joined provenance set.
+    Keys for all three indexes come from ONE scan of the fingerprint table
+    (explode_all_keys). The per-pair src survives as a comma-joined
+    provenance set.
     """
-    keyed = explode_band_keys(fp, id_col).unionByName(
-        explode_rotation_keys(fp, cfg, "simhash", id_col)
-    )
-    if include_phash:
-        keyed = keyed.unionByName(explode_rotation_keys(fp, cfg, "phash", id_col))
-    pairs = bucket_pairs(keyed, cfg)
+    packed = explode_all_keys(fp, cfg, id_col, include_phash=include_phash)
+    pairs = bucket_pairs_packed(packed, cfg)
     return pairs.groupBy("a", "b").agg(
         F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src")
     )

@@ -50,13 +50,12 @@ def langid_col(text_col: Column) -> Column:
     """
     counts = {lang: marker_count(text_col, ws) for lang, ws in LANG_MARKERS.items()}
     best = F.greatest(*counts.values())
-    out = F.lit("und")
-    # build reversed so earlier langs win ties (last when() checked first... no:
-    # chained when() evaluates in order, so write them in dict order directly)
+    # chained when() evaluates in dict order, so the first language reaching
+    # the max wins ties — the frozen rule the oracle SQL mirrors
     expr = F.when(best == 0, F.lit("und"))
     for lang in LANG_MARKERS:
         expr = expr.when(counts[lang] == best, F.lit(lang))
-    return expr.otherwise(out)
+    return expr.otherwise(F.lit("und"))
 
 
 def langid_oracle_sql(text_expr: str) -> str:

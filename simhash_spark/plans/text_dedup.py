@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
 from simhash_spark.functions.udfs import with_fingerprints
-from simhash_spark.operators.candidates import bucket_pairs, explode_band_keys, explode_rotation_keys
+from simhash_spark.operators.candidates import bucket_pairs_packed, explode_all_keys
 from simhash_spark.operators.connected_components import connected_components
 from simhash_spark.operators.substring import substring_pairs
 from simhash_spark.operators.verify import verify_pairs
@@ -36,9 +36,10 @@ def text_fingerprints(
 
 
 def text_candidates(fp: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """MinHash-LSH ∪ SimHash-pigeonhole candidates (no phash source)."""
-    keyed = explode_band_keys(fp).unionByName(explode_rotation_keys(fp, cfg, "simhash"))
-    pairs = bucket_pairs(keyed, cfg)
+    """MinHash-LSH ∪ SimHash-pigeonhole candidates (no phash source),
+    all keys from one scan of the fingerprint table."""
+    packed = explode_all_keys(fp, cfg, include_phash=False)
+    pairs = bucket_pairs_packed(packed, cfg)
     return pairs.groupBy("a", "b").agg(
         F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src")
     )
