@@ -387,6 +387,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_pairs_docs"] = substring_pairs_docs
 
+    def ann_ivf_topk(spark, sf):
+        from simhash_spark.operators.ann import ivf_fit, ivf_topk
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return ivf_topk(emb, queries_df, cent, k=5, nprobe=4).select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def embedding_near_dup_lsh(spark, sf):
         from simhash_spark.operators.dedup import embedding_near_dup as op
 

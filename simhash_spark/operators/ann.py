@@ -15,9 +15,12 @@ brute-force cosine top-k baseline + an LSH-bucketed scale path).
                      bucket join touches ~n/2^bits of the corpus per query
                      instead of n.
 
-An IVF variant (k-means coarse quantizer) would slot in as: fit centroids on
-a sample (kmeans|| in MLlib), assign = argmax dot(centroid, vec) — another
-broadcast matmul UDF — then the same bucket-join shape on the centroid id.
+- ivf_fit / ivf_topk : IVF (inverted-file) variant — k-means coarse
+                       quantizer fit on a driver-side sample, centroids
+                       broadcast, assignment = one matmul per Arrow batch,
+                       then the same bucket-join shape on the centroid id
+                       with nprobe-nearest-centroid multi-probe on the
+                       query side.
 """
 
 from __future__ import annotations
@@ -167,6 +170,99 @@ def srp_topk(
     )
     cand = (
         c.join(q, "key")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def ivf_fit(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    n_iter: int = 10,
+    seed: int = 7,
+) -> np.ndarray:
+    """Fit the IVF coarse quantizer: spherical k-means on a driver-side
+    sample (numpy). Returns L2-normalized centroids (n_centroids, dim).
+
+    A sample is the standard IVF training regime (faiss does the same) —
+    the full corpus never leaves the executors; only <= sample_rows vectors
+    are collected. For 10^12-row corpora raise sample_rows, not the method.
+    """
+    frac_df = corpus.select(vec_col)
+    n = frac_df.count()
+    if n > sample_rows:
+        frac_df = frac_df.sample(False, sample_rows / n, seed=seed).limit(sample_rows)
+    mat = np.stack([np.asarray(r[0], np.float64) for r in frac_df.collect()])
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iter):
+        sims = mat @ cent.T                      # (n, k) cosine (all unit)
+        assign = sims.argmax(axis=1)
+        for j in range(len(cent)):
+            members = mat[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return cent
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int):
+    """pandas_udf: vector -> array<int> of its nprobe nearest centroid ids —
+    one (batch x dim) @ (dim x k) matmul per Arrow batch."""
+    cent = np.ascontiguousarray(centroids.T)  # (dim, k)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent
+        top = np.argpartition(-sims, min(nprobe, sims.shape[1]) - 1, axis=1)[:, :nprobe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows live in their single nearest
+    centroid's inverted list; queries probe their nprobe nearest lists;
+    exact cosine re-rank inside the probed lists.
+
+    Per query this touches ~nprobe/n_centroids of the corpus. Same output
+    schema as cosine_topk (recall measured against it in tests).
+    """
+    c_assign = make_ivf_assign_udf(centroids, 1)
+    q_assign = make_ivf_assign_udf(centroids, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("list_id", F.explode(q_assign(F.col("qvec"))))
+    cand = (
+        c.join(q, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))

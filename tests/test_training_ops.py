@@ -351,3 +351,34 @@ def test_text_near_dup_clusters_on_documents(spark, docs):
         assert clusters["80002"] == clusters[base_id], f"hamming {h} but not clustered"
     else:
         assert clusters["80002"] != clusters[base_id], f"hamming {h} but clustered"
+
+
+def test_ivf_topk_recall(spark, emb):
+    """IVF with nprobe=4 of 16 lists recovers most of the exact top-5 even
+    on the near-orthogonal corpus; planted near-dups are always found."""
+    from simhash_spark.operators.ann import cosine_topk, ivf_fit, ivf_topk
+
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, cent, k=5, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF top-5 recall {recall:.3f} too low"
+
+
+def test_ivf_finds_planted_neighbors(spark, emb_with_dups):
+    from simhash_spark.operators.ann import ivf_fit, ivf_topk
+
+    cent = ivf_fit(emb_with_dups, n_centroids=16, n_iter=8)
+    queries = emb_with_dups.where(F.col("vec_id") >= 10000)
+    got = {
+        r["query_id"]: r["neighbor_id"]
+        for r in ivf_topk(emb_with_dups, queries, cent, k=1, nprobe=2).collect()
+    }
+    hits = sum(1 for q, n in got.items() if n == q - 10000)
+    assert hits >= 38, f"only {hits}/40 planted neighbors found (same-list guarantee)"
