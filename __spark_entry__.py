@@ -204,6 +204,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_agg"] = events_hourly_agg
 
+    def json_fns(spark, sf):
+        # map/json surface: extract props.k, bucket it, aggregate
+        e = spark.read.parquet(_t(sf, "events"))
+        k = F.get_json_object("props", "$.k").cast("int")
+        return (
+            e.select("event_type", (k % 10).alias("k_mod"), k.alias("k"))
+            .groupBy("event_type", "k_mod")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        )
+
+    q["json_fns"] = json_fns
+
     def rollup_agg(spark, sf):
         # grouping-sets surface: ROLLUP over (returnflag, linestatus)
         li = spark.read.parquet(_t(sf, "lineitem"))
@@ -522,6 +534,12 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n_events,
                sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+
+    o["json_fns"] = """
+        WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+        SELECT event_type, k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+        FROM x GROUP BY 1, 2
     """
 
     o["rollup_agg"] = """
