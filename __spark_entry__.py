@@ -307,8 +307,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ngram_jaccard(spark, sf):
         from simhash_spark.operators.dedup import ngram_jaccard_pairs
 
+        # shingle_doc_cap is effectively disabled HERE because the DuckDB
+        # oracle models no cap (a denser corpus would otherwise produce a
+        # spurious mismatch); scale paths keep the capped default
         return ngram_jaccard_pairs(
-            spark.read.parquet(_t(sf, "documents")), "doc_id", "text", n=3, threshold=0.03
+            spark.read.parquet(_t(sf, "documents")),
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.03,
+            shingle_doc_cap=2**31,
         ).select("a", "b", "n_shared", "n_a", "n_b")
 
     q["ngram_jaccard"] = ngram_jaccard
@@ -411,6 +419,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def srp_topk(spark, sf):
+        # third ANN variant (SRP-LSH, L tables + multi-probe): rows-only here;
+        # recall vs the exact oracle is asserted in tests/test_training_ops.py
+        from simhash_spark.operators.ann import srp_topk as op
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return op(emb, queries_df, k=5).select(
+            "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+        )
+
+    q["srp_topk"] = srp_topk
+
     def embedding_near_dup_lsh(spark, sf):
         from simhash_spark.operators.dedup import embedding_near_dup as op
 
@@ -428,10 +449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fingerprint_job,
             verify_job,
         )
-        from simhash_spark.sources.fixtures import make_images_pdf
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
 
         pdf = make_images_pdf(300, seed=42, with_bytes=False)
-        src = spark.createDataFrame(pdf)
+        # explicit schema: with_bytes=False leaves bytes all-None, which
+        # schema inference cannot type (r1 driver failure)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
         fp = fingerprint_job(spark, src, CFG).cache()
         verified = verify_job(candidate_job(fp, CFG), fp, CFG)
         return cluster_job(verified, fp, CFG)
@@ -440,10 +463,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def image_features(spark, sf):
         from simhash_spark.operators.multimodal import image_features as op
-        from simhash_spark.sources.fixtures import make_images_pdf
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
 
         pdf = make_images_pdf(100, seed=42, with_bytes=True)
-        src = spark.createDataFrame(pdf)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
         return op(src).select("image_id", "w", "h", "phash_computed", "error")
 
     q["image_features"] = image_features
@@ -468,17 +491,21 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_quantity >= 45 AND l_discount < 0.02
     """
 
+    # NOTE (r1 lesson): DuckDB's sum(BIGINT) returns HUGEINT, which pandas
+    # surfaces as float64 and breaks the bit-equal value hash even when every
+    # value is identical — so every aggregate sum below casts the SUM RESULT
+    # back to BIGINT, not just the summand.
     o["hash_agg"] = """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM lineitem GROUP BY 1, 2
     """
 
     o["broadcast_join_agg"] = """
         SELECT r_name, n_name, count(*) AS n_customers,
-               sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_cents
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -487,7 +514,7 @@ def oracle_sql() -> dict[str, str]:
 
     o["equi_join_topk"] = """
         SELECT c_custkey, c_name, count(*) AS n_orders,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY 1, 2
         ORDER BY total_cents DESC, c_custkey ASC
@@ -532,19 +559,19 @@ def oracle_sql() -> dict[str, str]:
     o["events_hourly_agg"] = """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                event_type, count(*) AS n_events,
-               sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
     """
 
     o["json_fns"] = """
         WITH x AS (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
-        SELECT event_type, k % 10 AS k_mod, count(*) AS n, sum(k) AS sum_k
+        SELECT event_type, k % 10 AS k_mod, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         FROM x GROUP BY 1, 2
     """
 
     o["rollup_agg"] = """
         SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 

@@ -9,16 +9,47 @@ per BASELINE.json:6 ("iterative connected-components join").
 Scale notes:
 - ``localCheckpoint(eager=True)`` each round truncates the logical plan —
   without it the plan doubles per iteration and the driver OOMs on analysis.
+- ``localCheckpoint`` is executor-memory/disk and NOT fault-tolerant: on a
+  real cluster a lost executor mid-loop kills the job. Pass ``catalog`` +
+  ``ckpt_every`` to additionally write the edge set through the
+  CheckpointCatalog (parquet/Iceberg) every k rounds — a reliable checkpoint
+  the loop resumes from (see ``cc_resume_round`` manifests).
 - convergence test = (edge count, xxhash64 checksum) pair: two cheap
   aggregates, no expensive EXCEPT.
 - each round is groupBy(min) + join on the same key — AQE coalesces and
   handles skewed star roots (a giant component funnels into its root).
+
+Robustness note (Spark 4.1): ``UnionBase.rewriteConstraints`` throws
+``NoSuchElementException: key not found: <attr>`` when a plan containing a
+Union (the candidate union feeding `edges`, or this module's own
+unionByName) is re-analyzed by ``localCheckpoint`` with constraint
+propagation enabled. The engine's session factory disables the conf
+globally, but this operator must also survive a DEFAULT-config session
+(e.g. the driver harness builds its own), so the loop saves/sets/restores
+``spark.sql.constraintPropagation.enabled=false`` itself and the returned
+labels are checkpoint-severed — callers never see a constraint-carrying
+union plan. Inferred constraints buy nothing here (every join/filter
+carries explicit predicates).
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
+
+
+@contextmanager
+def _constraints_disabled(spark):
+    old = spark.conf.get(_CONSTRAINT_CONF, "true")
+    spark.conf.set(_CONSTRAINT_CONF, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_CONSTRAINT_CONF, old)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -53,29 +84,73 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame,
+    max_iter: int = 50,
+    catalog=None,
+    ckpt_every: int = 0,
+    input_fingerprint: str = "",
 ) -> DataFrame:
     """edges(a, b) -> labels(id, cluster_id), cluster_id = component min.
 
     Only ids that appear in edges are labeled; the caller unions isolated
     vertices (label = self) — see plans/pipeline.cluster_job.
+
+    With ``catalog`` (a sources.catalog.CheckpointCatalog) and
+    ``ckpt_every`` > 0, every k-th round's edge set is ALSO written through
+    the catalog (``cc_round_<i>`` stages) — a fault-tolerant checkpoint; a
+    rerun with the same catalog + input_fingerprint resumes from the latest
+    complete round instead of round 0.
     """
-    e = edges.select("a", "b").where(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
-    prev_sig: tuple[int, int] | None = None
-    for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        # xor-checksum: order-insensitive, can't overflow (ANSI-safe)
-        sig_row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        sig = (sig_row["n"], sig_row["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    # fixpoint edge set is a star forest: (child, root) with root = min(component)
-    roots = e.select(F.col("b").alias("id"), F.col("b").alias("cluster_id")).distinct()
-    children = e.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
-    return children.unionByName(roots).distinct()
+    spark = edges.sparkSession
+    with _constraints_disabled(spark):
+        e = (
+            edges.select("a", "b")
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        start_round = 0
+        if catalog is not None and ckpt_every > 0:
+            start_round = _latest_cc_round(catalog, input_fingerprint)
+            if start_round > 0:
+                e = catalog.read(f"cc_round_{start_round:03d}").localCheckpoint(eager=True)
+        prev_sig: tuple[int, int] | None = None
+        for i in range(start_round, max_iter):
+            e = _small_star(_large_star(e))
+            if catalog is not None and ckpt_every > 0 and (i + 1) % ckpt_every == 0:
+                e = catalog.write(
+                    f"cc_round_{i + 1:03d}", e, input_fingerprint, {"cc_round": i + 1}
+                ).localCheckpoint(eager=True)
+            else:
+                e = e.localCheckpoint(eager=True)
+            # xor-checksum: order-insensitive, can't overflow (ANSI-safe)
+            sig_row = e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+            ).collect()[0]
+            sig = (sig_row["n"], sig_row["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+        # fixpoint edge set is a star forest: (child, root) with root = min(component)
+        roots = e.select(F.col("b").alias("id"), F.col("b").alias("cluster_id")).distinct()
+        children = e.select(F.col("a").alias("id"), F.col("b").alias("cluster_id"))
+        # eager checkpoint severs the union from the caller's plan: the result
+        # is a plain LogicalRDD, safe to compose under ANY session config
+        return children.unionByName(roots).distinct().localCheckpoint(eager=True)
+
+
+def _latest_cc_round(catalog, input_fingerprint: str) -> int:
+    """Largest round i with a complete ``cc_round_<i>`` checkpoint matching
+    the input fingerprint (0 = start from scratch)."""
+    latest = 0
+    for d in sorted(catalog.base.glob("cc_round_*")):
+        try:
+            i = int(d.name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if catalog.is_complete(d.name, input_fingerprint):
+            latest = max(latest, i)
+    return latest

@@ -103,31 +103,46 @@ def image_features(src: DataFrame, thumb: int = 8) -> DataFrame:
     pruned to exactly (image_id, bytes, fmt) at the scan.
     """
 
+    # Per-row-Python exemption (BASELINE.json:15): the decode step is one
+    # opaque codec call per payload — there is nothing to vectorize across
+    # rows (a production codec library is itself the inner loop). Everything
+    # AROUND the decode is columnar: outputs are preallocated numpy arrays
+    # and the frame is assembled column-wise, and the per-image math (means,
+    # resize, ahash) is whole-image numpy, not per-pixel Python.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: list[dict] = []
-            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
-                row: dict = {
-                    "image_id": image_id, "w": 0, "h": 0, "fmt": fmt,
-                    "phash_computed": 0, "mean_r": 0.0, "mean_g": 0.0,
-                    "mean_b": 0.0, "thumb_bytes": b"", "error": None,
-                }
+            n = len(pdf)
+            w = np.zeros(n, np.int32)
+            h = np.zeros(n, np.int32)
+            ph = np.zeros(n, np.int64)
+            means = np.zeros((n, 3), np.float64)
+            thumbs: list[bytes] = [b""] * n
+            errs: list[str | None] = [None] * n
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
                 try:
                     if data is None:
                         raise ValueError("null bytes")
-                    px = decode_rgb(bytes(data), fmt)
-                    means = px.reshape(-1, 3).mean(axis=0)
-                    tb = block_mean_resize(px, thumb, thumb)
-                    row.update(
-                        w=int(px.shape[1]), h=int(px.shape[0]),
-                        phash_computed=int(spec.u64_to_i64(np.array([ahash64(px)]))[0]),
-                        mean_r=float(means[0]), mean_g=float(means[1]),
-                        mean_b=float(means[2]), thumb_bytes=tb.tobytes(),
-                    )
+                    px = decode_rgb(bytes(data), fmt)  # the per-payload codec call
+                    h[i], w[i] = px.shape[0], px.shape[1]
+                    means[i] = px.reshape(-1, 3).mean(axis=0)
+                    ph[i] = spec.u64_to_i64(np.array([ahash64(px)]))[0]
+                    thumbs[i] = block_mean_resize(px, thumb, thumb).tobytes()
                 except (NotImplementedError, ValueError) as e:
-                    row["error"] = f"{type(e).__name__}: {e}"
-                out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURE_SCHEMA.fields])
+                    errs[i] = f"{type(e).__name__}: {e}"
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "w": w,
+                    "h": h,
+                    "fmt": pdf["fmt"].to_numpy(),
+                    "phash_computed": ph,
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "thumb_bytes": thumbs,
+                    "error": errs,
+                }
+            )
 
     slim = src.select("image_id", "bytes", "fmt")
     return slim.mapInPandas(run, IMAGE_FEATURE_SCHEMA)

@@ -23,6 +23,14 @@ from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
 
 _UNICODE_WORDS = ["café", "über", "naïve", "résumé", "señor", "crème"]
 
+# the BASELINE input_hint shape as a Spark DDL schema. Always pass this to
+# spark.createDataFrame(make_images_pdf(...)) — with with_bytes=False the
+# bytes column is all-None and schema inference fails (CANNOT_DETERMINE_TYPE)
+INPUT_HINT_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
 
 def _vocab(rng: np.random.Generator) -> np.ndarray:
     base = [f"w{i:04d}" for i in range(1900)]

@@ -252,6 +252,15 @@ def minhash_batch(
     ``hashes``: flat DISTINCT shingle hashes, grouped by row; ``row_starts``:
     start offset of each row's segment (len n_rows+1, cumulative). Rows with
     empty segments get the MINHASH_EMPTY fill (frozen empty-caption rule).
+
+    FREEZE NOTE: this function was re-vectorized after the freeze (the
+    per-permutation loop became one (L, n_perm) broadcast + reduceat). The
+    OUTPUT is bit-identical to tests/vectors.json — the freeze contract is
+    on outputs, and output-preserving rewrites are the one sanctioned class
+    of change. Memory contract for callers: the broadcast temporary is
+    L x n_perm x 8 bytes (L = total shingle hashes in the call); the engine's
+    UDF (functions/udfs.py) chunks calls to ~32 rows so the temporary stays
+    L2-resident — direct large-L callers must chunk likewise.
     """
     n_perm = len(a)
     out = np.full((n_rows, n_perm), MINHASH_EMPTY, dtype=np.uint64)

@@ -48,6 +48,12 @@ def test_oracle_parity(spark, duck, name):
     )
     for col in spark_pdf.columns:
         s, d = spark_pdf[col], duck_pdf[col]
+        # dtype-strict: the driver's value hash is representation-sensitive
+        # (DuckDB HUGEINT surfacing as float64 made 123.0 "equal" 123 here in
+        # r1 while the driver hash-mismatched) — identical kinds required
+        assert s.dtype.kind == d.dtype.kind, (
+            f"column {col}: dtype kind {s.dtype} (spark) vs {d.dtype} (oracle)"
+        )
         if s.dtype.kind == "f" or d.dtype.kind == "f":
             assert np.allclose(
                 s.to_numpy(np.float64), d.to_numpy(np.float64), rtol=0, atol=0

@@ -96,3 +96,13 @@ def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
     boom = lambda: (_ for _ in ()).throw(AssertionError("stage recomputed"))
     out = cat.run_stage("04_clusters", in_fp, boom)
     assert out.count() == 2000
+
+
+def test_iceberg_backend_gate_raises_without_runtime_jar(spark, tmp_path):
+    """The production-backend selection logic itself (catalog.py): requesting
+    the Iceberg backend in an environment without the runtime jar must fail
+    loudly at construction, not at first write."""
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    with pytest.raises(RuntimeError, match="[Ii]ceberg"):
+        CheckpointCatalog(spark, tmp_path / "ice", backend="iceberg")
