@@ -684,6 +684,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE x.vec_id < y.vec_id AND list_cosine_similarity(x.e, y.e) >= 0.4
     """
 
+    # ---- spec-precomputed differential oracles (the reference's 对拍 method,
+    # /root/reference/README.md:11): the SimHash/MinHash/LSH/CC kernels are
+    # not ANSI-SQL-expressible, so tests/gen_expected.py computes their exact
+    # expected output at sf0.01 with the frozen pure-numpy spec (no Spark)
+    # and DuckDB reads the checked-in parquet. Valid at the driver's
+    # correctness scale (sf0.01) by construction.
+    exp = "/root/repo/tests/expected/text_kernel_sf001"
+    o["simhash_fingerprints"] = f"""
+        SELECT doc_id, simhash, n_shingles
+        FROM read_parquet('{exp}/fingerprints.parquet')
+    """
+    o["minhash_lsh_candidates"] = f"""
+        SELECT a, b, src FROM read_parquet('{exp}/candidates.parquet')
+    """
+    o["text_near_dup_clusters"] = f"""
+        SELECT doc_id, cluster_id FROM read_parquet('{exp}/clusters.parquet')
+    """
+    o["substring_pairs_docs"] = f"""
+        SELECT a, b, src FROM read_parquet('{exp}/substr_pairs.parquet')
+    """
+    o["image_near_dup_clusters"] = f"""
+        SELECT image_id, cluster_id FROM read_parquet('{exp}/image_clusters.parquet')
+    """
+    o["image_features"] = f"""
+        SELECT image_id, w, h, phash_computed, error
+        FROM read_parquet('{exp}/image_features.parquet')
+    """
+    o["srp_topk"] = f"""
+        SELECT query_id, neighbor_id, rank FROM read_parquet('{exp}/srp_topk.parquet')
+    """
+    o["ann_ivf_topk"] = f"""
+        SELECT query_id, neighbor_id, rank FROM read_parquet('{exp}/ivf_topk.parquet')
+    """
+    o["embedding_near_dup_lsh"] = f"""
+        SELECT a, b FROM read_parquet('{exp}/emb_lsh_pairs.parquet')
+    """
+
     o["frame_sample"] = """
         WITH v AS (
             SELECT CAST(event_id AS VARCHAR) AS video_id,

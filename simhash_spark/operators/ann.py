@@ -207,6 +207,13 @@ def ivf_fit(
     if n > sample_rows:
         frac_df = frac_df.sample(False, sample_rows / n, seed=seed).limit(sample_rows)
     mat = np.stack([np.asarray(r[0], np.float64) for r in frac_df.collect()])
+    return ivf_fit_core(mat, n_centroids, n_iter, seed)
+
+
+def ivf_fit_core(mat: np.ndarray, n_centroids: int, n_iter: int, seed: int) -> np.ndarray:
+    """The spherical k-means kernel behind ivf_fit — pure numpy, Spark-free
+    (also the differential oracle's entry point, tests/gen_expected.py)."""
+    mat = mat.astype(np.float64, copy=True)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]

@@ -1,0 +1,397 @@
+#!/usr/bin/env python
+"""Generate spec-computed expected outputs for the non-SQL kernel queries.
+
+The engine's core kernels (SimHash/MinHash/LSH/pigeonhole/CC) are not
+ANSI-SQL-expressible, so the driver's DuckDB oracle cannot derive them — but
+it CAN compare against precomputed answers. This script computes, with the
+frozen pure-numpy spec (NO Spark), the exact expected output of three driver
+queries over /root/testdata/sf0.01/documents.parquet:
+
+- fingerprints.parquet : expected ``simhash_fingerprints`` output
+- candidates.parquet   : expected ``minhash_lsh_candidates`` output
+- clusters.parquet     : expected ``text_near_dup_clusters`` output
+- substr_pairs.parquet : expected ``substring_pairs_docs`` output
+- image_clusters.parquet / image_features.parquet : expected outputs of the
+  image-fixture queries (the fixtures are seed-deterministic, so their
+  answers are constants)
+
+and writes them under tests/expected/text_kernel_sf001/ (checked in).
+``oracle_sql()`` then reads them via DuckDB ``read_parquet`` — turning the
+engine's core kernel path into driver-visible, hash-checked rows (the
+reference's differential method, /root/reference/README.md:11, with the
+canonical numpy implementation as the second engine).
+
+Mirrored engine semantics (kept in lockstep with the cited code):
+- fingerprint_batch (functions/udfs.py) is the SAME kernel the pandas UDF
+  runs — chunking included, and itself vector-tested against spec.
+- candidate buckets (operators/candidates.py::explode_all_keys): band keys
+  (src minhash_lsh) + pigeonhole combination keys over simhash (simhash_rot)
+  for rows with n_shingles > 0; bucket identity here is the raw
+  (code, index, key) triple — the engine folds it through xxhash64, which
+  only merges buckets with probability 2^-64.
+- pairs (bucket_pairs_packed): all C(s,2) per bucket, a < b in STRING order
+  (ids are cast to string by text_fingerprints); buckets over bucket_cap
+  would become salted chains whose exact edges depend on JVM xxhash64 —
+  this script asserts no such bucket exists at sf0.01.
+- verify (operators/verify.py, use_phash=False): hamming(simhash) <= radius
+  and both sides have shingles.
+- clusters (connected_components): component label = lexicographic min id;
+  singletons labeled by themselves (plans/text_dedup.py).
+
+Rerun after any (sanctioned, output-changing is forbidden) spec change:
+    python tests/gen_expected.py
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from simhash_spark import spec  # noqa: E402
+from simhash_spark.config import DEFAULT_CONFIG as CFG  # noqa: E402
+from simhash_spark.functions.udfs import fingerprint_batch  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+OUT = pathlib.Path(__file__).resolve().parent / "expected" / "text_kernel_sf001"
+
+
+def main() -> None:
+    OUT.mkdir(parents=True, exist_ok=True)
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    ids = docs["doc_id"].astype(str).to_numpy(dtype=object)
+    n = len(docs)
+
+    fb = fingerprint_batch(docs["text"].reset_index(drop=True), CFG, emit_minhash=False)
+    simhash_i64 = fb["simhash"].to_numpy(np.int64)
+    n_shingles = fb["n_shingles"].to_numpy(np.int32)
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": ids, "simhash": simhash_i64, "n_shingles": n_shingles},
+            schema=pa.schema(
+                [("doc_id", pa.string()), ("simhash", pa.int64()), ("n_shingles", pa.int32())]
+            ),
+        ),
+        OUT / "fingerprints.parquet",
+    )
+
+    # ---- candidate pairs (minhash_lsh ∪ simhash_rot buckets) ----
+    sim_u64 = spec.i64_to_u64(simhash_i64)
+    bands = np.stack(fb["bands"].to_numpy())  # (n, n_bands) int64
+    pig = spec.pigeonhole_keys(sim_u64, CFG.n_blocks, CFG.hamming_radius)
+    buckets: dict[tuple[int, int, int], list[int]] = defaultdict(list)
+    for idx in np.flatnonzero(n_shingles > 0):
+        for i in range(CFG.n_bands):
+            buckets[(1, i, int(bands[idx, i]))].append(int(idx))
+        for i in range(pig.shape[1]):
+            buckets[(2, i, int(pig[idx, i]))].append(int(idx))
+
+    pair_srcs: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for (code, _i, _k), members in buckets.items():
+        if len(members) < 2:
+            continue
+        assert len(members) <= CFG.bucket_cap, (
+            "hot bucket at sf0.01 — salted-chain edges are not mirrored here"
+        )
+        src = "minhash_lsh" if code == 1 else "simhash_rot"
+        names = sorted(ids[m] for m in members)
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                pair_srcs[(names[x], names[y])].add(src)
+
+    cand_rows = sorted(pair_srcs)
+    pq.write_table(
+        pa.table(
+            {
+                "a": [a for a, _ in cand_rows],
+                "b": [b for _, b in cand_rows],
+                "src": [",".join(sorted(pair_srcs[p])) for p in cand_rows],
+            },
+            schema=pa.schema([("a", pa.string()), ("b", pa.string()), ("src", pa.string())]),
+        ),
+        OUT / "candidates.parquet",
+    )
+
+    # ---- verified pairs -> connected components -> cluster labels ----
+    by_id = {ids[i]: i for i in range(n)}
+    if cand_rows:
+        ai = np.array([by_id[a] for a, _ in cand_rows])
+        bi = np.array([by_id[b] for _, b in cand_rows])
+        ham = spec.popcount64(sim_u64[ai] ^ sim_u64[bi])
+        verified = [cand_rows[i] for i in np.flatnonzero(ham <= CFG.hamming_radius)]
+    else:
+        verified = []
+
+    parent: dict[str, str] = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in verified:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)  # lexicographic min root
+            parent[hi] = lo
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(ids), "cluster_id": [find(i) for i in ids]},
+            schema=pa.schema([("doc_id", pa.string()), ("cluster_id", pa.string())]),
+        ),
+        OUT / "clusters.parquet",
+    )
+    print(
+        f"wrote {OUT}: {n} fingerprints, {len(cand_rows)} candidate pairs, "
+        f"{len(verified)} verified pairs, "
+        f"{len({find(i) for i in ids})} clusters"
+    )
+
+    # ---- substring pairs (winnow anchors -> exact shared-run verify) ----
+    # mirrors operators/substring.py::substring_pairs: winnowing completeness
+    # means every pair sharing a normalized run >= L shares an anchor, and
+    # the per-anchor suffix-array verify is exact — so the expected set is
+    # simply "anchor-sharing pairs with an exact common substring >= L".
+    from simhash_spark.sources.fixtures import _lcs_at_least
+
+    texts = docs["text"].tolist()
+    norm = [spec.normalize_for_substring(t) for t in texts]
+    di, _pos, ah = spec.winnow_anchors_batch(norm, CFG.substr_window, CFG.substr_min_len)
+    by_anchor: dict[int, set[int]] = defaultdict(set)
+    for d, hh in zip(di.tolist(), ah.tolist()):
+        by_anchor[hh].add(d)
+    sub_cand = {
+        tuple(sorted((ids[x], ids[y])))
+        for members in by_anchor.values()
+        if len(members) > 1
+        for x in members
+        for y in members
+        if x < y
+    }
+    sub_pairs = sorted(
+        (a, b)
+        for a, b in sub_cand
+        if _lcs_at_least(norm[by_id[a]], norm[by_id[b]], CFG.substr_min_len)
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "a": [a for a, _ in sub_pairs],
+                "b": [b for _, b in sub_pairs],
+                "src": ["substr"] * len(sub_pairs),
+            },
+            schema=pa.schema([("a", pa.string()), ("b", pa.string()), ("src", pa.string())]),
+        ),
+        OUT / "substr_pairs.parquet",
+    )
+    print(f"substring pairs: {len(sub_pairs)}")
+
+    # ---- image fixture queries (seed-deterministic -> constant answers) ----
+    from simhash_spark.operators.multimodal import ahash64, decode_rgb
+    from simhash_spark.sources.fixtures import make_images_pdf
+
+    # image_near_dup_clusters: pipeline WITHOUT the substring stage, so the
+    # expected pairs are exactly the simhash/phash Hamming criteria (the
+    # pigeonhole indexes are complete for radius <= 3 by construction, and
+    # verify re-applies the exact predicate)
+    img = make_images_pdf(300, seed=42, with_bytes=False)
+    img_ids = img["image_id"].to_numpy(dtype=object)
+    ifb = fingerprint_batch(img["caption"].reset_index(drop=True), CFG, emit_minhash=False)
+    isim = spec.i64_to_u64(ifb["simhash"].to_numpy(np.int64))
+    insh = ifb["n_shingles"].to_numpy(np.int32)
+    iph = spec.i64_to_u64(img["phash"].to_numpy(np.int64))
+    m = len(img)
+    dc = spec.popcount64(isim[:, None] ^ isim[None, :])
+    dp = spec.popcount64(iph[:, None] ^ iph[None, :])
+    has2 = (insh > 0)[:, None] & (insh > 0)[None, :]
+    dup = ((dc <= CFG.hamming_radius) & has2) | (dp <= CFG.phash_radius)
+    iparent: dict[str, str] = {i: i for i in img_ids}
+
+    def ifind(x: str) -> str:
+        while iparent[x] != x:
+            iparent[x] = iparent[iparent[x]]
+            x = iparent[x]
+        return x
+
+    for x, y in zip(*np.nonzero(np.triu(dup, 1))):
+        ra, rb = ifind(img_ids[x]), ifind(img_ids[y])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            iparent[hi] = lo
+    pq.write_table(
+        pa.table(
+            {"image_id": list(img_ids), "cluster_id": [ifind(i) for i in img_ids]},
+            schema=pa.schema([("image_id", pa.string()), ("cluster_id", pa.string())]),
+        ),
+        OUT / "image_clusters.parquet",
+    )
+    print(f"image clusters: {len({ifind(i) for i in img_ids})} over {m} images")
+
+    # image_features: decode/resize/ahash are pure numpy — run them outside
+    # Spark on the same deterministic fixture
+    feat = make_images_pdf(100, seed=42, with_bytes=True)
+    fw, fh, fph = [], [], []
+    for data, fmt in zip(feat["bytes"], feat["fmt"]):
+        px = decode_rgb(bytes(data), fmt)
+        fh.append(px.shape[0])
+        fw.append(px.shape[1])
+        fph.append(int(spec.u64_to_i64(np.array([ahash64(px)]))[0]))
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": feat["image_id"].to_numpy(dtype=object),
+                "w": np.array(fw, np.int32),
+                "h": np.array(fh, np.int32),
+                "phash_computed": np.array(fph, np.int64),
+                "error": pa.array([None] * len(feat), type=pa.string()),
+            },
+            schema=pa.schema(
+                [
+                    ("image_id", pa.string()),
+                    ("w", pa.int32()),
+                    ("h", pa.int32()),
+                    ("phash_computed", pa.int64()),
+                    ("error", pa.string()),
+                ]
+            ),
+        ),
+        OUT / "image_features.parquet",
+    )
+    print(f"image features: {len(feat)} rows")
+
+    # ---- approximate-ANN queries (seed-deterministic kernels) ----
+    # The SRP planes / IVF centroids are pure functions of (seed, data); the
+    # engine's pandas UDFs run the same numpy math per Arrow batch, so the
+    # candidate SETS are identical; the float64 cosine re-rank agrees across
+    # engines because 64-dim random cosines are separated far beyond
+    # double rounding (exact duplicates tie at exactly 1.0 and break by id).
+    from simhash_spark.operators.ann import _planes, ivf_fit_core
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    vids = emb["vec_id"].to_numpy(np.int64)
+    vecs = np.stack(emb["embedding"].to_numpy())  # (n, dim) float32
+    vecs64 = vecs.astype(np.float64)
+    norms = np.linalg.norm(vecs64, axis=1)
+    q_mask = vids < 10
+
+    def topk_rows(cand: dict[int, set[int]], k: int = 5) -> pd.DataFrame:
+        rows = []
+        for qi in np.flatnonzero(q_mask):
+            nbrs = sorted(cand.get(int(qi), ()))
+            if not nbrs:
+                continue
+            cos = vecs64[nbrs] @ vecs64[qi] / (norms[nbrs] * norms[qi])
+            order = sorted(range(len(nbrs)), key=lambda t: (-cos[t], vids[nbrs[t]]))
+            for r, t in enumerate(order[:k], start=1):
+                rows.append((int(vids[qi]), int(vids[nbrs[t]]), r))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+
+    def srp_sigs(n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+        # mirrors operators/ann.py::make_srp_udf bit-for-bit
+        planes = _planes(vecs.shape[1], n_planes * n_tables, seed)
+        bits = (vecs @ planes) > 0
+        bits = bits.reshape(len(vecs), n_tables, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return (bits @ weights + (np.arange(n_tables) << n_planes)[None, :]).astype(np.int32)
+
+    # srp_topk: corpus keys = raw signatures; query keys = sigs + 1-bit flips
+    sigs88 = srp_sigs(8, 8, 7)
+    key_to_corpus: dict[int, list[int]] = defaultdict(list)
+    for i in range(len(vecs)):
+        for s in sigs88[i]:
+            key_to_corpus[int(s)].append(i)
+    srp_cand: dict[int, set[int]] = defaultdict(set)
+    for qi in np.flatnonzero(q_mask):
+        probes = {int(s) for s in sigs88[qi]} | {
+            int(s) ^ (1 << j) for s in sigs88[qi] for j in range(8)
+        }
+        for p in probes:
+            for ci in key_to_corpus.get(p, ()):
+                if ci != qi:
+                    srp_cand[int(qi)].add(ci)
+    srp_df = topk_rows(srp_cand)
+    pq.write_table(
+        pa.Table.from_pandas(
+            srp_df.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int32"}),
+            preserve_index=False,
+        ),
+        OUT / "srp_topk.parquet",
+    )
+    print(f"srp_topk: {len(srp_df)} rows")
+
+    # ann_ivf_topk: centroids from the shared numpy core, assignment mirrors
+    # make_ivf_assign_udf (normalize -> matmul -> argpartition)
+    cent = ivf_fit_core(vecs64, n_centroids=16, n_iter=8, seed=7)
+    centT = np.ascontiguousarray(cent.T)
+    mat = vecs64 / np.maximum(norms[:, None], 1e-12)
+    sims = mat @ centT
+    c_list = np.argpartition(-sims, 0, axis=1)[:, :1].astype(np.int32)[:, 0]
+    q_probes = np.argpartition(-sims, 3, axis=1)[:, :4].astype(np.int32)
+    by_list: dict[int, list[int]] = defaultdict(list)
+    for i, l in enumerate(c_list):
+        by_list[int(l)].append(i)
+    ivf_cand: dict[int, set[int]] = defaultdict(set)
+    for qi in np.flatnonzero(q_mask):
+        for l in q_probes[qi]:
+            for ci in by_list.get(int(l), ()):
+                if ci != qi:
+                    ivf_cand[int(qi)].add(ci)
+    ivf_df = topk_rows(ivf_cand)
+    pq.write_table(
+        pa.Table.from_pandas(
+            ivf_df.astype({"query_id": "int64", "neighbor_id": "int64", "rank": "int32"}),
+            preserve_index=False,
+        ),
+        OUT / "ivf_topk.parquet",
+    )
+    print(f"ann_ivf_topk: {len(ivf_df)} rows")
+
+    # embedding_near_dup_lsh: one table, 8 planes, multi-probe on BOTH sides
+    sigs81 = srp_sigs(8, 1, 7)
+    key_to_vecs: dict[int, set[int]] = defaultdict(set)
+    for i in range(len(vecs)):
+        for s in sigs81[i]:
+            ks = {int(s)} | {int(s) ^ (1 << j) for j in range(8)}
+            for kk in ks:
+                key_to_vecs[kk].add(i)
+    lsh_pairs = {
+        (int(vids[x]), int(vids[y])) if vids[x] < vids[y] else (int(vids[y]), int(vids[x]))
+        for members in key_to_vecs.values()
+        for x in members
+        for y in members
+        if x != y
+    }
+    kept = sorted(
+        (a, b)
+        for a, b in lsh_pairs
+        if (
+            vecs64[np.flatnonzero(vids == a)[0]] @ vecs64[np.flatnonzero(vids == b)[0]]
+            / (norms[np.flatnonzero(vids == a)[0]] * norms[np.flatnonzero(vids == b)[0]])
+        )
+        >= 0.4
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "a": np.array([a for a, _ in kept], np.int64),
+                "b": np.array([b for _, b in kept], np.int64),
+            },
+            schema=pa.schema([("a", pa.int64()), ("b", pa.int64())]),
+        ),
+        OUT / "emb_lsh_pairs.parquet",
+    )
+    print(f"embedding_near_dup_lsh: {len(kept)} pairs")
+
+
+if __name__ == "__main__":
+    main()
