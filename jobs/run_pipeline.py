@@ -34,20 +34,35 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--no-phash", action="store_true")
+    ap.add_argument(
+        "--n-blocks",
+        type=int,
+        default=None,
+        help="pigeonhole block count override; default: corpus-size-adaptive "
+        "(config.index_config_for — 16-bit keys go quadratic past ~1e5 rows)",
+    )
     args = ap.parse_args(argv)
 
-    from simhash_spark.config import DEFAULT_CONFIG
+    from dataclasses import replace
+
+    from simhash_spark.config import DEFAULT_CONFIG, index_config_for
     from simhash_spark.plans.pipeline import run_pipeline
     from simhash_spark.session import get_spark
 
     spark = get_spark(parallelism=args.parallelism, app_name="simhash-pipeline")
     ckpt = args.checkpoint or str(pathlib.Path(args.output) / "_checkpoints")
     t0 = time.time()
+    if args.n_blocks is not None:
+        cfg = replace(DEFAULT_CONFIG, n_blocks=args.n_blocks)
+    else:
+        # one metadata-cheap count picks the index scale class; at Iceberg/
+        # parquet this is a footer read, not a data scan
+        cfg = index_config_for(spark.read.parquet(args.input).count())
     res = run_pipeline(
         spark,
         args.input,
         ckpt,
-        DEFAULT_CONFIG,
+        cfg,
         enable_substring=not args.no_substring,
         include_phash=not args.no_phash,
     )

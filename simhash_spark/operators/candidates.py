@@ -61,59 +61,70 @@ def explode_rotation_keys(
     )
 
 
+def _tagged(code: int, idx: int, key_col: F.Column) -> F.Column:
+    """One packed 8-byte bucket key: xxhash64 of (source code, table index,
+    raw key) with the 2-bit source code folded into the low bits, so a
+    bucket membership row is just (k, id) — no struct, no extra column.
+    A 2^-62 hash collision merges two buckets, which only adds candidates
+    that exact verification filters out."""
+    return F.xxhash64(F.lit(code), F.lit(idx), key_col).bitwiseAND(F.lit(~3)).bitwiseOR(
+        F.lit(code)
+    )
+
+
+def src_code() -> F.Column:
+    """Recover the 2-bit source code from a packed key's low bits."""
+    return F.col("k").bitwiseAND(F.lit(3))
+
+
 def explode_all_keys(
     fp: DataFrame, cfg: PipelineConfig, id_col: str = "image_id", include_phash: bool = True
 ) -> DataFrame:
-    """fingerprints -> (k, id, c): ALL index keys (LSH bands ∪ simhash
+    """fingerprints -> (k, id): ALL index keys (LSH bands ∪ simhash
     pigeonhole ∪ phash pigeonhole) in ONE scan + ONE explode.
 
     The per-branch explode (explode_band_keys ∪ explode_rotation_keys) reads
     the fingerprint table once per index — three scans and three shuffle-map
-    stages. Here each row builds one array of (code, idx, key) structs from
-    native expressions and explodes once: at 10^12 rows this is the
-    difference between reading the fingerprint checkpoint three times and
-    once. ``k`` is the packed 8-byte bucket key (see bucket_pairs_packed).
+    stages. Here each row builds one flat ``array<long>`` of pre-hashed
+    packed keys and explodes once: at 10^12 rows this is the difference
+    between reading the fingerprint checkpoint three times and once.
+
+    Deliberately flat: an earlier array-of-struct formulation disabled
+    WholeStageCodegen for the whole projection (executedPlan showed zero
+    WSCG nodes — fully interpreted, measured 3.6x slower); a plain bigint
+    array keeps the key expressions inside codegen. The source code rides
+    in each key's low 2 bits (``SRC_CODE``).
     """
-    struct_t = "array<struct<c:tinyint,i:int,k:bigint>>"
     has_sh = F.col("n_shingles") > 0
-    band_structs = F.transform(
-        "bands",
-        lambda k, i: F.struct(
-            F.lit(1).cast("tinyint").alias("c"), i.cast("int").alias("i"), k.alias("k")
-        ),
-    )
-    sim_structs = F.array(
+    band_keys = F.transform("bands", lambda v, i: _tagged_dyn(1, i, v))
+    sim_keys = F.array(
         *[
-            F.struct(
-                F.lit(2).cast("tinyint").alias("c"),
-                F.lit(i).cast("int").alias("i"),
-                col.alias("k"),
-            )
+            _tagged(2, i, col)
             for i, col in enumerate(
                 pigeonhole_key_cols("simhash", cfg.n_blocks, cfg.hamming_radius)
             )
         ]
     )
-    arr = F.when(has_sh, F.concat(band_structs, sim_structs)).otherwise(
-        F.array().cast(struct_t)
+    arr = F.when(has_sh, F.concat(band_keys, sim_keys)).otherwise(
+        F.array().cast("array<bigint>")
     )
     if include_phash:
-        ph_structs = F.array(
+        ph_keys = F.array(
             *[
-                F.struct(
-                    F.lit(3).cast("tinyint").alias("c"),
-                    F.lit(i).cast("int").alias("i"),
-                    col.alias("k"),
-                )
+                _tagged(3, i, col)
                 for i, col in enumerate(
                     pigeonhole_key_cols("phash", cfg.n_blocks, cfg.phash_radius)
                 )
             ]
         )
-        arr = F.concat(arr, ph_structs)
-    ex = fp.select(F.col(id_col).alias("id"), F.explode(arr).alias("s"))
-    return ex.select(
-        F.xxhash64("s.c", "s.i", "s.k").alias("k"), "id", F.col("s.c").alias("c")
+        arr = F.concat(arr, ph_keys)
+    return fp.select(F.col(id_col).alias("id"), F.explode(arr).alias("k")).select("k", "id")
+
+
+def _tagged_dyn(code: int, idx_col: F.Column, key_col: F.Column) -> F.Column:
+    """_tagged with a runtime table index (transform's lambda position)."""
+    return F.xxhash64(F.lit(code), idx_col, key_col).bitwiseAND(F.lit(~3)).bitwiseOR(
+        F.lit(code)
     )
 
 
@@ -138,36 +149,49 @@ def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     shuffles and avoids recomputing the exploded key table once per join side
     (measured 6x on the 60k-image bench).
     """
-    # fold (src, key_idx, key) into ONE 8-byte key: shuffle rows shrink to
-    # (key:8B, id, src_code:1B); a 2^-64 hash collision merges two buckets,
-    # which only adds candidates that exact verification filters out
+    # fold (src, key_idx, key) into ONE 8-byte key with the source code in
+    # the low 2 bits: shuffle rows shrink to (key:8B, id)
     code = (
         F.when(F.col("src") == "minhash_lsh", 1)
         .when(F.col("src") == "simhash_rot", 2)
         .when(F.col("src") == "phash_rot", 3)
         .otherwise(0)
-        .cast("tinyint")
+        .cast("int")
     )
-    packed = keyed.select(
-        F.xxhash64("src", "key_idx", "key").alias("k"), F.col("id"), code.alias("c")
-    )
+    k = F.xxhash64(code, "key_idx", "key").bitwiseAND(F.lit(~3)).bitwiseOR(code)
+    packed = keyed.select(k.alias("k"), F.col("id"))
     return bucket_pairs_packed(packed, cfg)
 
 
-def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """(k, id, c) packed bucket memberships -> candidate pairs (a, b, src)."""
-    # hot keys = buckets over the cap; the right side of the anti-join is
-    # only those keys, so AQE turns it into a broadcast and the big table is
-    # NOT shuffled for the join — its only shuffles are the two aggs below
-    # (same partitioning -> exchange reuse)
+def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig, pin: bool = False) -> DataFrame:
+    """(k, id) packed bucket memberships -> candidate pairs (a, b, src).
+
+    packed is consumed three times (sizes agg / cold semi-join / big
+    semi-join); its keygen plan is cheap interpreted expressions (~0.5 us/
+    key), so recomputing beats materializing: ``pin=True`` (an eager
+    localCheckpoint) was measured SLOWER at 34M keys — deserialized
+    MemoryStore rows cost more than three recomputes. On a real cluster
+    with a 10^12-row corpus, materialize packed through the
+    CheckpointCatalog (serialized parquet) instead.
+    """
+    if pin:
+        packed = packed.localCheckpoint(eager=True)
     sizes = packed.groupBy("k").agg(F.count(F.lit(1)).alias("_bsize"))
+    # Only buckets with 2..cap members produce all-pairs output. Filtering
+    # via semi-join (AQE broadcasts the bucket list when small) BEFORE the
+    # collect agg matters in the sparse-index regime: with 40-bit keys
+    # (n_blocks=8) ~85% of buckets are singletons, and collecting ~30M
+    # one-element arrays just to drop them dominated the stage.
+    useful = sizes.where(
+        (F.col("_bsize") >= 2) & (F.col("_bsize") <= cfg.bucket_cap)
+    ).select("k")
     hot = sizes.where(F.col("_bsize") > cfg.bucket_cap).select("k")
 
-    cold = packed.join(hot, "k", "left_anti")
+    cold = packed.join(useful, "k", "left_semi")
     grouped = (
         cold.groupBy("k")
-        .agg(F.sort_array(F.collect_list("id")).alias("_ids"), F.min("c").alias("c"))
-        .where(F.size("_ids") > 1)
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+        .select(src_code().alias("c"), "_ids")
     )
     # two chained explodes (pipelined, no shuffle between them) expand each
     # bucket's sorted id list into its C(s,2) ordered pairs; deliberately
@@ -189,8 +213,10 @@ def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     # edges), so connectivity through verification is preserved while the
     # output stays linear in m and no single task ever sorts the full
     # hot bucket.
-    big = packed.join(hot, "k", "left_semi").withColumn(
-        "_salt", F.pmod(F.xxhash64("id"), F.lit(cfg.salt_buckets))
+    big = (
+        packed.join(hot, "k", "left_semi")
+        .withColumn("c", src_code())
+        .withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(cfg.salt_buckets)))
     )
     w_salt = Window.partitionBy("k", "_salt").orderBy("id")
     chained = big.withColumn("_prev", F.lag("id").over(w_salt))

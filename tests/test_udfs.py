@@ -53,11 +53,26 @@ def test_native_keys_match_spec(spark, vectors):
     fps_u64 = np.array([int(c["simhash_u64"]) for c in vectors["cases"]], dtype=np.uint64)
     pdf = pd.DataFrame({"simhash": spec.u64_to_i64(fps_u64)})
     df = spark.createDataFrame(pdf)
-    cols = pigeonhole_key_cols("simhash", CFG.n_blocks, CFG.hamming_radius)
-    rows = df.select(F.array(*cols).alias("keys")).collect()
-    want = spec.pigeonhole_keys(fps_u64, CFG.n_blocks, CFG.hamming_radius)
-    for r, w in zip(rows, want):
-        assert [int(v) for v in r["keys"]] == [int(x) for x in spec.u64_to_i64(w)]
+    # default (4 blocks) AND the large-corpus scale config (8 blocks, 56
+    # combination tables — config.index_config_for)
+    for n_blocks in (CFG.n_blocks, 8):
+        cols = pigeonhole_key_cols("simhash", n_blocks, CFG.hamming_radius)
+        rows = df.select(F.array(*cols).alias("keys")).collect()
+        want = spec.pigeonhole_keys(fps_u64, n_blocks, CFG.hamming_radius)
+        for r, w in zip(rows, want):
+            assert [int(v) for v in r["keys"]] == [int(x) for x in spec.u64_to_i64(w)]
+
+
+def test_index_config_thresholds():
+    from simhash_spark.config import index_config_for
+
+    assert index_config_for(10_000).n_blocks == 4
+    assert index_config_for(240_000).n_blocks == 4  # below measured crossover
+    assert index_config_for(2_000_000).n_blocks == 8
+    assert index_config_for(10**12).n_blocks == 16
+    # everything except the block count is untouched
+    assert index_config_for(2_000_000).shingle_k == CFG.shingle_k
+    assert index_config_for(10_000) is CFG
 
 
 def test_native_hamming_matches_spec(spark, vectors):
