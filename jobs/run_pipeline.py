@@ -35,6 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--no-phash", action="store_true")
     ap.add_argument(
+        "--cc-ckpt-every",
+        type=int,
+        default=0,
+        help="write a fault-tolerant catalog checkpoint of the CC edge set "
+        "every k rounds (0 = localCheckpoint only)",
+    )
+    ap.add_argument(
         "--n-blocks",
         type=int,
         default=None,
@@ -65,6 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         cfg,
         enable_substring=not args.no_substring,
         include_phash=not args.no_phash,
+        cc_ckpt_every=args.cc_ckpt_every,
     )
     out = pathlib.Path(args.output)
     res.clusters.write.mode("overwrite").parquet(str(out / "clusters"))

@@ -58,10 +58,26 @@ def verify_job(candidates: DataFrame, fp: DataFrame, cfg: PipelineConfig) -> Dat
     return verify_pairs(candidates, fp, cfg)
 
 
-def cluster_job(verified: DataFrame, vertices: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def cluster_job(
+    verified: DataFrame,
+    vertices: DataFrame,
+    cfg: PipelineConfig,
+    catalog: CheckpointCatalog | None = None,
+    cc_ckpt_every: int = 0,
+    input_fingerprint: str = "",
+) -> DataFrame:
     """E4: verified pairs -> (image_id, cluster_id = min id in component).
-    Vertices absent from any verified pair are singleton clusters."""
-    labels = connected_components(verified.select("a", "b"))
+    Vertices absent from any verified pair are singleton clusters.
+
+    ``catalog`` + ``cc_ckpt_every`` > 0 turns on the fault-tolerant CC round
+    checkpoint (connected_components docstring) — localCheckpoint alone is
+    executor-local and a lost executor mid-loop would kill a 100-TB run."""
+    labels = connected_components(
+        verified.select("a", "b"),
+        catalog=catalog,
+        ckpt_every=cc_ckpt_every,
+        input_fingerprint=input_fingerprint,
+    )
     all_ids = vertices.select(F.col("image_id"))
     singletons = all_ids.join(labels.select(F.col("id").alias("image_id")), "image_id", "left_anti")
     return labels.select(F.col("id").alias("image_id"), "cluster_id").unionByName(
@@ -84,6 +100,7 @@ def run_pipeline(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     enable_substring: bool = True,
     include_phash: bool = True,
+    cc_ckpt_every: int = 0,
 ) -> PipelineResult:
     """The resumable end-to-end run: every stage lands in the catalog with a
     manifest; rerunning after a crash skips complete stages (T5)."""
@@ -122,7 +139,13 @@ def run_pipeline(
         all_cand = cand
 
     verified = cat.run_stage("03_verified", in_fp, lambda: verify_job(all_cand, fp, cfg))
-    clusters = cat.run_stage("04_clusters", in_fp, lambda: cluster_job(verified, fp, cfg))
+    clusters = cat.run_stage(
+        "04_clusters",
+        in_fp,
+        lambda: cluster_job(
+            verified, fp, cfg, catalog=cat, cc_ckpt_every=cc_ckpt_every, input_fingerprint=in_fp
+        ),
+    )
     return PipelineResult(fp, cand, verified, clusters)
 
 

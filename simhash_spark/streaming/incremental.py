@@ -62,3 +62,48 @@ def start_incremental_ingest(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_windowed_dup_stats(
+    stream_df: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window duplicate statistics — the stateful
+    windowed-aggregation face of the engine (event time + late data).
+
+    For a stream of (image_id, caption, <ts>) rows: fingerprint each row
+    with the same frozen UDF, then count arrivals per (event-time window,
+    simhash). Rows sharing a simhash within a window are exact/near-dup
+    ingest bursts (n_rows > 1 — e.g. the same viral image re-submitted);
+    ``min_image_id`` is the window's canonical representative.
+
+    Semantics are standard Structured Streaming event-time processing:
+    state is keyed by (window, simhash) in the state store; the watermark
+    (``watermark_delay`` behind max event time) bounds state and DROPS rows
+    later than it (tested in tests/test_streaming.py — a row arriving after
+    its window's watermark passed does not change the emitted count); with
+    append output mode a window's row emits once, after the watermark
+    passes its end.
+    """
+    slim = stream_df.select(
+        "image_id", "caption", F.col(ts_col).cast("timestamp").alias("_ts")
+    )
+    fp = with_fingerprints(slim, cfg, emit_minhash=False).drop("caption")
+    return (
+        fp.withWatermark("_ts", watermark_delay)
+        .groupBy(F.window("_ts", window_duration).alias("w"), "simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("image_id").alias("min_image_id"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "simhash",
+            "n_rows",
+            "min_image_id",
+        )
+    )

@@ -43,3 +43,74 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got == expect
     # batch ids recorded for lineage
     assert spark.read.parquet(str(out)).select("_batch_id").distinct().count() >= 1
+
+
+def _write_ts_file(path, rows):
+    """rows: list of (image_id, caption, ts_iso)"""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["image_id", "caption", "ts"])
+    # micros, not pandas' default nanos — Spark's parquet reader rejects ns
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+
+def test_windowed_dup_stats_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time windows + watermark + late data (SURVEY §2.2 streaming):
+    1-hour tumbling windows, 2-hour watermark. A row that arrives AFTER the
+    watermark passed its window must be dropped — the emitted count for
+    that window stays at the on-time value."""
+    from simhash_spark.streaming.incremental import stream_windowed_dup_stats
+
+    src = tmp_path / "wsrc"
+    src.mkdir()
+    out = tmp_path / "wout"
+    ckpt = str(tmp_path / "wckpt")
+    schema = "image_id string, caption string, ts timestamp"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_windowed_dup_stats(stream, CFG)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+
+    # batch 1: three copies of one caption in the 10:00 window, plus a row
+    # at 14:00 that pushes the watermark to 12:00 (> 11:00) so the 10:00
+    # window closes and emits
+    _write_ts_file(
+        src / "b1.parquet",
+        [
+            ("i1", "the same viral caption here", "2024-01-01 10:05:00"),
+            ("i2", "the same viral caption here", "2024-01-01 10:25:00"),
+            ("i3", "the same viral caption here", "2024-01-01 10:55:00"),
+            ("i9", "something entirely different text", "2024-01-01 14:00:00"),
+        ],
+    )
+    run_once()
+    emitted = spark.read.parquet(str(out))
+    w10 = emitted.where(F.col("window_start") == "2024-01-01 10:00:00").collect()
+    assert len(w10) == 1 and w10[0]["n_rows"] == 3 and w10[0]["min_image_id"] == "i1"
+
+    # batch 2: a LATE copy for the (closed) 10:00 window + a 17:00 row that
+    # advances the watermark past 14:00-15:00 so that window emits too
+    _write_ts_file(
+        src / "b2.parquet",
+        [
+            ("i4", "the same viral caption here", "2024-01-01 10:40:00"),  # late
+            ("i8", "unrelated tail row caption", "2024-01-01 17:30:00"),
+        ],
+    )
+    run_once()
+    emitted = spark.read.parquet(str(out))
+    w10 = emitted.where(F.col("window_start") == "2024-01-01 10:00:00").collect()
+    # the late i4 row was dropped: still ONE emitted row, count still 3
+    assert len(w10) == 1 and w10[0]["n_rows"] == 3
+    w14 = emitted.where(F.col("window_start") == "2024-01-01 14:00:00").collect()
+    assert len(w14) == 1 and w14[0]["n_rows"] == 1 and w14[0]["min_image_id"] == "i9"
