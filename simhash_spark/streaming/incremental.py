@@ -64,6 +64,51 @@ def start_incremental_ingest(
     return writer.start()
 
 
+def stream_first_seen(
+    stream_df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Cross-batch streaming exact-fingerprint dedup — the custom stateful
+    operator face of the engine (``applyInPandasWithState``).
+
+    Emits each distinct simhash ONCE, at its first arrival across the whole
+    stream's lifetime: per-key state (arrival count) lives in the state
+    store and survives restarts via the query checkpoint. Later arrivals of
+    the same fingerprint are suppressed — the streaming analogue of
+    ``exact_dedup`` (operators/dedup.py), used to admit only novel content
+    into a training corpus at ingest time.
+
+    Within the first batch that sees a key, the canonical emitted row is
+    the minimum image_id (the engine's frozen representative rule).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fp = with_fingerprints(
+        stream_df.select("image_id", "caption"), cfg, emit_minhash=False
+    ).select("image_id", "simhash")
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        seen_before = state.exists and state.get[0] > 0
+        total = state.get[0] if state.exists else 0
+        first: pd.DataFrame | None = None
+        for pdf in pdf_iter:
+            if first is None and not seen_before and len(pdf):
+                idx = pdf["image_id"].idxmin()
+                first = pdf.loc[[idx], ["image_id", "simhash"]]
+            total += len(pdf)
+        state.update((total,))
+        if first is not None:
+            yield first
+
+    return fp.groupBy("simhash").applyInPandasWithState(
+        first_seen,
+        outputStructType="image_id string, simhash long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_windowed_dup_stats(
     stream_df: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,

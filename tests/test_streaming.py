@@ -114,3 +114,71 @@ def test_windowed_dup_stats_watermark_drops_late_rows(spark, tmp_path):
     assert len(w10) == 1 and w10[0]["n_rows"] == 3
     w14 = emitted.where(F.col("window_start") == "2024-01-01 14:00:00").collect()
     assert len(w14) == 1 and w14[0]["n_rows"] == 1 and w14[0]["min_image_id"] == "i9"
+
+
+def test_stream_first_seen_suppresses_cross_batch_duplicates(spark, tmp_path):
+    """applyInPandasWithState dedup: per-simhash state persists across
+    restarts via the checkpoint, so a duplicate arriving in a LATER run of
+    the query is suppressed."""
+    import pandas as pd
+
+    from simhash_spark.streaming.incremental import stream_first_seen
+
+    src = tmp_path / "fs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "fs_ckpt")
+    out = tmp_path / "fs_out"
+    schema = "image_id string, caption string"
+
+    def _emitted():
+        try:
+            return {r["image_id"] for r in spark.read.parquet(str(out)).collect()}
+        except Exception:
+            return set()
+
+    def run_once(name):
+        # memory sink cannot recover from a checkpoint; foreachBatch+append
+        # is the recovery-capable shape (same as production ingest)
+        before = _emitted()
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_first_seen(stream, CFG)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(str(out))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        return _emitted() - before
+
+    cap_x = "caption number one with several words"
+    cap_y = "a completely different second caption"
+    cap_z = "yet another third caption entirely new"
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"image_id": ["b", "a", "c"], "caption": [cap_x, cap_x, cap_y]}
+            ),
+            preserve_index=False,
+        ),
+        src / "f1.parquet",
+    )
+    got1 = run_once("fs_run1")
+    # within-batch dup of cap_x collapses to min image_id "a"
+    assert got1 == {"a", "c"}
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {"image_id": ["d", "e"], "caption": [cap_x, cap_z]}
+            ),
+            preserve_index=False,
+        ),
+        src / "f2.parquet",
+    )
+    got2 = run_once("fs_run2")
+    # "d" duplicates cap_x from run 1 -> suppressed by persisted state
+    assert got2 == {"e"}
