@@ -61,13 +61,15 @@ def explode_rotation_keys(
     )
 
 
-def _tagged(code: int, idx: int, key_col: F.Column) -> F.Column:
+def _tagged(code: int, idx, key_col: F.Column) -> F.Column:
     """One packed 8-byte bucket key: xxhash64 of (source code, table index,
     raw key) with the 2-bit source code folded into the low bits, so a
     bucket membership row is just (k, id) — no struct, no extra column.
     A 2^-62 hash collision merges two buckets, which only adds candidates
-    that exact verification filters out."""
-    return F.xxhash64(F.lit(code), F.lit(idx), key_col).bitwiseAND(F.lit(~3)).bitwiseOR(
+    that exact verification filters out. ``idx`` is an int (static table
+    index) or a Column (transform's lambda position)."""
+    idx_col = F.lit(idx) if isinstance(idx, int) else idx
+    return F.xxhash64(F.lit(code), idx_col, key_col).bitwiseAND(F.lit(~3)).bitwiseOR(
         F.lit(code)
     )
 
@@ -93,10 +95,10 @@ def explode_all_keys(
     WholeStageCodegen for the whole projection (executedPlan showed zero
     WSCG nodes — fully interpreted, measured 3.6x slower); a plain bigint
     array keeps the key expressions inside codegen. The source code rides
-    in each key's low 2 bits (``SRC_CODE``).
+    in each key's low 2 bits (``src_code``).
     """
     has_sh = F.col("n_shingles") > 0
-    band_keys = F.transform("bands", lambda v, i: _tagged_dyn(1, i, v))
+    band_keys = F.transform("bands", lambda v, i: _tagged(1, i, v))
     sim_keys = F.array(
         *[
             _tagged(2, i, col)
@@ -119,13 +121,6 @@ def explode_all_keys(
         )
         arr = F.concat(arr, ph_keys)
     return fp.select(F.col(id_col).alias("id"), F.explode(arr).alias("k")).select("k", "id")
-
-
-def _tagged_dyn(code: int, idx_col: F.Column, key_col: F.Column) -> F.Column:
-    """_tagged with a runtime table index (transform's lambda position)."""
-    return F.xxhash64(F.lit(code), idx_col, key_col).bitwiseAND(F.lit(~3)).bitwiseOR(
-        F.lit(code)
-    )
 
 
 def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
