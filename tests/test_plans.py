@@ -103,3 +103,20 @@ def test_exact_dedup_partial_aggregation(spark):
     plan = _plan(df)
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan
+
+
+def test_no_cartesian_product_on_any_scale_path(spark):
+    """Scale-killer tripwire over the WHOLE driver surface: no query may
+    plan a CartesianProduct except the two documented exact-baseline
+    operators (embedding_near_dup exact mode; cosine_topk broadcasts the
+    query side, which plans BroadcastNestedLoopJoin, not a cartesian)."""
+    allowed_cartesian = {"embedding_near_dup"}  # exact n^2 oracle baseline
+    qs = entrymod.queries()
+    offenders = []
+    for name, fn in qs.items():
+        if name in allowed_cartesian:
+            continue
+        plan = _plan(fn(spark, SF))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian product planned in: {offenders}"
