@@ -396,6 +396,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_near_dup_clusters"] = text_near_dup_clusters
 
+    def text_near_dup_clusters_substr(spark, sf):
+        # the flagship with the suffix-array substring stage composed in
+        # (SURVEY O15): substring candidates verify unconditionally
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
+
+        return op(
+            spark.read.parquet(_t(sf, "documents")),
+            "doc_id",
+            "text",
+            CFG,
+            enable_substring=True,
+        )
+
+    q["text_near_dup_clusters_substr"] = text_near_dup_clusters_substr
+
     def substring_pairs_docs(spark, sf):
         from simhash_spark.operators.substring import substring_pairs
 
@@ -703,6 +718,9 @@ def oracle_sql() -> dict[str, str]:
     """
     o["substring_pairs_docs"] = f"""
         SELECT a, b, src FROM read_parquet('{exp}/substr_pairs.parquet')
+    """
+    o["text_near_dup_clusters_substr"] = f"""
+        SELECT doc_id, cluster_id FROM read_parquet('{exp}/clusters_substr.parquet')
     """
     o["image_near_dup_clusters"] = f"""
         SELECT image_id, cluster_id FROM read_parquet('{exp}/image_clusters.parquet')

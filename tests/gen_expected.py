@@ -196,6 +196,31 @@ def main() -> None:
     )
     print(f"substring pairs: {len(sub_pairs)}")
 
+    # ---- clusters WITH the substring stage (text_near_dup_clusters_substr):
+    # substr candidates verify unconditionally (verify.py: src contains
+    # 'substr'), so the edge set is verified hamming pairs ∪ substring pairs
+    sparent: dict[str, str] = {i: i for i in ids}
+
+    def sfind(x: str) -> str:
+        while sparent[x] != x:
+            sparent[x] = sparent[sparent[x]]
+            x = sparent[x]
+        return x
+
+    for a, b in list(verified) + sub_pairs:
+        ra, rb = sfind(a), sfind(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            sparent[hi] = lo
+    pq.write_table(
+        pa.table(
+            {"doc_id": list(ids), "cluster_id": [sfind(i) for i in ids]},
+            schema=pa.schema([("doc_id", pa.string()), ("cluster_id", pa.string())]),
+        ),
+        OUT / "clusters_substr.parquet",
+    )
+    print(f"clusters with substring stage: {len({sfind(i) for i in ids})}")
+
     # ---- image fixture queries (seed-deterministic -> constant answers) ----
     from simhash_spark.operators.multimodal import ahash64, decode_rgb
     from simhash_spark.sources.fixtures import make_images_pdf
