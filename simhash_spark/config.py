@@ -36,9 +36,9 @@ class PipelineConfig:
     # --- skew / hot-bucket handling ---
     bucket_cap: int = 256         # max rows per candidate bucket before salt-split
     salt_buckets: int = 16        # salt fan-out for capped buckets
-    # --- execution ---
-    shuffle_partitions: int = 32
-    arrow_batch_rows: int = 10_000
+    # execution-level knobs (shuffle partitions, Arrow batch size) live on
+    # the SparkSession (session.get_spark), not here: they tune a deployment,
+    # not the frozen algorithm contract.
 
     @property
     def block_bits(self) -> int:
