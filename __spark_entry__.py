@@ -36,6 +36,40 @@ def _cents(col) -> F.Column:
     return F.round(col * 100).cast("long")
 
 
+def _expected_values_sql(parquet_name: str, types: dict[str, str]) -> str:
+    """Expected-output oracle as a self-contained VALUES query.
+
+    The expected rows live in tests/expected/*.parquet (precomputed by the
+    frozen numpy spec — tests/gen_expected.py); inlining them as literals
+    keeps the oracle SQL free of ANY filesystem dependency in the driver's
+    DuckDB (read_parquet would need external file access there). Explicit
+    casts pin every column's dtype so the value hash is stable.
+    """
+    import pandas as pd
+
+    path = f"/root/repo/tests/expected/text_kernel_sf001/{parquet_name}"
+    pdf = pd.read_parquet(path)
+
+    def lit(v) -> str:
+        if v is None or (isinstance(v, float) and v != v):
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(int(v))
+
+    pdf = pdf[list(types)]
+    rows = ",\n".join(
+        "(" + ", ".join(lit(v) for v in rec) + ")"
+        for rec in pdf.itertuples(index=False, name=None)
+    )
+    cols = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in types.items())
+    names = ", ".join(types)
+    if not len(pdf):  # empty expected set: zero-row SELECT with typed schema
+        empty = ", ".join(f"CAST(NULL AS {t}) AS {c}" for c, t in types.items())
+        return f"SELECT {empty} WHERE 1=0"
+    return f"SELECT {cols} FROM (VALUES\n{rows}\n) AS _t({names})"
+
+
 # --------------------------------------------------------------------- entry
 
 
@@ -702,42 +736,50 @@ def oracle_sql() -> dict[str, str]:
     # ---- spec-precomputed differential oracles (the reference's 对拍 method,
     # /root/reference/README.md:11): the SimHash/MinHash/LSH/CC kernels are
     # not ANSI-SQL-expressible, so tests/gen_expected.py computes their exact
-    # expected output at sf0.01 with the frozen pure-numpy spec (no Spark)
-    # and DuckDB reads the checked-in parquet. Valid at the driver's
-    # correctness scale (sf0.01) by construction.
-    exp = "/root/repo/tests/expected/text_kernel_sf001"
-    o["simhash_fingerprints"] = f"""
-        SELECT doc_id, simhash, n_shingles
-        FROM read_parquet('{exp}/fingerprints.parquet')
-    """
-    o["minhash_lsh_candidates"] = f"""
-        SELECT a, b, src FROM read_parquet('{exp}/candidates.parquet')
-    """
-    o["text_near_dup_clusters"] = f"""
-        SELECT doc_id, cluster_id FROM read_parquet('{exp}/clusters.parquet')
-    """
-    o["substring_pairs_docs"] = f"""
-        SELECT a, b, src FROM read_parquet('{exp}/substr_pairs.parquet')
-    """
-    o["text_near_dup_clusters_substr"] = f"""
-        SELECT doc_id, cluster_id FROM read_parquet('{exp}/clusters_substr.parquet')
-    """
-    o["image_near_dup_clusters"] = f"""
-        SELECT image_id, cluster_id FROM read_parquet('{exp}/image_clusters.parquet')
-    """
-    o["image_features"] = f"""
-        SELECT image_id, w, h, phash_computed, error
-        FROM read_parquet('{exp}/image_features.parquet')
-    """
-    o["srp_topk"] = f"""
-        SELECT query_id, neighbor_id, rank FROM read_parquet('{exp}/srp_topk.parquet')
-    """
-    o["ann_ivf_topk"] = f"""
-        SELECT query_id, neighbor_id, rank FROM read_parquet('{exp}/ivf_topk.parquet')
-    """
-    o["embedding_near_dup_lsh"] = f"""
-        SELECT a, b FROM read_parquet('{exp}/emb_lsh_pairs.parquet')
-    """
+    # expected output at sf0.01 with the frozen pure-numpy spec (no Spark);
+    # the expected rows are inlined as VALUES literals so the driver's DuckDB
+    # needs no filesystem access. Valid at the driver's correctness scale
+    # (sf0.01) by construction.
+    o["simhash_fingerprints"] = _expected_values_sql(
+        "fingerprints.parquet",
+        {"doc_id": "VARCHAR", "simhash": "BIGINT", "n_shingles": "INT"},
+    )
+    o["minhash_lsh_candidates"] = _expected_values_sql(
+        "candidates.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}
+    )
+    o["text_near_dup_clusters"] = _expected_values_sql(
+        "clusters.parquet", {"doc_id": "VARCHAR", "cluster_id": "VARCHAR"}
+    )
+    o["substring_pairs_docs"] = _expected_values_sql(
+        "substr_pairs.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}
+    )
+    o["text_near_dup_clusters_substr"] = _expected_values_sql(
+        "clusters_substr.parquet", {"doc_id": "VARCHAR", "cluster_id": "VARCHAR"}
+    )
+    o["image_near_dup_clusters"] = _expected_values_sql(
+        "image_clusters.parquet", {"image_id": "VARCHAR", "cluster_id": "VARCHAR"}
+    )
+    o["image_features"] = _expected_values_sql(
+        "image_features.parquet",
+        {
+            "image_id": "VARCHAR",
+            "w": "INT",
+            "h": "INT",
+            "phash_computed": "BIGINT",
+            "error": "VARCHAR",
+        },
+    )
+    o["srp_topk"] = _expected_values_sql(
+        "srp_topk.parquet",
+        {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "INT"},
+    )
+    o["ann_ivf_topk"] = _expected_values_sql(
+        "ivf_topk.parquet",
+        {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "INT"},
+    )
+    o["embedding_near_dup_lsh"] = _expected_values_sql(
+        "emb_lsh_pairs.parquet", {"a": "BIGINT", "b": "BIGINT"}
+    )
 
     o["frame_sample"] = """
         WITH v AS (
