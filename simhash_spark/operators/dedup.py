@@ -8,10 +8,11 @@ uses (operators/candidates.py etc.); this module adds:
 
 - exact_dedup / exact_dedup_groups : hash-groupBy on md5(text) — one shuffle,
   map-side partial agg, fully SQL-expressible (oracle-checked).
-- ngram_jaccard_pairs : exact n-gram-shingle Jaccard via explode + self-join
-  on shingle — shuffle on the shingle key; frequent-shingle cap keeps the
-  join output linear at scale (same hot-bucket argument as candidates.py).
-  Fully SQL-expressible (oracle-checked).
+- ngram_jaccard_pairs : exact n-gram-shingle Jaccard via per-shingle doc-id
+  lists + native pair expansion — one shuffle on the shingle key; the
+  frequent-shingle cap keeps output linear and per-group memory bounded at
+  scale (same hot-bucket argument as candidates.py). Fully SQL-expressible
+  (oracle-checked).
 - embedding_near_dup : cosine >= tau pairs. Native zip_with/aggregate dot
   product (no UDF); scale path buckets by random-hyperplane LSH first
   (operators/ann.srp_signature) so the self-join is per-bucket, not n^2.
@@ -89,8 +90,9 @@ def ngram_jaccard_pairs(
     jaccard), a < b.
 
     Plan: distinct (id, shingle) -> per-doc sizes (broadcastable rollup) ->
-    self-equi-join on shingle (THE shuffle; AQE splits skewed shingles) ->
-    per-pair shared count -> join sizes -> jaccard = shared/(|a|+|b|-shared).
+    per-shingle doc-id lists (ONE shuffle; memory bounded by the cap) ->
+    native C(s,2) pair expansion -> per-pair shared count -> join sizes ->
+    jaccard = shared/(|a|+|b|-shared). No self-join of the shingle table.
 
     ``shingle_doc_cap``: shingles present in more than this many docs are
     dropped before the join (a stop-shingle: at web scale "click here to"
@@ -100,17 +102,29 @@ def ngram_jaccard_pairs(
     """
     sh = ngram_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-shingle doc-id lists instead of a self-equi-join: one shuffle of
+    # the (id, shingle) table, pairs expanded natively (same collect+explode
+    # shape as candidates.bucket_pairs_packed). The freq pre-agg exists so
+    # no task ever collect_lists a mega-shingle's doc set (the stop-shingle
+    # cap bounds per-group memory at ANY corpus size); its semi-join is
+    # AQE-broadcast when the kept-shingle list is small.
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    sh_kept = sh.join(
-        freq.where(F.col("df_") <= shingle_doc_cap).select("shingle"), "shingle"
+    kept = freq.where(
+        (F.col("df_") >= 2) & (F.col("df_") <= shingle_doc_cap)
+    ).select("shingle")
+    grouped = (
+        sh.join(kept, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
     )
-    x, y = sh_kept.alias("x"), sh_kept.alias("y")
-    shared = (
-        x.join(y, "shingle")
-        .where(F.col("x.id") < F.col("y.id"))
-        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    lefts = grouped.select("_ids", F.posexplode("_ids").alias("_i", "a"))
+    pairs = lefts.select(
+        "a",
+        F.explode(
+            F.slice("_ids", F.col("_i") + 2, F.size("_ids") - F.col("_i") - 1)
+        ).alias("b"),
     )
+    shared = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
     sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
     return (
