@@ -45,9 +45,17 @@ def _expected_values_sql(parquet_name: str, types: dict[str, str]) -> str:
     DuckDB (read_parquet would need external file access there). Explicit
     casts pin every column's dtype so the value hash is stable.
     """
+    import pathlib
+
     import pandas as pd
 
-    path = f"/root/repo/tests/expected/text_kernel_sf001/{parquet_name}"
+    path = (
+        pathlib.Path(__file__).resolve().parent
+        / "tests"
+        / "expected"
+        / "text_kernel_sf001"
+        / parquet_name
+    )
     pdf = pd.read_parquet(path)
 
     def lit(v) -> str:

@@ -58,6 +58,17 @@ class PipelineConfig:
 DEFAULT_CONFIG = PipelineConfig()
 
 
+def config_fingerprint(cfg: PipelineConfig) -> str:
+    """Short stable hash of the full config — goes into stage checkpoint
+    fingerprints so a rerun with a DIFFERENT config (e.g. --n-blocks 8)
+    cannot silently reuse stages computed under the old one."""
+    import hashlib
+    from dataclasses import asdict
+
+    payload = repr(sorted(asdict(cfg).items()))
+    return hashlib.sha256(payload.encode()).hexdigest()[:10]
+
+
 def index_config_for(n_rows: int, base: PipelineConfig = DEFAULT_CONFIG) -> PipelineConfig:
     """Pick the pigeonhole block count for the corpus size.
 

@@ -129,6 +129,12 @@ def image_features(src: DataFrame, thumb: int = 8) -> DataFrame:
                     thumbs[i] = block_mean_resize(px, thumb, thumb).tobytes()
                 except (NotImplementedError, ValueError) as e:
                     errs[i] = f"{type(e).__name__}: {e}"
+                    # quarantined rows carry ONLY defaults — a failure after
+                    # partial assignment must not leak half-computed fields
+                    w[i] = h[i] = 0
+                    ph[i] = 0
+                    means[i] = 0.0
+                    thumbs[i] = b""
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"].to_numpy(),

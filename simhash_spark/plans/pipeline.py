@@ -85,6 +85,21 @@ def cluster_job(
     )
 
 
+def stage_fingerprint(
+    input_path: str, cfg: PipelineConfig, enable_substring: bool, include_phash: bool
+) -> str:
+    """Stage checkpoint identity = input content + full config + pipeline
+    flags: a rerun with a different index config (e.g. --n-blocks 8) or
+    stage set must recompute, never silently resume stages computed under
+    the old configuration."""
+    from simhash_spark.config import config_fingerprint
+
+    return (
+        f"{input_fingerprint_of(input_path)}-{config_fingerprint(cfg)}"
+        f"-ss{int(enable_substring)}-ph{int(include_phash)}"
+    )
+
+
 @dataclass
 class PipelineResult:
     fingerprints: DataFrame
@@ -105,7 +120,7 @@ def run_pipeline(
     """The resumable end-to-end run: every stage lands in the catalog with a
     manifest; rerunning after a crash skips complete stages (T5)."""
     cat = CheckpointCatalog(spark, checkpoint_path)
-    in_fp = input_fingerprint_of(input_path)
+    in_fp = stage_fingerprint(input_path, cfg, enable_substring, include_phash)
     src = spark.read.parquet(input_path)
 
     fp = cat.run_stage("01_fingerprints", in_fp, lambda: fingerprint_job(spark, src, cfg))

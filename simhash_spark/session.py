@@ -63,12 +63,12 @@ def get_spark(
         # dumps: FileChannel.map0/transferTo). Sort-based writer = one file
         # per map task.
         .config("spark.shuffle.sort.bypassMergeThreshold", "1")
-        # straggler mitigation: this sandbox has 10-15% CPU steal that
-        # randomly stalls individual tasks (measured: candidates-stage wall
-        # ranged 10-46 s across identical runs; with speculation 10.7-16 s).
-        # The same conf is the standard defense against slow/failing
-        # executors on a real cluster. Quantile 0.75 + multiplier 1.5 only
-        # clones genuine stragglers.
+        # straggler mitigation FOR CLUSTER DEPLOYMENTS: speculation is a
+        # deliberate no-op in local mode (TaskSchedulerImpl.start() skips
+        # the speculation scheduler when isLocal), so it neither helps nor
+        # hurts here — it is set so the same session factory shipped to a
+        # real cluster clones genuine stragglers (quantile 0.75,
+        # multiplier 1.5), the standard defense against slow executors.
         .config("spark.speculation", "true")
         .config("spark.speculation.multiplier", "1.5")
         .config("spark.speculation.quantile", "0.75")

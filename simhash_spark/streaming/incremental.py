@@ -90,12 +90,18 @@ def stream_first_seen(
     def first_seen(key, pdf_iter, state: GroupState):
         seen_before = state.exists and state.get[0] > 0
         total = state.get[0] if state.exists else 0
+        # the group may arrive as SEVERAL pandas chunks (Arrow batch size);
+        # the canonical min id must be taken across ALL of them, not just
+        # the first non-empty chunk
         first: pd.DataFrame | None = None
         for pdf in pdf_iter:
-            if first is None and not seen_before and len(pdf):
-                idx = pdf["image_id"].idxmin()
-                first = pdf.loc[[idx], ["image_id", "simhash"]]
             total += len(pdf)
+            if seen_before or not len(pdf):
+                continue
+            idx = pdf["image_id"].idxmin()
+            cand = pdf.loc[[idx], ["image_id", "simhash"]]
+            if first is None or cand["image_id"].iloc[0] < first["image_id"].iloc[0]:
+                first = cand
         state.update((total,))
         if first is not None:
             yield first

@@ -75,12 +75,13 @@ def test_bytes_pruned_from_fingerprint_plan(spark, fixture_dir):
 
 
 def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
-    from simhash_spark.sources.catalog import CheckpointCatalog, input_fingerprint_of
+    from simhash_spark.plans.pipeline import stage_fingerprint
+    from simhash_spark.sources.catalog import CheckpointCatalog
 
     ck = tmp_path / "ckpt3"
     run_pipeline(spark, str(fixture_dir / "images.parquet"), str(ck), CFG)
     cat = CheckpointCatalog(spark, ck)
-    in_fp = input_fingerprint_of(str(fixture_dir / "images.parquet"))
+    in_fp = stage_fingerprint(str(fixture_dir / "images.parquet"), CFG, True, True)
     for stage in ("01_fingerprints", "02_candidates", "02b_substr", "03_verified", "04_clusters"):
         m = cat.manifest(stage)
         assert m and m["complete"] and m["input_fingerprint"] == in_fp, stage
@@ -96,6 +97,16 @@ def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
     boom = lambda: (_ for _ in ()).throw(AssertionError("stage recomputed"))
     out = cat.run_stage("04_clusters", in_fp, boom)
     assert out.count() == 2000
+
+    # a different config must NOT resume from these stages: its fingerprint
+    # differs, so is_complete is false and compute would rerun
+    from dataclasses import replace
+
+    fp8 = stage_fingerprint(
+        str(fixture_dir / "images.parquet"), replace(CFG, n_blocks=8), True, True
+    )
+    assert fp8 != in_fp
+    assert not cat.is_complete("02_candidates", fp8)
 
 
 def test_iceberg_backend_gate_raises_without_runtime_jar(spark, tmp_path):
