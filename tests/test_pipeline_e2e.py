@@ -49,6 +49,24 @@ def test_pipeline_matches_truth(spark, fixture_dir, tmp_path):
     assert clusters == truth_map, "cluster assignment differs from brute-force truth"
 
 
+def test_pipeline_matches_truth_with_scale_index(spark, fixture_dir, tmp_path):
+    """The large-corpus index config (8 blocks, config.index_config_for)
+    must preserve EXACT recall end-to-end: the pigeonhole completeness
+    guarantee holds for any n_blocks > radius, so cluster assignments are
+    identical to truth — only candidate volume changes."""
+    from dataclasses import replace
+
+    res = run_pipeline(
+        spark,
+        str(fixture_dir / "images.parquet"),
+        str(tmp_path / "ckpt8"),
+        replace(CFG, n_blocks=8),
+    )
+    clusters = {r["image_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    truth = pd.read_parquet(fixture_dir / "truth_clusters.parquet")
+    assert clusters == dict(zip(truth["image_id"], truth["cluster_id"]))
+
+
 def test_verified_pairs_subset_of_truth(spark, fixture_dir, tmp_path):
     """Precision: every verified pair satisfies the frozen dup predicate."""
     res = run_pipeline(
