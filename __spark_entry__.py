@@ -518,6 +518,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_near_dup_clusters"] = image_near_dup_clusters
 
+    def audio_features(spark, sf):
+        from simhash_spark.operators.multimodal import audio_features as op
+        from simhash_spark.sources.fixtures import AUDIO_HINT_SCHEMA, make_audio_pdf
+
+        pdf = make_audio_pdf(100, seed=42)
+        src = spark.createDataFrame(pdf, schema=AUDIO_HINT_SCHEMA)
+        return op(src)
+
+    q["audio_features"] = audio_features
+
     def image_features(spark, sf):
         from simhash_spark.operators.multimodal import image_features as op
         from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
@@ -774,6 +784,19 @@ def oracle_sql() -> dict[str, str]:
             "w": "INT",
             "h": "INT",
             "phash_computed": "BIGINT",
+            "error": "VARCHAR",
+        },
+    )
+    o["audio_features"] = _expected_values_sql(
+        "audio_features.parquet",
+        {
+            "audio_id": "VARCHAR",
+            "sample_rate": "INT",
+            "n_channels": "INT",
+            "n_samples": "INT",
+            "duration_ms": "INT",
+            "rms_milli": "INT",
+            "zero_cross_per_sec": "INT",
             "error": "VARCHAR",
         },
     )

@@ -154,6 +154,133 @@ def image_features(src: DataFrame, thumb: int = 8) -> DataFrame:
     return slim.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+# -------------------------------------------------------------- audio
+
+SUPPORTED_AUDIO_FMTS = ("wav",)
+
+
+def decode_pcm_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """binary -> ((n_samples, n_channels) float64 in [-1, 1], sample_rate).
+
+    Real decoder for RIFF/WAVE PCM16 (an uncompressed container — pure
+    numpy header parse + frombuffer, the audio analogue of the PPM path);
+    ``NotImplementedError`` for compressed codecs (mp3/aac/flac — no codec
+    libs in this container; quarantined per row by audio_features).
+    """
+    if len(data) < 44 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload (compressed codec?)")
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    pcm = np.frombuffer(raw, dtype="<i2")
+    pcm = pcm[: len(pcm) - len(pcm) % max(n_channels, 1)].reshape(-1, n_channels)
+    return pcm.astype(np.float64) / 32768.0, sample_rate
+
+
+def encode_pcm_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n, channels) float64 [-1,1] -> PCM16 WAV bytes (fixture writer)."""
+    pcm = np.clip(np.rint(samples * 32767.0), -32768, 32767).astype("<i2")
+    n_ch = pcm.shape[1] if pcm.ndim == 2 else 1
+    raw = pcm.tobytes()
+    byte_rate = sample_rate * n_ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(raw).to_bytes(4, "little") + raw
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("duration_ms", T.IntegerType()),
+        T.StructField("rms_milli", T.IntegerType()),
+        T.StructField("zero_cross_per_sec", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def audio_features(src: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio payloads in one mapInPandas pass:
+    duration, RMS level (integer millis — the engine's bit-stable oracle
+    convention), zero-crossing rate. Per-row failures quarantine into
+    ``error``; input pruned to (audio_id, bytes, fmt) at the scan.
+
+    Same per-row-decode exemption as image_features: the codec call is the
+    only per-row Python; everything around it is preallocated columnar
+    numpy, and the per-clip math is whole-array numpy.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            sr = np.zeros(n, np.int32)
+            ch = np.zeros(n, np.int32)
+            ns = np.zeros(n, np.int32)
+            dur = np.zeros(n, np.int32)
+            rms = np.zeros(n, np.int32)
+            zc = np.zeros(n, np.int32)
+            errs: list[str | None] = [None] * n
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    if data is None:
+                        raise ValueError("null bytes")
+                    if fmt != "wav":
+                        raise NotImplementedError(f"no codec for format {fmt!r}")
+                    pcm, rate = decode_pcm_wav(bytes(data))
+                    mono = pcm.mean(axis=1)
+                    sr[i] = rate
+                    ch[i] = pcm.shape[1]
+                    ns[i] = pcm.shape[0]
+                    dur[i] = int(pcm.shape[0] * 1000 / max(rate, 1))
+                    rms[i] = int(round(float(np.sqrt(np.mean(mono**2))) * 1000))
+                    crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
+                    zc[i] = int(round(crossings * rate / max(pcm.shape[0], 1)))
+                except (NotImplementedError, ValueError) as e:
+                    errs[i] = f"{type(e).__name__}: {e}"
+                    sr[i] = ch[i] = ns[i] = dur[i] = rms[i] = zc[i] = 0
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"].to_numpy(),
+                    "sample_rate": sr,
+                    "n_channels": ch,
+                    "n_samples": ns,
+                    "duration_ms": dur,
+                    "rms_milli": rms,
+                    "zero_cross_per_sec": zc,
+                    "error": errs,
+                }
+            )
+
+    slim = src.select("audio_id", "bytes", "fmt")
+    return slim.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 # ------------------------------------------------------------ video stub
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

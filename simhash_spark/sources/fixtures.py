@@ -140,6 +140,41 @@ def _flip_bits(ph: np.uint64, rng: np.random.Generator, k: int) -> np.uint64:
     return np.uint64(v)
 
 
+AUDIO_HINT_SCHEMA = "audio_id string, bytes binary, fmt string"
+
+
+def make_audio_pdf(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic audio corpus: PCM16 WAV clips (sine + noise, mono and
+    stereo, varied rates) plus a sprinkling of unsupported-codec rows and
+    null payloads — the quarantine path is part of the fixture."""
+    from simhash_spark.operators.multimodal import encode_pcm_wav
+
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+    for i in range(n_rows):
+        if i % 10 == 7:  # compressed codec -> per-row quarantine
+            rows.append({"audio_id": f"au{i:06d}", "bytes": b"\xff\xfb0fake-mp3", "fmt": "mp3"})
+            continue
+        if i % 10 == 3:  # null payload
+            rows.append({"audio_id": f"au{i:06d}", "bytes": None, "fmt": "wav"})
+            continue
+        rate = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(rate // 5, rate))  # 0.2-1.0 s
+        freq = float(rng.uniform(100, 2000))
+        t = np.arange(n) / rate
+        sig = 0.5 * np.sin(2 * np.pi * freq * t) + rng.normal(0, 0.01, n)
+        stereo = bool(rng.integers(0, 2))
+        samples = np.stack([sig, sig * 0.5], axis=1) if stereo else sig[:, None]
+        rows.append(
+            {
+                "audio_id": f"au{i:06d}",
+                "bytes": encode_pcm_wav(samples, rate),
+                "fmt": "wav",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def make_degenerate_pdf(seed: int = 7) -> pd.DataFrame:
     """F2: the dev-ex lesson (/root/reference/README.md:11) — tiny/degenerate
     inputs that broke the reference's scalability branch."""

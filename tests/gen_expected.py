@@ -294,6 +294,57 @@ def main() -> None:
     )
     print(f"image features: {len(feat)} rows")
 
+    # audio_features: PCM WAV decode + per-clip math are pure numpy — run
+    # the same functions outside Spark on the deterministic fixture
+    from simhash_spark.operators.multimodal import decode_pcm_wav
+    from simhash_spark.sources.fixtures import make_audio_pdf
+
+    aud = make_audio_pdf(100, seed=42)
+    acols: dict[str, list] = {
+        k: [] for k in (
+            "audio_id", "sample_rate", "n_channels", "n_samples",
+            "duration_ms", "rms_milli", "zero_cross_per_sec", "error",
+        )
+    }
+    for _, row in aud.iterrows():
+        acols["audio_id"].append(row["audio_id"])
+        try:
+            if row["bytes"] is None:
+                raise ValueError("null bytes")
+            if row["fmt"] != "wav":
+                raise NotImplementedError(f"no codec for format {row['fmt']!r}")
+            pcm, rate = decode_pcm_wav(bytes(row["bytes"]))
+            mono = pcm.mean(axis=1)
+            acols["sample_rate"].append(rate)
+            acols["n_channels"].append(pcm.shape[1])
+            acols["n_samples"].append(pcm.shape[0])
+            acols["duration_ms"].append(int(pcm.shape[0] * 1000 / max(rate, 1)))
+            acols["rms_milli"].append(int(round(float(np.sqrt(np.mean(mono**2))) * 1000)))
+            crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
+            acols["zero_cross_per_sec"].append(int(round(crossings * rate / max(pcm.shape[0], 1))))
+            acols["error"].append(None)
+        except (NotImplementedError, ValueError) as e:
+            for k in ("sample_rate", "n_channels", "n_samples", "duration_ms",
+                      "rms_milli", "zero_cross_per_sec"):
+                acols[k].append(0)
+            acols["error"].append(f"{type(e).__name__}: {e}")
+    pq.write_table(
+        pa.table(
+            {
+                "audio_id": acols["audio_id"],
+                "sample_rate": np.array(acols["sample_rate"], np.int32),
+                "n_channels": np.array(acols["n_channels"], np.int32),
+                "n_samples": np.array(acols["n_samples"], np.int32),
+                "duration_ms": np.array(acols["duration_ms"], np.int32),
+                "rms_milli": np.array(acols["rms_milli"], np.int32),
+                "zero_cross_per_sec": np.array(acols["zero_cross_per_sec"], np.int32),
+                "error": pa.array(acols["error"], type=pa.string()),
+            }
+        ),
+        OUT / "audio_features.parquet",
+    )
+    print(f"audio features: {len(aud)} rows")
+
     # ---- approximate-ANN queries (seed-deterministic kernels) ----
     # The SRP planes / IVF centroids are pure functions of (seed, data); the
     # engine's pandas UDFs run the same numpy math per Arrow batch, so the

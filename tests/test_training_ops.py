@@ -382,3 +382,37 @@ def test_ivf_finds_planted_neighbors(spark, emb_with_dups):
     }
     hits = sum(1 for q, n in got.items() if n == q - 10000)
     assert hits >= 38, f"only {hits}/40 planted neighbors found (same-list guarantee)"
+
+
+def test_wav_roundtrip_and_audio_quarantine(spark):
+    """PCM16 WAV encode->decode roundtrip is sample-exact (within the 16-bit
+    quantization), and unsupported codecs / null payloads quarantine per row
+    without failing the job."""
+    import numpy as np
+
+    from simhash_spark.operators.multimodal import (
+        audio_features,
+        decode_pcm_wav,
+        encode_pcm_wav,
+    )
+    from simhash_spark.sources.fixtures import AUDIO_HINT_SCHEMA, make_audio_pdf
+
+    rng = np.random.default_rng(5)
+    samples = rng.uniform(-0.9, 0.9, size=(4000, 2))
+    data = encode_pcm_wav(samples, 16000)
+    decoded, rate = decode_pcm_wav(data)
+    assert rate == 16000 and decoded.shape == (4000, 2)
+    assert np.max(np.abs(decoded - samples)) <= 1.5 / 32768.0
+
+    pdf = make_audio_pdf(40, seed=11)
+    out = audio_features(
+        spark.createDataFrame(pdf, schema=AUDIO_HINT_SCHEMA)
+    ).collect()
+    by_id = {r["audio_id"]: r for r in out}
+    assert len(by_id) == 40
+    for _, row in pdf.iterrows():
+        r = by_id[row["audio_id"]]
+        if row["fmt"] == "wav" and row["bytes"] is not None:
+            assert r["error"] is None and r["duration_ms"] > 0 and r["sample_rate"] > 0
+        else:
+            assert r["error"] is not None and r["sample_rate"] == 0
