@@ -193,6 +193,89 @@ def with_fingerprints(
     return df.withColumn("_fp", fp).select("*", "_fp.*").drop("_fp")
 
 
+# ----------------------------------------------------- bucket-key UDF (wide)
+
+
+def tagged_keys_batch(
+    sim_u64: np.ndarray,
+    ph_u64: np.ndarray,
+    has: np.ndarray,
+    bands_u64: np.ndarray,
+    cfg: PipelineConfig,
+    include_phash: bool,
+) -> list[np.ndarray]:
+    """Per-row tagged bucket-key arrays (int64), numpy throughout.
+
+    Same bucket semantics as the native path in candidates.explode_all_keys
+    — one key per (source, table index, raw key) with the 2-bit source code
+    in the low bits — but the fold hash is FNV-1a over the packed
+    (code, index, key) record instead of JVM xxhash64. Bucket identity only
+    needs to be consistent WITHIN a run (never mixed across paths), and the
+    candidate PAIR set is hash-choice-independent (asserted by test).
+    """
+    n = len(sim_u64)
+    sim_keys = spec.pigeonhole_keys(sim_u64, cfg.n_blocks, cfg.hamming_radius)
+
+    def tag(code: int, keys: np.ndarray) -> np.ndarray:
+        """(m, k) uint64 raw keys -> (m, k) int64 tagged fold hashes."""
+        m, k = keys.shape
+        rec = np.zeros((m, k, 11), dtype=np.uint8)
+        rec[:, :, 0] = code
+        idx = np.arange(k, dtype=np.uint16)
+        rec[:, :, 1] = (idx & 0xFF)[None, :]
+        rec[:, :, 2] = (idx >> 8)[None, :]
+        rec[:, :, 3:] = (
+            np.ascontiguousarray(keys.astype("<u8")).view(np.uint8).reshape(m, k, 8)
+        )
+        h = spec.fnv1a64_fixed(rec)
+        return spec.u64_to_i64((h & np.uint64(~np.uint64(3))) | np.uint64(code))
+
+    with_sh = np.flatnonzero(has)
+    main = None
+    if len(with_sh):
+        main = np.concatenate(
+            [tag(1, bands_u64[with_sh]), tag(2, sim_keys[with_sh])], axis=1
+        )
+    ph_all = None
+    if include_phash:
+        ph_all = tag(3, spec.pigeonhole_keys(ph_u64, cfg.n_blocks, cfg.phash_radius))
+
+    empty = np.zeros(0, dtype=np.int64)
+    out: list[np.ndarray] = [empty] * n
+    for j, i in enumerate(with_sh):
+        out[i] = main[j] if ph_all is None else np.concatenate([main[j], ph_all[i]])
+    if ph_all is not None:
+        for i in np.flatnonzero(~has):
+            out[i] = ph_all[i]
+    return out
+
+
+def make_tagged_keys_udf(cfg: PipelineConfig, include_phash: bool):
+    """pandas_udf: (simhash, phash, n_shingles, bands) -> array<long> of
+    tagged bucket keys. Used by candidates.explode_all_keys when the block
+    combination count is large: C(16,13)=560 combination keys as Catalyst
+    expressions produced a 9 MB task binary and a plan-compile-bound stage
+    (measured 180 s for 500 docs); one numpy pass per Arrow batch computes
+    the same buckets in milliseconds."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(
+        simhash: pd.Series, phash: pd.Series, n_shingles: pd.Series, bands: pd.Series
+    ) -> pd.Series:
+        sim_u64 = spec.i64_to_u64(simhash.to_numpy(np.int64))
+        ph_u64 = spec.i64_to_u64(phash.to_numpy(np.int64))
+        has = n_shingles.to_numpy(np.int64) > 0
+        bands_u64 = (
+            spec.i64_to_u64(np.stack(bands.to_numpy()).astype(np.int64))
+            if len(simhash)
+            else np.zeros((0, cfg.n_bands), np.uint64)
+        )
+        out = tagged_keys_batch(sim_u64, ph_u64, has, bands_u64, cfg, include_phash)
+        return pd.Series(out)
+
+    return keys
+
+
 # --------------------------------------------------------------- substring UDF
 
 

@@ -79,8 +79,19 @@ def src_code() -> F.Column:
     return F.col("k").bitwiseAND(F.lit(3))
 
 
+# above this combination count the key expressions move into a vectorized
+# UDF: C(16,13)=560 combos as Catalyst expressions serialize to a 9 MB task
+# binary and the stage becomes plan-compile-bound (measured 180 s for 500
+# docs); the numpy path computes identical buckets in one pass per batch
+WIDE_INDEX_UDF_THRESHOLD = 64
+
+
 def explode_all_keys(
-    fp: DataFrame, cfg: PipelineConfig, id_col: str = "image_id", include_phash: bool = True
+    fp: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+    include_phash: bool = True,
+    force_udf_keys: bool | None = None,
 ) -> DataFrame:
     """fingerprints -> (k, id): ALL index keys (LSH bands ∪ simhash
     pigeonhole ∪ phash pigeonhole) in ONE scan + ONE explode.
@@ -97,6 +108,21 @@ def explode_all_keys(
     array keeps the key expressions inside codegen. The source code rides
     in each key's low 2 bits (``src_code``).
     """
+    import math
+
+    combos = math.comb(cfg.n_blocks, cfg.n_blocks - cfg.hamming_radius)
+    use_udf = combos > WIDE_INDEX_UDF_THRESHOLD if force_udf_keys is None else force_udf_keys
+    if use_udf:
+        from simhash_spark.functions.udfs import make_tagged_keys_udf
+
+        ph_col = F.col("phash") if include_phash else F.lit(0).cast("long")
+        arr = make_tagged_keys_udf(cfg, include_phash)(
+            F.col("simhash"), ph_col, F.col("n_shingles"), F.col("bands")
+        )
+        return fp.select(F.col(id_col).alias("id"), F.explode(arr).alias("k")).select(
+            "k", "id"
+        )
+
     has_sh = F.col("n_shingles") > 0
     band_keys = F.transform("bands", lambda v, i: _tagged(1, i, v))
     sim_keys = F.array(
