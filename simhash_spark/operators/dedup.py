@@ -13,15 +13,21 @@ uses (operators/candidates.py etc.); this module adds:
   frequent-shingle cap keeps output linear and per-group memory bounded at
   scale (same hot-bucket argument as candidates.py). Fully SQL-expressible
   (oracle-checked).
-- embedding_near_dup : cosine >= tau pairs. Native zip_with/aggregate dot
-  product (no UDF); scale path buckets by random-hyperplane LSH first
-  (operators/ann.srp_signature) so the self-join is per-bucket, not n^2.
+- embedding_near_dup : cosine >= tau pairs. Cosine is one Arrow-batched
+  numpy einsum per batch (Catalyst higher-order-function folds evaluate
+  their lambdas per element interpreted — measured ~20x slower; the native
+  formulation is kept as cosine_col_native); scale path buckets by
+  random-hyperplane LSH first (operators/ann.srp_signature) so the
+  self-join is per-bucket, not n^2.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # ----------------------------------------------------------------- exact dedup
 
@@ -143,9 +149,12 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------- embedding near-dup
 
 
-def cosine_col(a, b) -> F.Column:
-    """Native cosine similarity between two array<float/double> columns —
-    zip_with product + aggregate sums, whole plan stays JVM-side."""
+def cosine_col_native(a, b) -> F.Column:
+    """JVM-side cosine via zip_with/aggregate. Kept as the no-Python
+    reference formulation, but NOT the default: Catalyst higher-order
+    functions evaluate their lambda per ELEMENT without codegen — for 64-dim
+    vectors that is ~400 interpreted lambda invocations per row, measured
+    ~20x slower than one Arrow-batched numpy pass (cosine_col)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -158,6 +167,24 @@ def cosine_col(a, b) -> F.Column:
         F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
     return dot / (na * nb)
+
+
+def cosine_col(a, b) -> F.Column:
+    """Cosine similarity between two array<float/double> columns — one
+    numpy einsum/norm pass per Arrow batch (the engine's vectorized-UDF
+    fast path; see cosine_col_native for why not Catalyst HOFs)."""
+    @F.pandas_udf(T.DoubleType())
+    def _cos(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        if not len(xa):
+            return pd.Series(np.zeros(0, np.float64))
+        ma = np.stack(xa.to_numpy()).astype(np.float64)
+        mb = np.stack(xb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", ma, mb)
+        na = np.linalg.norm(ma, axis=1)
+        nb = np.linalg.norm(mb, axis=1)
+        return pd.Series(dots / (na * nb))
+
+    return _cos(a, b)
 
 
 def embedding_near_dup(
