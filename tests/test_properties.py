@@ -144,3 +144,40 @@ def test_srp_multiprobe_covers_hamming1():
         assert probes_s & probes_s2
         other_table = ((table + 1) % 4) << n_planes
         assert not (probes_s & {other_table | (s & ((1 << n_planes) - 1))}) or table == (table + 1) % 4
+
+
+@given(
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_shares_run_matches_bruteforce(a, b, min_len):
+    from simhash_spark.operators.substring import _shares_run
+
+    brute = any(
+        a[i : i + min_len] in b
+        for i in range(max(len(a) - min_len + 1, 0))
+        if len(a[i : i + min_len]) == min_len
+    )
+    assert _shares_run(a, b, min_len) == brute
+
+
+@given(
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=1, max_value=500),
+    st.integers(min_value=4000, max_value=48000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_property(n_channels, n_samples, rate, seed):
+    import numpy as np
+
+    from simhash_spark.operators.multimodal import decode_pcm_wav, encode_pcm_wav
+
+    rng = np.random.default_rng(seed)
+    samples = rng.uniform(-1.0, 1.0, size=(n_samples, n_channels))
+    decoded, got_rate = decode_pcm_wav(encode_pcm_wav(samples, rate))
+    assert got_rate == rate
+    assert decoded.shape == (n_samples, n_channels)
+    assert np.max(np.abs(decoded - np.clip(samples, -1, 32767 / 32768))) <= 1.5 / 32768
