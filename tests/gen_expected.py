@@ -65,88 +65,41 @@ OUT = pathlib.Path(__file__).resolve().parent / "expected" / "text_kernel_sf001"
 
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from mirror import text_kernel_mirror
+
     docs = pd.read_parquet(f"{SF}/documents.parquet")
-    ids = docs["doc_id"].astype(str).to_numpy(dtype=object)
     n = len(docs)
 
-    fb = fingerprint_batch(docs["text"].reset_index(drop=True), CFG, emit_minhash=False)
-    simhash_i64 = fb["simhash"].to_numpy(np.int64)
-    n_shingles = fb["n_shingles"].to_numpy(np.int32)
+    m = text_kernel_mirror(docs, CFG)
+    ids = m["ids"]
+    by_id = {ids[i]: i for i in range(n)}
+    verified = m["verified"]
+    cand_rows = sorted(m["candidates"])
 
     pq.write_table(
         pa.table(
-            {"doc_id": ids, "simhash": simhash_i64, "n_shingles": n_shingles},
+            {"doc_id": ids, "simhash": m["simhash_i64"], "n_shingles": m["n_shingles"]},
             schema=pa.schema(
                 [("doc_id", pa.string()), ("simhash", pa.int64()), ("n_shingles", pa.int32())]
             ),
         ),
         OUT / "fingerprints.parquet",
     )
-
-    # ---- candidate pairs (minhash_lsh ∪ simhash_rot buckets) ----
-    sim_u64 = spec.i64_to_u64(simhash_i64)
-    bands = np.stack(fb["bands"].to_numpy())  # (n, n_bands) int64
-    pig = spec.pigeonhole_keys(sim_u64, CFG.n_blocks, CFG.hamming_radius)
-    buckets: dict[tuple[int, int, int], list[int]] = defaultdict(list)
-    for idx in np.flatnonzero(n_shingles > 0):
-        for i in range(CFG.n_bands):
-            buckets[(1, i, int(bands[idx, i]))].append(int(idx))
-        for i in range(pig.shape[1]):
-            buckets[(2, i, int(pig[idx, i]))].append(int(idx))
-
-    pair_srcs: dict[tuple[str, str], set[str]] = defaultdict(set)
-    for (code, _i, _k), members in buckets.items():
-        if len(members) < 2:
-            continue
-        assert len(members) <= CFG.bucket_cap, (
-            "hot bucket at sf0.01 — salted-chain edges are not mirrored here"
-        )
-        src = "minhash_lsh" if code == 1 else "simhash_rot"
-        names = sorted(ids[m] for m in members)
-        for x in range(len(names)):
-            for y in range(x + 1, len(names)):
-                pair_srcs[(names[x], names[y])].add(src)
-
-    cand_rows = sorted(pair_srcs)
     pq.write_table(
         pa.table(
             {
                 "a": [a for a, _ in cand_rows],
                 "b": [b for _, b in cand_rows],
-                "src": [",".join(sorted(pair_srcs[p])) for p in cand_rows],
+                "src": [m["candidates"][p] for p in cand_rows],
             },
             schema=pa.schema([("a", pa.string()), ("b", pa.string()), ("src", pa.string())]),
         ),
         OUT / "candidates.parquet",
     )
-
-    # ---- verified pairs -> connected components -> cluster labels ----
-    by_id = {ids[i]: i for i in range(n)}
-    if cand_rows:
-        ai = np.array([by_id[a] for a, _ in cand_rows])
-        bi = np.array([by_id[b] for _, b in cand_rows])
-        ham = spec.popcount64(sim_u64[ai] ^ sim_u64[bi])
-        verified = [cand_rows[i] for i in np.flatnonzero(ham <= CFG.hamming_radius)]
-    else:
-        verified = []
-
-    parent: dict[str, str] = {i: i for i in ids}
-
-    def find(x: str) -> str:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in verified:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)  # lexicographic min root
-            parent[hi] = lo
-
     pq.write_table(
         pa.table(
-            {"doc_id": list(ids), "cluster_id": [find(i) for i in ids]},
+            {"doc_id": list(ids), "cluster_id": [m["clusters"][i] for i in ids]},
             schema=pa.schema([("doc_id", pa.string()), ("cluster_id", pa.string())]),
         ),
         OUT / "clusters.parquet",
@@ -154,7 +107,7 @@ def main() -> None:
     print(
         f"wrote {OUT}: {n} fingerprints, {len(cand_rows)} candidate pairs, "
         f"{len(verified)} verified pairs, "
-        f"{len({find(i) for i in ids})} clusters"
+        f"{len(set(m['clusters'].values()))} clusters"
     )
 
     # ---- substring pairs (winnow anchors -> exact shared-run verify) ----

@@ -1,0 +1,106 @@
+"""Pure-numpy mirror of the text near-dup kernel path — the differential
+second engine (the reference's 对拍 method). Used by tests/gen_expected.py to
+produce the driver's expected outputs at sf0.01 AND by the sf0.1 scale
+differential test; one implementation, two scales.
+
+Mirrored semantics are kept in lockstep with the cited engine code:
+- fingerprint_batch (functions/udfs.py) is the same kernel the UDF runs;
+- candidate buckets mirror operators/candidates.explode_all_keys (band keys
+  + pigeonhole combination keys for rows with shingles; bucket identity =
+  the raw (code, index, key) triple);
+- pairs mirror bucket_pairs_packed for buckets of 2..cap members (hot
+  buckets would need the JVM salt hash and make the mirror invalid — we
+  assert none exist);
+- verify mirrors operators/verify.py (use_phash=False);
+- clusters mirror connected_components + singleton labeling.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pandas as pd
+
+from simhash_spark import spec
+from simhash_spark.config import PipelineConfig
+from simhash_spark.functions.udfs import fingerprint_batch
+
+
+def text_kernel_mirror(docs: pd.DataFrame, cfg: PipelineConfig) -> dict:
+    """documents (doc_id, text) -> expected fingerprints / candidate pairs /
+    verified pairs / cluster labels, all computed without Spark."""
+    ids = docs["doc_id"].astype(str).to_numpy(dtype=object)
+    n = len(docs)
+
+    fb = fingerprint_batch(docs["text"].reset_index(drop=True), cfg, emit_minhash=False)
+    simhash_i64 = fb["simhash"].to_numpy(np.int64)
+    n_shingles = fb["n_shingles"].to_numpy(np.int32)
+    sim_u64 = spec.i64_to_u64(simhash_i64)
+    bands = (
+        np.stack(fb["bands"].to_numpy()) if n else np.zeros((0, cfg.n_bands), np.int64)
+    )
+    pig = spec.pigeonhole_keys(sim_u64, cfg.n_blocks, cfg.hamming_radius)
+
+    buckets: dict[tuple[int, int, int], list[int]] = defaultdict(list)
+    for idx in np.flatnonzero(n_shingles > 0):
+        for i in range(cfg.n_bands):
+            buckets[(1, i, int(bands[idx, i]))].append(int(idx))
+        for i in range(pig.shape[1]):
+            buckets[(2, i, int(pig[idx, i]))].append(int(idx))
+
+    pair_srcs: dict[tuple[str, str], set[str]] = defaultdict(set)
+    for (code, _i, _k), members in buckets.items():
+        if len(members) < 2:
+            continue
+        assert len(members) <= cfg.bucket_cap, (
+            "hot bucket — salted-chain edges depend on the JVM hash and are "
+            "not mirrored; this corpus cannot be used for the differential"
+        )
+        src = "minhash_lsh" if code == 1 else "simhash_rot"
+        names = sorted(ids[m] for m in members)
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                pair_srcs[(names[x], names[y])].add(src)
+
+    cand_rows = sorted(pair_srcs)
+    by_id = {ids[i]: i for i in range(n)}
+    if cand_rows:
+        ai = np.array([by_id[a] for a, _ in cand_rows])
+        bi = np.array([by_id[b] for _, b in cand_rows])
+        ham = spec.popcount64(sim_u64[ai] ^ sim_u64[bi])
+        verified = [cand_rows[i] for i in np.flatnonzero(ham <= cfg.hamming_radius)]
+    else:
+        verified = []
+
+    clusters = union_find_min_labels(list(ids), verified)
+    return {
+        "ids": ids,
+        "simhash_i64": simhash_i64,
+        "n_shingles": n_shingles,
+        "candidates": {p: ",".join(sorted(pair_srcs[p])) for p in cand_rows},
+        "verified": verified,
+        "clusters": clusters,
+    }
+
+
+def union_find_min_labels(
+    ids: list[str], edges: list[tuple[str, str]]
+) -> dict[str, str]:
+    """Union-find with lexicographic-min component labels; every id labeled
+    (singletons by themselves) — mirrors connected_components + the
+    singleton union in plans/text_dedup.py."""
+    parent: dict[str, str] = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {i: find(i) for i in ids}
