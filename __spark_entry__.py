@@ -453,6 +453,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_near_dup_clusters_substr"] = text_near_dup_clusters_substr
 
+    def near_dup_cluster_stats(spark, sf):
+        # the dedup report over the flagship's cluster labels: size
+        # histogram + duplicate row mass per multiplicity
+        from simhash_spark.operators.dedup import cluster_size_histogram
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
+
+        clusters = op(spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG)
+        return cluster_size_histogram(clusters, id_col="doc_id")
+
+    q["near_dup_cluster_stats"] = near_dup_cluster_stats
+
     def substring_pairs_docs(spark, sf):
         from simhash_spark.operators.substring import substring_pairs
 
@@ -768,6 +779,17 @@ def oracle_sql() -> dict[str, str]:
     o["text_near_dup_clusters"] = _expected_values_sql(
         "clusters.parquet", {"doc_id": "VARCHAR", "cluster_id": "VARCHAR"}
     )
+    clusters_values = _expected_values_sql(
+        "clusters.parquet", {"doc_id": "VARCHAR", "cluster_id": "VARCHAR"}
+    )
+    o["near_dup_cluster_stats"] = f"""
+        WITH c AS ({clusters_values}),
+             s AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
+        SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+               count(*) AS n_clusters,
+               CAST(cluster_size * count(*) AS BIGINT) AS n_rows
+        FROM s GROUP BY cluster_size
+    """
     o["substring_pairs_docs"] = _expected_values_sql(
         "substr_pairs.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}
     )

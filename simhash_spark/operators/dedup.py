@@ -146,6 +146,20 @@ def ngram_jaccard_pairs(
     )
 
 
+def cluster_size_histogram(clusters: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """(id, cluster_id) labels -> (cluster_size, n_clusters, n_rows): the
+    dedup report a 100 TB run publishes (how much of the corpus is
+    duplicate mass, at what multiplicity). Two hash aggs with map-side
+    combine; output is at most |distinct sizes| rows."""
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_rows", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
+        .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_rows")
+    )
+
+
 # ------------------------------------------------------- embedding near-dup
 
 
