@@ -282,6 +282,31 @@ def generate_candidates(
     )
 
 
+def bucket_stats_packed(packed: DataFrame) -> DataFrame:
+    """Bucket-size histogram per source from the PACKED key table — works
+    for every index config including the wide-UDF path (the per-branch
+    explode would rebuild the key expressions per source). Source recovered
+    from each key's low 2 bits."""
+    decode = (
+        F.when(src_code() == 1, "minhash_lsh")
+        .when(src_code() == 2, "simhash_rot")
+        .when(src_code() == 3, "phash_rot")
+        .otherwise("other")
+    )
+    return (
+        packed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .select(decode.alias("src"), "bucket_size")
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.avg("bucket_size").alias("avg_bucket"),
+            F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).alias("n_colliding"),
+        )
+    )
+
+
 def bucket_stats(keyed: DataFrame) -> DataFrame:
     """Bucket-size histogram per source — the skew/recall accounting that the
     stage manifest records (no silent truncation)."""

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
 from simhash_spark.functions.udfs import with_fingerprints
-from simhash_spark.operators.candidates import bucket_stats, explode_band_keys, explode_rotation_keys, generate_candidates
+from simhash_spark.operators.candidates import bucket_stats_packed, explode_all_keys, generate_candidates
 from simhash_spark.operators.connected_components import connected_components
 from simhash_spark.operators.substring import substring_pairs
 from simhash_spark.operators.verify import verify_pairs
@@ -131,11 +131,10 @@ def run_pipeline(
     def _cand_metrics() -> dict:
         # skew/recall accounting in the stage manifest: bucket histogram per
         # index + how many hot buckets were degraded to spanning chains —
-        # the "no silent truncation" rule (SURVEY.md §7.5.3)
-        keyed = explode_band_keys(fp).unionByName(explode_rotation_keys(fp, cfg, "simhash"))
-        if include_phash:
-            keyed = keyed.unionByName(explode_rotation_keys(fp, cfg, "phash"))
-        stats = {r["src"]: r.asDict() for r in bucket_stats(keyed).collect()}
+        # the "no silent truncation" rule (SURVEY.md §7.5.3). Computed from
+        # the packed key table so it works for every index config.
+        packed = explode_all_keys(fp, cfg, include_phash=include_phash)
+        stats = {r["src"]: r.asDict() for r in bucket_stats_packed(packed).collect()}
         hot = sum(1 for s in stats.values() if (s["max_bucket"] or 0) > cfg.bucket_cap)
         return {
             "bucket_stats": stats,
@@ -164,11 +163,8 @@ def run_pipeline(
     return PipelineResult(fp, cand, verified, clusters)
 
 
-def candidate_bucket_stats(fp: DataFrame, cfg: PipelineConfig) -> DataFrame:
+def candidate_bucket_stats(
+    fp: DataFrame, cfg: PipelineConfig, include_phash: bool = True
+) -> DataFrame:
     """Skew observability: bucket histograms per candidate source."""
-    keyed = (
-        explode_band_keys(fp)
-        .unionByName(explode_rotation_keys(fp, cfg, "simhash"))
-        .unionByName(explode_rotation_keys(fp, cfg, "phash"))
-    )
-    return bucket_stats(keyed)
+    return bucket_stats_packed(explode_all_keys(fp, cfg, include_phash=include_phash))
