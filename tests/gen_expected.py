@@ -111,31 +111,9 @@ def main() -> None:
     )
 
     # ---- substring pairs (winnow anchors -> exact shared-run verify) ----
-    # mirrors operators/substring.py::substring_pairs: winnowing completeness
-    # means every pair sharing a normalized run >= L shares an anchor, and
-    # the per-anchor suffix-array verify is exact — so the expected set is
-    # simply "anchor-sharing pairs with an exact common substring >= L".
-    from simhash_spark.sources.fixtures import _lcs_at_least
+    from mirror import substring_pairs_mirror
 
-    texts = docs["text"].tolist()
-    norm = [spec.normalize_for_substring(t) for t in texts]
-    di, _pos, ah = spec.winnow_anchors_batch(norm, CFG.substr_window, CFG.substr_min_len)
-    by_anchor: dict[int, set[int]] = defaultdict(set)
-    for d, hh in zip(di.tolist(), ah.tolist()):
-        by_anchor[hh].add(d)
-    sub_cand = {
-        tuple(sorted((ids[x], ids[y])))
-        for members in by_anchor.values()
-        if len(members) > 1
-        for x in members
-        for y in members
-        if x < y
-    }
-    sub_pairs = sorted(
-        (a, b)
-        for a, b in sub_cand
-        if _lcs_at_least(norm[by_id[a]], norm[by_id[b]], CFG.substr_min_len)
-    )
+    sub_pairs = sorted(substring_pairs_mirror(docs, CFG))
     pq.write_table(
         pa.table(
             {

@@ -84,6 +84,42 @@ def text_kernel_mirror(docs: pd.DataFrame, cfg: PipelineConfig) -> dict:
     }
 
 
+def substring_pairs_mirror(docs: pd.DataFrame, cfg: PipelineConfig) -> set[tuple[str, str]]:
+    """Expected (a, b) substring pairs: winnowing completeness means every
+    pair sharing a normalized run >= L shares an anchor; candidates are
+    anchor co-occupants, verified by the exact shared-run predicate —
+    mirrors operators/substring.py::substring_pairs."""
+    from collections import defaultdict as _dd
+
+    ids = docs["doc_id"].astype(str).tolist()
+    norm = [spec.normalize_for_substring(t) for t in docs["text"].tolist()]
+    di, _pos, ah = spec.winnow_anchors_batch(norm, cfg.substr_window, cfg.substr_min_len)
+    by_anchor: dict[int, set[int]] = _dd(set)
+    for d, h in zip(di.tolist(), ah.tolist()):
+        by_anchor[h].add(d)
+    cand = {
+        tuple(sorted((ids[x], ids[y])))
+        for members in by_anchor.values()
+        if len(members) > 1
+        for x in members
+        for y in members
+        if x < y
+    }
+    by_id = {ids[i]: i for i in range(len(ids))}
+
+    def shares(a: str, b: str) -> bool:
+        na, nb = norm[by_id[a]], norm[by_id[b]]
+        L = cfg.substr_min_len
+        if len(na) < L or len(nb) < L:
+            return False
+        if len(nb) < len(na):
+            na, nb = nb, na
+        wins = {na[i : i + L] for i in range(len(na) - L + 1)}
+        return any(nb[i : i + L] in wins for i in range(len(nb) - L + 1))
+
+    return {p for p in cand if shares(*p)}
+
+
 def union_find_min_labels(
     ids: list[str], edges: list[tuple[str, str]]
 ) -> dict[str, str]:

@@ -52,3 +52,19 @@ def test_text_kernel_matches_mirror_at_sf01(spark):
         for r in text_near_dup_clusters(docs, "doc_id", "text", CFG).collect()
     }
     assert got_clusters == m["clusters"]
+
+
+def test_substring_stage_matches_mirror_at_sf01(spark):
+    from mirror import substring_pairs_mirror
+
+    from simhash_spark.operators.substring import substring_pairs
+
+    docs_pdf = pd.read_parquet(f"{SF}/documents.parquet")
+    want = substring_pairs_mirror(docs_pdf, CFG)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+    got = {(r["a"], r["b"]) for r in substring_pairs(d, CFG).collect()}
+    assert got == want, f"{len(got)} engine pairs vs {len(want)} mirror pairs"
