@@ -460,7 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
 
         clusters = op(spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG)
-        return cluster_size_histogram(clusters, id_col="doc_id")
+        return cluster_size_histogram(clusters)
 
     q["near_dup_cluster_stats"] = near_dup_cluster_stats
 

@@ -146,7 +146,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def cluster_size_histogram(clusters: DataFrame, id_col: str = "image_id") -> DataFrame:
+def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
     """(id, cluster_id) labels -> (cluster_size, n_clusters, n_rows): the
     dedup report a 100 TB run publishes (how much of the corpus is
     duplicate mass, at what multiplicity). Two hash aggs with map-side

@@ -187,8 +187,16 @@ def decode_pcm_wav(data: bytes) -> tuple[np.ndarray, int]:
     bits = int.from_bytes(fmt[14:16], "little")
     if audio_format != 1 or bits != 16:
         raise NotImplementedError(f"only PCM16 supported (format={audio_format}, bits={bits})")
+    # header sanity — a corrupt/hostile header must quarantine, not wrap
+    # int32 feature columns or emit absurd durations
+    if not (1 <= sample_rate <= 1_000_000):
+        raise ValueError(f"implausible sample rate {sample_rate}")
+    if not (1 <= n_channels <= 64):
+        raise ValueError(f"implausible channel count {n_channels}")
     pcm = np.frombuffer(raw, dtype="<i2")
-    pcm = pcm[: len(pcm) - len(pcm) % max(n_channels, 1)].reshape(-1, n_channels)
+    pcm = pcm[: len(pcm) - len(pcm) % n_channels].reshape(-1, n_channels)
+    if pcm.shape[0] == 0:
+        raise ValueError("empty audio payload")
     return pcm.astype(np.float64) / 32768.0, sample_rate
 
 
@@ -209,6 +217,27 @@ def encode_pcm_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     chunks += b"data" + len(raw).to_bytes(4, "little") + raw
     return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def audio_clip_features(data, fmt: str) -> tuple[int, int, int, int, int, int]:
+    """One clip -> (sample_rate, n_channels, n_samples, duration_ms,
+    rms_milli, zero_cross_per_sec); raises NotImplementedError/ValueError for
+    quarantine. Shared by the audio_features operator AND the expected-output
+    generator (tests/gen_expected.py) so the two cannot drift."""
+    if data is None:
+        raise ValueError("null bytes")
+    if fmt not in SUPPORTED_AUDIO_FMTS:
+        raise NotImplementedError(f"no codec for format {fmt!r}")
+    pcm, rate = decode_pcm_wav(bytes(data))
+    mono = pcm.mean(axis=1)
+    n_samples = pcm.shape[0]
+    duration_ms = n_samples * 1000 // rate
+    if duration_ms > 2**31 - 1 or n_samples > 2**31 - 1:
+        raise ValueError("implausible clip length")
+    rms_milli = int(round(float(np.sqrt(np.mean(mono**2))) * 1000))
+    crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
+    zero_cross_per_sec = int(round(crossings * rate / n_samples))
+    return (rate, pcm.shape[1], n_samples, int(duration_ms), rms_milli, zero_cross_per_sec)
 
 
 AUDIO_FEATURE_SCHEMA = T.StructType(
@@ -248,20 +277,10 @@ def audio_features(src: DataFrame) -> DataFrame:
             errs: list[str | None] = [None] * n
             for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
                 try:
-                    if data is None:
-                        raise ValueError("null bytes")
-                    if fmt != "wav":
-                        raise NotImplementedError(f"no codec for format {fmt!r}")
-                    pcm, rate = decode_pcm_wav(bytes(data))
-                    mono = pcm.mean(axis=1)
-                    sr[i] = rate
-                    ch[i] = pcm.shape[1]
-                    ns[i] = pcm.shape[0]
-                    dur[i] = int(pcm.shape[0] * 1000 / max(rate, 1))
-                    rms[i] = int(round(float(np.sqrt(np.mean(mono**2))) * 1000))
-                    crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
-                    zc[i] = int(round(crossings * rate / max(pcm.shape[0], 1)))
-                except (NotImplementedError, ValueError) as e:
+                    sr[i], ch[i], ns[i], dur[i], rms[i], zc[i] = audio_clip_features(
+                        data, fmt
+                    )
+                except (NotImplementedError, ValueError, OverflowError) as e:
                     errs[i] = f"{type(e).__name__}: {e}"
                     sr[i] = ch[i] = ns[i] = dur[i] = rms[i] = zc[i] = 0
             yield pd.DataFrame(

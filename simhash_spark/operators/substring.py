@@ -9,11 +9,14 @@ purpose). Spark-first decomposition:
    anchor hash (Schleimer'03 winnowing guarantee) — this turns the global
    substring-search problem into an equi-join key, so NO cross-partition
    suffix array is ever needed.
-2. groupBy(anchor) -> applyInPandas: per anchor group, build a suffix array
-   over the concatenated normalized captions (numpy prefix-doubling), Kasai
-   LCP, and report doc pairs inside maximal LCP >= L intervals. Exact — hash
-   collisions die here.
-3. global dedup of emitted pairs.
+2. anchor buckets -> C(s,2) candidate pairs, deduplicated ACROSS anchors
+   (near-identical docs share dozens of anchors; verifying per pair instead
+   of per anchor group was measured 3.7x faster at sf0.1).
+3. one exact verification per distinct pair (window-set shared-run check,
+   equivalent to the LCP >= L predicate) in a batched mapInPandas. Hash
+   collisions die here. The suffix-array/Kasai machinery (suffix_array /
+   lcp_kasai / _group_pairs) remains as the bulk per-group verifier and
+   stays unit-tested.
 
 Hot anchors (boilerplate prefixes shared by millions of captions) are capped
 at ``bucket_cap`` docs per anchor with a deterministic keep rule; dropped

@@ -225,9 +225,11 @@ def main() -> None:
     )
     print(f"image features: {len(feat)} rows")
 
-    # audio_features: PCM WAV decode + per-clip math are pure numpy — run
-    # the same functions outside Spark on the deterministic fixture
-    from simhash_spark.operators.multimodal import decode_pcm_wav
+    # audio_features: the SAME per-clip helper the operator runs
+    # (multimodal.audio_clip_features — one implementation, no drift), here
+    # executed outside Spark on the deterministic fixture. Fields computed
+    # atomically per row: either the full tuple or all defaults.
+    from simhash_spark.operators.multimodal import audio_clip_features
     from simhash_spark.sources.fixtures import make_audio_pdf
 
     aud = make_audio_pdf(100, seed=42)
@@ -240,25 +242,18 @@ def main() -> None:
     for _, row in aud.iterrows():
         acols["audio_id"].append(row["audio_id"])
         try:
-            if row["bytes"] is None:
-                raise ValueError("null bytes")
-            if row["fmt"] != "wav":
-                raise NotImplementedError(f"no codec for format {row['fmt']!r}")
-            pcm, rate = decode_pcm_wav(bytes(row["bytes"]))
-            mono = pcm.mean(axis=1)
-            acols["sample_rate"].append(rate)
-            acols["n_channels"].append(pcm.shape[1])
-            acols["n_samples"].append(pcm.shape[0])
-            acols["duration_ms"].append(int(pcm.shape[0] * 1000 / max(rate, 1)))
-            acols["rms_milli"].append(int(round(float(np.sqrt(np.mean(mono**2))) * 1000)))
-            crossings = int(np.count_nonzero(np.diff(np.signbit(mono))))
-            acols["zero_cross_per_sec"].append(int(round(crossings * rate / max(pcm.shape[0], 1))))
-            acols["error"].append(None)
-        except (NotImplementedError, ValueError) as e:
-            for k in ("sample_rate", "n_channels", "n_samples", "duration_ms",
-                      "rms_milli", "zero_cross_per_sec"):
-                acols[k].append(0)
-            acols["error"].append(f"{type(e).__name__}: {e}")
+            vals = audio_clip_features(row["bytes"], row["fmt"])
+            err = None
+        except (NotImplementedError, ValueError, OverflowError) as e:
+            vals = (0, 0, 0, 0, 0, 0)
+            err = f"{type(e).__name__}: {e}"
+        for k, v in zip(
+            ("sample_rate", "n_channels", "n_samples", "duration_ms",
+             "rms_milli", "zero_cross_per_sec"),
+            vals,
+        ):
+            acols[k].append(v)
+        acols["error"].append(err)
     pq.write_table(
         pa.table(
             {

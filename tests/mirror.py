@@ -97,6 +97,14 @@ def substring_pairs_mirror(docs: pd.DataFrame, cfg: PipelineConfig) -> set[tuple
     by_anchor: dict[int, set[int]] = _dd(set)
     for d, h in zip(di.tolist(), ah.tolist()):
         by_anchor[h].add(d)
+    # the engine caps each anchor bucket at bucket_cap ids (keep-lowest,
+    # operators/substring.py) — an over-cap anchor would make this mirror
+    # expect pairs the engine deterministically dropped, so refuse loudly
+    biggest = max((len(m) for m in by_anchor.values()), default=0)
+    assert biggest <= cfg.bucket_cap, (
+        f"hot anchor bucket ({biggest} > cap {cfg.bucket_cap}) — the engine's "
+        "keep-lowest truncation is not mirrored; corpus unusable here"
+    )
     cand = {
         tuple(sorted((ids[x], ids[y])))
         for members in by_anchor.values()
