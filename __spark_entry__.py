@@ -504,7 +504,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from simhash_spark.operators.dedup import embedding_near_dup as op
 
         emb = spark.read.parquet(_t(sf, "embeddings"))
-        return op(emb, threshold=0.4, use_lsh=True, n_planes=8).select("a", "b")
+        # r3 plan: one-sided probing (Hamming<=1 per table) x 4 tables — more
+        # recall than r2's two-sided single table at a fraction of the key
+        # volume, and the pair-dedup exchange carries bare 16-byte id pairs
+        return op(emb, threshold=0.4, use_lsh=True, n_planes=8, n_tables=4).select("a", "b")
 
     q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
 

@@ -201,12 +201,23 @@ def ivf_fit(
     A sample is the standard IVF training regime (faiss does the same) —
     the full corpus never leaves the executors; only <= sample_rows vectors
     are collected. For 10^12-row corpora raise sample_rows, not the method.
+
+    No exact count() over the corpus: a limit(sample_rows+1) probe decides
+    whether sampling is needed at all — CollectLimit early-terminates after
+    enough partitions, so the probe touches O(sample_rows) rows regardless of
+    corpus size (an exact count at 10^12 rows is a full metadata pass). Small
+    corpora therefore train on all rows in one cheap job, in the same
+    partition order collect() would yield; only genuinely-large corpora pay
+    the second job, a hash-ordered TakeOrdered top-(sample_rows) — an
+    unbiased deterministic sample with no full sort and no count.
     """
     frac_df = corpus.select(vec_col)
-    n = frac_df.count()
-    if n > sample_rows:
-        frac_df = frac_df.sample(False, sample_rows / n, seed=seed).limit(sample_rows)
-    mat = np.stack([np.asarray(r[0], np.float64) for r in frac_df.collect()])
+    probe = frac_df.limit(sample_rows + 1).collect()
+    if len(probe) > sample_rows:
+        probe = frac_df.orderBy(F.xxhash64(F.col(vec_col)), F.col(vec_col)).limit(
+            sample_rows
+        ).collect()
+    mat = np.stack([np.asarray(r[0], np.float64) for r in probe])
     return ivf_fit_core(mat, n_centroids, n_iter, seed)
 
 

@@ -58,11 +58,20 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------- n-gram Jaccard
 
 
-def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
+) -> DataFrame:
     """(id, shingle) distinct word-n-grams, native exprs only:
     split on whitespace -> sliding n-window via transform(sequence) ->
     explode -> distinct. Short docs (1..n-1 tokens) emit their full join —
-    same frozen short-row rule as spec.shingle_list."""
+    same frozen short-row rule as spec.shingle_list.
+
+    ``hashed=True`` replaces the shingle string with xxhash64(shingle)
+    BEFORE the distinct, so the dedup shuffle (and everything downstream)
+    moves 16-byte rows instead of n-gram text — at web scale the shingle
+    table is the biggest intermediate this operator owns. A 64-bit collision
+    inside one doc merges two of its shingles (~n_sh^2/2^64, negligible,
+    only ever lowers that doc's count)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     nt = F.size(toks)
     grams = F.when(
@@ -76,11 +85,12 @@ def ngram_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFra
             F.array().cast("array<string>")
         )
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
+    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).where(
+        F.length("shingle") > 0
     )
+    if hashed:
+        out = out.select("id", F.xxhash64("shingle").alias("shingle"))
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -106,7 +116,9 @@ def ngram_jaccard_pairs(
     LOWER jaccard estimates for pairs that share such mega-shingles; the cap
     is recorded by the caller's manifest, never silent.
     """
-    sh = ngram_shingles(df, id_col, text_col, n)
+    from simhash_spark.session import spread_small_input
+
+    sh = ngram_shingles(spread_small_input(df), id_col, text_col, n, hashed=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # per-shingle doc-id lists instead of a self-equi-join: one shuffle of
     # the (id, shingle) table, pairs expanded natively (same collect+explode
@@ -207,35 +219,49 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 16,
+    n_tables: int = 1,
     use_lsh: bool = True,
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a, b, a<b) with cosine >= tau.
 
     Scale path (use_lsh=True): bucket by a random-hyperplane (SRP) signature
-    first — vectors with cosine >= 0.95 agree on a 16-bit SRP signature with
-    p = (1 - acos(0.95)/pi)^16 ~ 0.27 per table, so we probe the signature
-    AND its 16 one-bit flips (multi-probe) to push recall up while keeping
-    the join equi-key. use_lsh=False is the exact n^2 baseline for tests
-    and the DuckDB oracle.
+    first, so the self-join is per-bucket, not n^2. Recall lever: ONE side of
+    the join probes its signature plus all n_planes one-bit flips, the other
+    side keeps raw signatures — a pair collides iff its signatures are within
+    Hamming 1, at (n_planes+2)x total key volume instead of the (n_planes+1)^2
+    cross-collision blow-up of probing both sides. The candidate stage carries
+    ONLY 16-byte (a, b) id pairs through the dedup exchange; embedding vectors
+    are re-attached by two equi-joins afterward, exactly like verify_pairs
+    re-attaches fingerprints — so duplicate key collisions never pay vector
+    serialization. use_lsh=False is the exact n^2 baseline for tests and the
+    DuckDB oracle.
     """
     from simhash_spark.operators.ann import srp_keys
+    from simhash_spark.session import spread_small_input
 
-    v = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    v = spread_small_input(emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")))
     if use_lsh:
-        keyed = srp_keys(v, "vec", n_planes=n_planes, seed=seed, multi_probe=True)
-        x, y = keyed.alias("x"), keyed.alias("y")
-        cand = (
-            x.join(y, "key")
-            .where(F.col("x.id") < F.col("y.id"))
+        ids_only = v.select("id", "vec")
+        raw = srp_keys(
+            ids_only, "vec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=False
+        ).select("id", "key")
+        probed = srp_keys(
+            ids_only, "vec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=True
+        ).select("id", "key")
+        pairs = (
+            probed.alias("x")
+            .join(raw.alias("y"), "key")
+            .where(F.col("x.id") != F.col("y.id"))
             .select(
-                F.col("x.id").alias("a"),
-                F.col("y.id").alias("b"),
-                F.col("x.vec").alias("va"),
-                F.col("y.vec").alias("vb"),
+                F.least("x.id", "y.id").alias("a"),
+                F.greatest("x.id", "y.id").alias("b"),
             )
             .dropDuplicates(["a", "b"])
         )
+        cand = pairs.join(
+            v.select(F.col("id").alias("a"), F.col("vec").alias("va")), "a"
+        ).join(v.select(F.col("id").alias("b"), F.col("vec").alias("vb")), "b")
     else:
         x = v.select(F.col("id").alias("a"), F.col("vec").alias("va"))
         y = v.select(F.col("id").alias("b"), F.col("vec").alias("vb"))

@@ -126,13 +126,85 @@ def _shares_run(a: str, b: str, min_len: int) -> bool:
     """Exact: do a and b share a common substring of length >= min_len?
     Window-set intersection over length-min_len slices — any run >= L
     contains a window of length exactly L, so this is the LCP >= L
-    predicate without building a suffix array."""
+    predicate without building a suffix array.
+
+    This is the reference predicate (also the collision fallback of the
+    vectorized path below); the hot path is _window_hash_index +
+    _pair_shares_run, which computes the same answer with one numpy rolling
+    hash per DOC (reused across every pair the doc appears in) instead of a
+    Python set of string slices per PAIR."""
     if len(a) < min_len or len(b) < min_len:
         return False
     if len(b) < len(a):
         a, b = b, a
     wins = {a[i : i + min_len] for i in range(len(a) - min_len + 1)}
     return any(b[i : i + min_len] in wins for i in range(len(b) - min_len + 1))
+
+
+_ROLL_BASE = 1099511628211          # odd -> invertible mod 2^64
+_ROLL_BASE_INV = pow(_ROLL_BASE, -1, 1 << 64)
+
+
+def _window_hash_index(text: str, min_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique 64-bit rolling hashes of every length-min_len window,
+    first occurrence position of each) — one O(n) vectorized pass.
+
+    h(i) = sum_j text[i+j] * B^j  mod 2^64, computed position-independently
+    via prefix sums P[i] = sum_{j<i} c[j] B^j and h(i) = (P[i+L]-P[i]) * B^-i
+    (B odd, hence invertible mod 2^64; uint64 arithmetic wraps modularly).
+    Equal windows ALWAYS hash equal, so hash-set intersection can only
+    over-report; _pair_shares_run string-confirms hits, keeping exactness.
+    """
+    codes = np.frombuffer(text.encode("ascii", "replace"), dtype=np.uint8)
+    n = len(codes)
+    if n < min_len:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64)
+    nw = n - min_len + 1
+    pows = np.empty(n, np.uint64)
+    pows[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _ROLL_BASE, np.uint64), out=pows[1:])
+    pref = np.zeros(n + 1, np.uint64)
+    np.cumsum(codes.astype(np.uint64) * pows, out=pref[1:])
+    inv_pows = np.empty(nw, np.uint64)
+    inv_pows[0] = 1
+    if nw > 1:
+        np.multiply.accumulate(np.full(nw - 1, _ROLL_BASE_INV, np.uint64), out=inv_pows[1:])
+    h = (pref[min_len:] - pref[:-min_len]) * inv_pows
+    uniq, first = np.unique(h, return_index=True)
+    return uniq, first.astype(np.int64)
+
+
+def _pair_shares_run(
+    na: str,
+    nb: str,
+    ia: tuple[np.ndarray, np.ndarray],
+    ib: tuple[np.ndarray, np.ndarray],
+    min_len: int,
+) -> bool:
+    """Same predicate as _shares_run, via the precomputed window-hash indexes.
+
+    searchsorted intersection of the two sorted unique-hash arrays, then a
+    direct string comparison at the recorded first positions of each common
+    hash (64-bit collisions can only ADD candidates, never hide a real shared
+    window — a true shared window's hash is common by construction). In the
+    astronomically-unlikely case every common hash is a cross-collision at
+    its first positions, fall back to the exact set predicate."""
+    ua, pa = ia
+    ub, pb = ib
+    if not len(ua) or not len(ub):
+        return False
+    if len(ua) > len(ub):
+        ua, pa, ub, pb, na, nb = ub, pb, ua, pa, nb, na
+    pos = np.searchsorted(ub, ua)
+    pos_c = np.minimum(pos, len(ub) - 1)
+    common = np.flatnonzero(ub[pos_c] == ua)
+    for k in common:
+        i, j = int(pa[k]), int(pb[pos_c[k]])
+        if na[i : i + min_len] == nb[j : j + min_len]:
+            return True
+    if len(common):
+        return _shares_run(na, nb, min_len)
+    return False
 
 
 def substring_pairs(
@@ -148,6 +220,9 @@ def substring_pairs(
     (suffix_array / lcp_kasai / _group_pairs) remains the bulk verifier for
     grouped use and stays unit-tested.
     """
+    from simhash_spark.session import spread_small_input
+
+    df = spread_small_input(df)
     winnow = make_winnow_udf(cfg)
     anchors = (
         df.select(
@@ -188,10 +263,22 @@ def substring_pairs(
     min_len = cfg.substr_min_len
 
     def verify(batches):
+        # one rolling-hash window index per DOC per batch (docs recur across
+        # many pairs; the old per-pair Python window set re-hashed the whole
+        # doc for every pair — measured 28.7 s for 5k docs at sf0.1, r2)
         for pdf in batches:
+            index_of: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+            def idx(doc_id: str, text: str) -> tuple[np.ndarray, np.ndarray]:
+                got = index_of.get(doc_id)
+                if got is None:
+                    got = _window_hash_index(text, min_len)
+                    index_of[doc_id] = got
+                return got
+
             keep = [
-                _shares_run(na, nb, min_len)
-                for na, nb in zip(pdf["_na"], pdf["_nb"])
+                _pair_shares_run(na, nb, idx(a, na), idx(b, nb), min_len)
+                for a, b, na, nb in zip(pdf["a"], pdf["b"], pdf["_na"], pdf["_nb"])
             ]
             yield pdf.loc[keep, ["a", "b"]]
 

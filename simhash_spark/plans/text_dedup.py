@@ -29,8 +29,12 @@ def text_fingerprints(
     The id is carried under the pipeline's canonical ``image_id`` name so
     every downstream operator (candidates/verify/CC) applies unchanged.
     """
-    slim = df.select(
-        F.col(id_col).cast("string").alias("image_id"), F.col(text_col).alias("caption")
+    from simhash_spark.session import spread_small_input
+
+    slim = spread_small_input(
+        df.select(
+            F.col(id_col).cast("string").alias("image_id"), F.col(text_col).alias("caption")
+        )
     )
     return with_fingerprints(slim, cfg, emit_minhash=False).drop("caption")
 

@@ -76,3 +76,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_small_input(df, min_partitions: int | None = None):
+    """Round-robin repartition a NARROW input scan up to session parallelism.
+
+    A single-file, single-row-group parquet table (the driver's sf tables)
+    is an unsplittable scan: every downstream CPU-heavy stage (fingerprint /
+    winnow / shingle explode) then runs as ONE task no matter how many cores
+    the session has. This guard repartitions only when the scan has fewer
+    partitions than the session's default parallelism — at production scale
+    the input already has thousands of splits, the condition is false, and
+    NO shuffle is added. The added exchange for small inputs moves the raw
+    rows once, before any per-row expansion multiplies the volume.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

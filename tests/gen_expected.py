@@ -358,21 +358,24 @@ def main() -> None:
     )
     print(f"ann_ivf_topk: {len(ivf_df)} rows")
 
-    # embedding_near_dup_lsh: one table, 8 planes, multi-probe on BOTH sides
-    sigs81 = srp_sigs(8, 1, 7)
-    key_to_vecs: dict[int, set[int]] = defaultdict(set)
+    # embedding_near_dup_lsh: 4 tables, 8 planes, ONE-SIDED multi-probe
+    # (r3 plan fix): raw-signature buckets on one side, signature + all
+    # one-bit flips probed on the other — a pair collides iff its signatures
+    # are within Hamming 1 in SOME table (table tag rides in the key's high
+    # bits, so flips in the low 8 bits never cross tables).
+    sigs81 = srp_sigs(8, 4, 7)
+    raw_buckets: dict[int, set[int]] = defaultdict(set)
     for i in range(len(vecs)):
         for s in sigs81[i]:
-            ks = {int(s)} | {int(s) ^ (1 << j) for j in range(8)}
-            for kk in ks:
-                key_to_vecs[kk].add(i)
-    lsh_pairs = {
-        (int(vids[x]), int(vids[y])) if vids[x] < vids[y] else (int(vids[y]), int(vids[x]))
-        for members in key_to_vecs.values()
-        for x in members
-        for y in members
-        if x != y
-    }
+            raw_buckets[int(s)].add(i)
+    lsh_pairs: set[tuple[int, int]] = set()
+    for i in range(len(vecs)):
+        for s in sigs81[i]:
+            for kk in {int(s)} | {int(s) ^ (1 << j) for j in range(8)}:
+                for x in raw_buckets.get(kk, ()):
+                    if x != i:
+                        a, b = int(vids[i]), int(vids[x])
+                        lsh_pairs.add((a, b) if a < b else (b, a))
     kept = sorted(
         (a, b)
         for a, b in lsh_pairs

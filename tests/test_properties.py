@@ -164,6 +164,26 @@ def test_shares_run_matches_bruteforce(a, b, min_len):
 
 
 @given(
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    st.integers(min_value=2, max_value=12),
+)
+@settings(max_examples=200, deadline=None)
+def test_pair_shares_run_matches_setwise(a, b, min_len):
+    """The vectorized rolling-hash verifier (r3 hot path) computes exactly
+    the _shares_run predicate — same inputs space as the brute-force gate."""
+    from simhash_spark.operators.substring import (
+        _pair_shares_run,
+        _shares_run,
+        _window_hash_index,
+    )
+
+    ia = _window_hash_index(a, min_len)
+    ib = _window_hash_index(b, min_len)
+    assert _pair_shares_run(a, b, ia, ib, min_len) == _shares_run(a, b, min_len)
+
+
+@given(
     st.integers(min_value=1, max_value=3),
     st.integers(min_value=1, max_value=500),
     st.integers(min_value=4000, max_value=48000),
