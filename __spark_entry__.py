@@ -63,6 +63,11 @@ def _expected_values_sql(parquet_name: str, types: dict[str, str]) -> str:
             return "NULL"
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float) and v != int(v):
+            # every expected-oracle column today is INT/BIGINT/VARCHAR; a
+            # fractional float silently truncated by int() would make a
+            # passing-but-wrong oracle — refuse instead of corrupting
+            raise ValueError(f"non-integral float in expected oracle {parquet_name}: {v!r}")
         return str(int(v))
 
     pdf = pdf[list(types)]

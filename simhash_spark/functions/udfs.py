@@ -203,6 +203,7 @@ def tagged_keys_batch(
     bands_u64: np.ndarray,
     cfg: PipelineConfig,
     include_phash: bool,
+    ph_has: np.ndarray | None = None,
 ) -> list[np.ndarray]:
     """Per-row tagged bucket-key arrays (int64), numpy throughout.
 
@@ -212,8 +213,15 @@ def tagged_keys_batch(
     (code, index, key) record instead of JVM xxhash64. Bucket identity only
     needs to be consistent WITHIN a run (never mixed across paths), and the
     candidate PAIR set is hash-choice-independent (asserted by test).
+
+    ``ph_has`` masks rows WITHOUT a phash (null column): they emit no
+    phash-source keys, mirroring the native path where bit expressions on a
+    null fingerprint yield null keys that never equi-join. None = all rows
+    have one.
     """
     n = len(sim_u64)
+    if ph_has is None:
+        ph_has = np.ones(n, bool)
     sim_keys = spec.pigeonhole_keys(sim_u64, cfg.n_blocks, cfg.hamming_radius)
 
     def tag(code: int, keys: np.ndarray) -> np.ndarray:
@@ -243,9 +251,12 @@ def tagged_keys_batch(
     empty = np.zeros(0, dtype=np.int64)
     out: list[np.ndarray] = [empty] * n
     for j, i in enumerate(with_sh):
-        out[i] = main[j] if ph_all is None else np.concatenate([main[j], ph_all[i]])
+        if ph_all is not None and ph_has[i]:
+            out[i] = np.concatenate([main[j], ph_all[i]])
+        else:
+            out[i] = main[j]
     if ph_all is not None:
-        for i in np.flatnonzero(~has):
+        for i in np.flatnonzero(~has & ph_has):
             out[i] = ph_all[i]
     return out
 
@@ -262,15 +273,32 @@ def make_tagged_keys_udf(cfg: PipelineConfig, include_phash: bool):
     def keys(
         simhash: pd.Series, phash: pd.Series, n_shingles: pd.Series, bands: pd.Series
     ) -> pd.Series:
-        sim_u64 = spec.i64_to_u64(simhash.to_numpy(np.int64))
-        ph_u64 = spec.i64_to_u64(phash.to_numpy(np.int64))
-        has = n_shingles.to_numpy(np.int64) > 0
-        bands_u64 = (
-            spec.i64_to_u64(np.stack(bands.to_numpy()).astype(np.int64))
-            if len(simhash)
-            else np.zeros((0, cfg.n_bands), np.uint64)
+        # null-tolerant like the native expression path: a null simhash/bands
+        # suppresses that row's caption-source keys, a null phash its
+        # phash-source keys (native bit exprs yield null keys there, which
+        # never equi-join); fillna(0) only feeds masked-out lanes
+        sim_u64 = spec.i64_to_u64(simhash.fillna(0).to_numpy(np.int64))
+        ph_has = phash.notna().to_numpy()
+        ph_u64 = spec.i64_to_u64(phash.fillna(0).to_numpy(np.int64))
+        has = (
+            (n_shingles.fillna(0).to_numpy(np.int64) > 0)
+            & simhash.notna().to_numpy()
+            & bands.notna().to_numpy()
         )
-        out = tagged_keys_batch(sim_u64, ph_u64, has, bands_u64, cfg, include_phash)
+        if len(simhash):
+            if bands.isna().any():
+                filler = np.zeros(cfg.n_bands, np.int64)
+                stacked = np.stack(
+                    [filler if b is None else np.asarray(b, np.int64) for b in bands.to_numpy()]
+                )
+            else:
+                stacked = np.stack(bands.to_numpy()).astype(np.int64)
+            bands_u64 = spec.i64_to_u64(stacked)
+        else:
+            bands_u64 = np.zeros((0, cfg.n_bands), np.uint64)
+        out = tagged_keys_batch(
+            sim_u64, ph_u64, has, bands_u64, cfg, include_phash, ph_has=ph_has
+        )
         return pd.Series(out)
 
     return keys

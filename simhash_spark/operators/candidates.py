@@ -145,6 +145,14 @@ def explode_all_keys(
                 )
             ]
         )
+        # xxhash64 SKIPS null args (hash of the remaining ones), so a null
+        # phash would give every null row the same constant key per table —
+        # one giant cross-row bucket. Gate on isNotNull: null phash emits no
+        # phash keys, matching the unpacked path where null bit-expr keys
+        # never equi-join.
+        ph_keys = F.when(F.col("phash").isNotNull(), ph_keys).otherwise(
+            F.array().cast("array<bigint>")
+        )
         arr = F.concat(arr, ph_keys)
     return fp.select(F.col(id_col).alias("id"), F.explode(arr).alias("k")).select("k", "id")
 

