@@ -1,0 +1,160 @@
+"""Design-regime scale runs for the SUBSTRING and EMBEDDING near-dup stages.
+
+BENCH/INDEX_SCALING.md demonstrates the image fingerprint+pigeonhole pipeline
+at 3M rows; this job extends the at-scale evidence to the two stages that got
+plan rewrites in r3 (VERDICT r2 item 7):
+
+- substring_pairs on an N-doc corpus (default 500k captions, the bench
+  corpus's planted substring dups + hot caption included) — exercises the
+  winnow-anchor equi-join, the hot-anchor cap, and the per-batch rolling-hash
+  verification at ~100x the driver's sf0.1 volume.
+- embedding_near_dup (one-sided multi-probe SRP LSH) on an M-vector corpus
+  (default 1M x 64-dim float32 with ~8% planted perturbed near-dups) —
+  exercises the bare-id pair dedup + vector re-join plan at 500x sf0.1.
+  n_planes scales with the corpus exactly like the pigeonhole block count:
+  24-bit signatures keep the random-collision pair count ~linear at 10^6
+  rows (expected random pairs ~ C(M,2) * L * (b+1) / 2^b).
+
+Corpora are deterministic (fixed seeds, chunked process-pool generation,
+cached across runs) — no external data. Prints one JSON line per stage and a
+summary line; timings are best-of-1 (these are long stages; run twice and
+take the better run if CPU steal is suspected).
+
+Usage:  python jobs/design_regime.py [--docs 500000] [--vecs 1000000]
+                                     [--cpus 32] [--skip-docs] [--skip-vecs]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+CACHE = pathlib.Path(os.environ.get("SPARK_GRAFT_CACHE", "/dev/shm/simhash_bench_cache"))
+
+
+def _write_vec_chunk(args: tuple) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out, i, n, dim, dup_frac = args
+    rng = np.random.default_rng(1000 + i)
+    base = rng.standard_normal((n, dim)).astype(np.float32)
+    # plant near-dups: the last dup_frac of the chunk are perturbed copies of
+    # random earlier rows (cosine >= ~0.99 after the small noise)
+    n_dup = int(n * dup_frac)
+    if n_dup:
+        src = rng.integers(0, n - n_dup, n_dup)
+        noise = rng.standard_normal((n_dup, dim)).astype(np.float32) * 0.02
+        base[n - n_dup :] = base[src] + noise
+    ids = np.arange(i * 10_000_000, i * 10_000_000 + n, dtype=np.int64)
+    pq.write_table(
+        pa.table({"vec_id": ids, "embedding": list(base)}),
+        pathlib.Path(out) / f"part-{i:04d}.parquet",
+    )
+
+
+def ensure_embeddings_corpus(n_rows: int, dim: int = 64, dup_frac: float = 0.08) -> pathlib.Path:
+    """Deterministic embedding corpus with planted near-dups, cached.
+    MUST be called before any SparkSession exists (fork safety)."""
+    out = CACHE / f"embeddings_{n_rows}_d{dim}_v1"
+    if (out / "_SUCCESS").exists():
+        return out
+    import multiprocessing as mp
+
+    out.mkdir(parents=True, exist_ok=True)
+    chunk = max(10_000, min(100_000, n_rows // 32))
+    n_chunks = (n_rows + chunk - 1) // chunk
+    jobs = [
+        (str(out), i, min(chunk, n_rows - i * chunk), dim, dup_frac)
+        for i in range(n_chunks)
+    ]
+    with mp.Pool(min(16, os.cpu_count() or 8)) as pool:
+        pool.map(_write_vec_chunk, jobs)
+    (out / "_SUCCESS").touch()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=500_000)
+    ap.add_argument("--vecs", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--skip-docs", action="store_true")
+    ap.add_argument("--skip-vecs", action="store_true")
+    args = ap.parse_args()
+
+    # corpora BEFORE the JVM (process-pool fork safety)
+    from bench import ensure_images_corpus
+
+    docs_path = None if args.skip_docs else ensure_images_corpus(args.docs)
+    vecs_path = None if args.skip_vecs else ensure_embeddings_corpus(args.vecs, args.dim)
+
+    from pyspark.sql import functions as F
+
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.session import get_spark
+
+    spark = get_spark(parallelism=args.cpus, app_name="design-regime")
+    spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
+
+    def sink(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict] = {}
+
+    if docs_path is not None:
+        from simhash_spark.operators.substring import substring_pairs
+
+        docs = spark.read.parquet(str(docs_path)).select("image_id", "caption")
+        t0 = time.time()
+        n_pairs = substring_pairs(docs, CFG).count()
+        wall = time.time() - t0
+        results["substring_pairs"] = {
+            "rows": args.docs,
+            "wall_s": round(wall, 1),
+            "pairs": n_pairs,
+            "docs_per_sec": round(args.docs / wall, 1),
+        }
+        print(json.dumps({"stage": "substring_pairs", **results["substring_pairs"]}), flush=True)
+
+    if vecs_path is not None:
+        from simhash_spark.operators.ann import srp_planes_for
+        from simhash_spark.operators.dedup import embedding_near_dup
+
+        emb = spark.read.parquet(str(vecs_path))
+        # corpus-size-adaptive signature width (srp_planes_for — the same
+        # lesson as the pigeonhole block study: fixed-width keys go quadratic
+        # in random collisions); one-sided probe covers per-table Hamming <= 1
+        planes = srp_planes_for(args.vecs, n_tables=2)
+        t0 = time.time()
+        n_pairs = embedding_near_dup(
+            emb, threshold=0.9, use_lsh=True, n_planes=planes, n_tables=2
+        ).count()
+        wall = time.time() - t0
+        results["embedding_near_dup_lsh"] = {
+            "rows": args.vecs,
+            "dim": args.dim,
+            "n_planes": planes,
+            "wall_s": round(wall, 1),
+            "pairs": n_pairs,
+            "vecs_per_sec": round(args.vecs / wall, 1),
+        }
+        print(
+            json.dumps({"stage": "embedding_near_dup_lsh", **results["embedding_near_dup_lsh"]}),
+            flush=True,
+        )
+
+    print(json.dumps({"metric": "design_regime", "cpus": args.cpus, "stages": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,13 +45,17 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, rank) with rank 1..k. Ties broken by
     neighbor_id (frozen, keeps the result deterministic for the oracle).
-    The queries side is explicitly broadcast — the corpus never shuffles.
+    The queries side is explicitly broadcast — the corpus never shuffles
+    for the join (the only corpus exchange is the small-input spread guard,
+    a no-op on production split counts).
     """
+    from simhash_spark.session import spread_small_input
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = spread_small_input(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     )
     scored = (
         c.join(F.broadcast(q))
@@ -69,6 +73,26 @@ def cosine_topk(
 
 
 # --------------------------------------------------------------- SRP LSH
+
+
+def srp_planes_for(n_rows: int, n_tables: int = 2) -> int:
+    """Corpus-size-adaptive SRP signature width for the near-dup scale path —
+    the same lesson as config.index_config_for for the pigeonhole index:
+    fixed-width keys go quadratic in random collisions as the corpus grows.
+
+    Expected random candidate pairs ~ C(n,2) * L * (b+1) / 2^b; choosing
+    b ~ log2(n) + log2(L*(b+1)) keeps that ~linear in n (~n/2 random pairs).
+    Measured at the 10^6-row design point (BENCH/INDEX_SCALING.md): 24-bit
+    signatures hold verification volume to ~1.5M candidates; 16-bit would be
+    ~400x worse. Clamped to [12, 28] so signature + table tag stays in int32.
+    """
+    import math
+
+    n = max(2, n_rows)
+    b = 12
+    for _ in range(4):  # fixpoint of b = log2(n * L * (b+1) / n) + log2-ish
+        b = round(math.log2(n) + math.log2(n_tables * (b + 1)) - 1)
+    return max(12, min(28, b))
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -152,8 +176,12 @@ def srp_topk(
     of the corpus per query) against recall; the defaults probe ~3% of the
     corpus per query.
     """
+    from simhash_spark.session import spread_small_input
+
     c = srp_keys(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
+        spread_small_input(
+            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+        ),
         "cvec",
         n_planes=n_planes,
         n_tables=n_tables,
@@ -271,10 +299,12 @@ def ivf_topk(
     Per query this touches ~nprobe/n_centroids of the corpus. Same output
     schema as cosine_topk (recall measured against it in tests).
     """
+    from simhash_spark.session import spread_small_input
+
     c_assign = make_ivf_assign_udf(centroids, 1)
     q_assign = make_ivf_assign_udf(centroids, nprobe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = spread_small_input(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     ).withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")

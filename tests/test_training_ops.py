@@ -177,6 +177,16 @@ def test_embedding_near_dup_lsh_recall(spark, emb_with_dups, n_planes, n_tables)
     assert recall >= 0.8, f"SRP-LSH near-dup recall {recall:.3f} ({n_planes=}, {n_tables=})"
 
 
+def test_srp_planes_for_scaling():
+    """Signature width grows ~log2(n) and stays within int32 headroom."""
+    from simhash_spark.operators.ann import srp_planes_for
+
+    widths = [srp_planes_for(n) for n in (10, 10_000, 1_000_000, 10**9, 10**12)]
+    assert widths == sorted(widths)  # monotone in corpus size
+    assert all(12 <= b <= 28 for b in widths)
+    assert 23 <= srp_planes_for(1_000_000) <= 26  # the measured design point
+
+
 def test_cosine_topk_vs_numpy(spark, emb):
     from simhash_spark.operators.ann import cosine_topk
 
