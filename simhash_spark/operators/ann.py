@@ -45,17 +45,16 @@ def cosine_topk(
 
     Returns (query_id, neighbor_id, rank) with rank 1..k. Ties broken by
     neighbor_id (frozen, keeps the result deterministic for the oracle).
-    The queries side is explicitly broadcast — the corpus never shuffles
-    for the join (the only corpus exchange is the small-input spread guard,
-    a no-op on production split counts).
+    The queries side is explicitly broadcast — the corpus never shuffles.
+    (No small-input spread guard here: the batched-einsum cosine is so cheap
+    that per-task overhead dominates a repartitioned tiny corpus — measured
+    1.1 s -> 5.9 s WORSE at sf0.1; big corpora arrive multi-split anyway.)
     """
-    from simhash_spark.session import spread_small_input
-
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = spread_small_input(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     scored = (
         c.join(F.broadcast(q))
@@ -176,12 +175,8 @@ def srp_topk(
     of the corpus per query) against recall; the defaults probe ~3% of the
     corpus per query.
     """
-    from simhash_spark.session import spread_small_input
-
     c = srp_keys(
-        spread_small_input(
-            corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-        ),
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
         "cvec",
         n_planes=n_planes,
         n_tables=n_tables,
@@ -299,12 +294,10 @@ def ivf_topk(
     Per query this touches ~nprobe/n_centroids of the corpus. Same output
     schema as cosine_topk (recall measured against it in tests).
     """
-    from simhash_spark.session import spread_small_input
-
     c_assign = make_ivf_assign_udf(centroids, 1)
     q_assign = make_ivf_assign_udf(centroids, nprobe)
-    c = spread_small_input(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     ).withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
