@@ -11,6 +11,31 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
+def test_spread_small_input(spark, tmp_path):
+    """The narrow-scan guard: a single-file/single-row-group parquet scan
+    (the driver's sf-table shape) is repartitioned up to session
+    parallelism; an input already at/above the target — and any streaming
+    plan — passes through untouched (no added exchange at scale)."""
+    import pandas as pd
+
+    from simhash_spark.session import spread_small_input
+
+    p = tmp_path / "one.parquet"
+    pd.DataFrame({"id": range(100)}).to_parquet(p)
+    narrow = spark.read.parquet(str(p))
+    target = spark.sparkContext.defaultParallelism
+    assert narrow.rdd.getNumPartitions() < target
+    assert spread_small_input(narrow).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target + 4)
+    assert spread_small_input(wide) is wide  # untouched, not just same count
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    )
+    assert spread_small_input(stream) is stream
+
+
 def test_read_articles_and_stopword_file(spark, tmp_path):
     from simhash_spark.plans.text_dedup import text_near_dup_clusters
     from simhash_spark.sources.text import read_articles, read_stopword_file
