@@ -469,6 +469,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_cluster_stats"] = near_dup_cluster_stats
 
+    def near_dup_keep_list(spark, sf):
+        # the dedup DECISION (the reference program's output shape): one
+        # min-id representative per cluster, everything else marked drop
+        from simhash_spark.operators.dedup import near_dup_keep_list as op
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+        clusters = text_near_dup_clusters(
+            spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG
+        )
+        return op(clusters)
+
+    q["near_dup_keep_list"] = near_dup_keep_list
+
     def substring_pairs_docs(spark, sf):
         from simhash_spark.operators.substring import substring_pairs
 
@@ -797,6 +810,13 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_clusters,
                CAST(cluster_size * count(*) AS BIGINT) AS n_rows
         FROM s GROUP BY cluster_size
+    """
+    o["near_dup_keep_list"] = f"""
+        WITH c AS ({clusters_values})
+        SELECT doc_id,
+               cluster_id AS keep_id,
+               CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_kept
+        FROM c
     """
     o["substring_pairs_docs"] = _expected_values_sql(
         "substr_pairs.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}

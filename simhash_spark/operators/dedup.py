@@ -158,6 +158,23 @@ def ngram_jaccard_pairs(
     )
 
 
+def near_dup_keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, cluster_id) labels -> (id, keep_id, is_kept): the dedup DECISION a
+    run publishes — one representative per near-dup cluster, everything else
+    marked for drop. This is the reference program's actual output shape
+    (which rows survive), derived from cluster labels.
+
+    connected_components labels every cluster by its MINIMUM member id and
+    singletons by themselves (plans/text_dedup.cluster rule), so the frozen
+    min-id representative rule makes keep_id == cluster_id — a pure
+    projection, no extra shuffle at any corpus size."""
+    return clusters.select(
+        F.col(id_col),
+        F.col("cluster_id").alias("keep_id"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_kept"),
+    )
+
+
 def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
     """(id, cluster_id) labels -> (cluster_size, n_clusters, n_rows): the
     dedup report a 100 TB run publishes (how much of the corpus is
