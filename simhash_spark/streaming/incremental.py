@@ -64,6 +64,98 @@ def start_incremental_ingest(
     return writer.start()
 
 
+def start_stream_near_dup(
+    stream_df: DataFrame,
+    fp_path: str,
+    matches_path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    include_phash: bool = True,
+    trigger_once: bool = True,
+):
+    """NEAR-dup on ingest — the streaming face of the full candidate+verify
+    pipeline. Per micro-batch:
+
+    1. fingerprint the arriving rows (same frozen UDF as batch),
+    2. generate candidates for them against the ACCUMULATED fingerprint
+       table with the very same operators the batch pipeline uses
+       (explode_all_keys -> bucket_pairs_packed: LSH bands ∪ pigeonhole
+       keys, hot-bucket chains included), restricted to pairs touching a
+       new row,
+    3. exact-verify (native bit_count XOR) and append verified matches,
+    4. append the batch's fingerprints to the table.
+
+    Match semantics: every near-dup pair is emitted exactly once, in the
+    micro-batch where its LATER member arrives (both-new pairs emit in that
+    batch). After the stream drains, the union of emitted pairs EQUALS the
+    batch pipeline's verified pair set over the same rows as long as no
+    bucket exceeds ``bucket_cap`` — asserted by differential test
+    (tests/test_streaming.py). Buckets past the cap emit their salted
+    spanning CHAINS incrementally, which yields a connectivity-preserving
+    superset of the batch chain edges (same clusters after CC, possibly
+    more edges) — the identical guarantee the batch path itself makes for
+    hot buckets.
+
+    Writes are per-batch subdirectories with mode=overwrite, so a replayed
+    micro-batch (foreachBatch is at-least-once after crash recovery)
+    overwrites its own output instead of duplicating it — exactly-once
+    OUTPUT without a transactional sink. At production scale both paths
+    would be Iceberg tables and the existing-side scan is one bucket-key
+    join per batch, linear in batch size (the accumulated table is only
+    scanned, never shuffled beyond its key explode).
+    """
+    import pathlib
+
+    from simhash_spark.operators.candidates import bucket_pairs_packed, explode_all_keys
+    from simhash_spark.operators.verify import verify_pairs
+
+    fp_stream = stream_fingerprints(stream_df, cfg)
+
+    def process_batch(batch_fp: DataFrame, batch_id: int) -> None:
+        spark = batch_fp.sparkSession
+        batch_fp = batch_fp.localCheckpoint(eager=True)  # pin: used 4 ways below
+        cols = batch_fp.columns
+        existing = None
+        base = pathlib.Path(fp_path)
+        if base.exists() and any(base.glob("batch=*/*.parquet")):
+            existing = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(fp_path)
+                .select(cols)
+            )
+        combined = (
+            batch_fp if existing is None else existing.unionByName(batch_fp)
+        )
+        packed = explode_all_keys(combined, cfg, include_phash=include_phash)
+        cand = (
+            bucket_pairs_packed(packed, cfg)
+            .groupBy("a", "b")
+            .agg(F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src"))
+        )
+        new_ids = batch_fp.select(F.col("image_id").alias("_nid"))
+        touching_new = cand.join(
+            F.broadcast(new_ids.withColumnRenamed("_nid", "a")), "a", "left_semi"
+        ).unionByName(
+            cand.join(
+                F.broadcast(new_ids.withColumnRenamed("_nid", "b")), "b", "left_semi"
+            )
+        ).dropDuplicates(["a", "b"])
+        verified = verify_pairs(touching_new, combined, cfg, use_phash=include_phash)
+        verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{matches_path}/batch={batch_id}")
+        # fp append AFTER the match scan (the combined plan reads the
+        # pre-append table; appending first would double-count on re-read)
+        batch_fp.write.mode("overwrite").parquet(f"{fp_path}/batch={batch_id}")
+
+    writer = fp_stream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_first_seen(
     stream_df: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:

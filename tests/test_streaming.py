@@ -45,6 +45,59 @@ def test_stream_matches_batch(spark, tmp_path):
     assert spark.read.parquet(str(out)).select("_batch_id").distinct().count() >= 1
 
 
+def test_stream_near_dup_matches_batch_pipeline(spark, tmp_path):
+    """Dedup-on-ingest differential: streaming the corpus in two micro-batch
+    files through start_stream_near_dup must emit EXACTLY the batch
+    pipeline's verified pair set (no bucket exceeds the cap on this
+    fixture), each pair exactly once, in the batch where its later member
+    arrived."""
+    from simhash_spark.plans.pipeline import candidate_job, fingerprint_job, verify_job
+    from simhash_spark.sources.fixtures import make_images_pdf
+    from simhash_spark.streaming.incremental import start_stream_near_dup
+
+    pdf = make_images_pdf(300, seed=13, with_bytes=False)
+    src_dir = tmp_path / "nd_src"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:150], preserve_index=False), src_dir / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[150:], preserve_index=False), src_dir / "b.parquet")
+
+    batch_src = spark.read.parquet(str(src_dir))
+    stream_src = spark.readStream.schema(batch_src.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir))
+
+    q = start_stream_near_dup(
+        stream_src,
+        str(tmp_path / "nd_fp"),
+        str(tmp_path / "nd_matches"),
+        str(tmp_path / "nd_ckpt"),
+        CFG,
+    )
+    q.awaitTermination(timeout=180)
+    q.stop()
+
+    got_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "nd_matches"))
+        .collect()
+    )
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert len(got) == len(got_rows), "a pair was emitted more than once"
+
+    fp = fingerprint_job(spark, batch_src, CFG)
+    want = {
+        (r["a"], r["b"])
+        for r in verify_job(candidate_job(fp, CFG), fp, CFG).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # cross-batch pairs exist and were emitted in the later batch
+    later = {
+        (r["a"], r["b"]) for r in got_rows if r["_batch_id"] > 0
+    }
+    assert later, "expected at least one cross-batch (or second-batch) pair"
+
+
 def _write_ts_file(path, rows):
     """rows: list of (image_id, caption, ts_iso)"""
     import pandas as pd
