@@ -10,6 +10,10 @@ Usage (BASELINE.json:6 ship shape):
 
 Local test: ``python jobs/run_pipeline.py --input ... --output ...`` (creates
 its own local[N] session). Under spark-submit, uses the provided session conf.
+
+Input contract: one row per image_id (the id is the dedup key; duplicate ids
+would duplicate label rows downstream). The fixture generator's directory
+also holds truth_* parquets — point --input at its images.parquet file.
 """
 
 from __future__ import annotations
@@ -74,14 +78,21 @@ def main(argv: list[str] | None = None) -> int:
         include_phash=not args.no_phash,
         cc_ckpt_every=args.cc_ckpt_every,
     )
+    from simhash_spark.operators.dedup import near_dup_keep_list
+
     out = pathlib.Path(args.output)
     res.clusters.write.mode("overwrite").parquet(str(out / "clusters"))
     res.verified.write.mode("overwrite").parquet(str(out / "verified_pairs"))
+    # the dedup DECISION (one min-id representative per cluster) — the
+    # artifact a downstream training job actually consumes
+    keep = near_dup_keep_list(res.clusters, id_col="image_id")
+    keep.write.mode("overwrite").parquet(str(out / "keep_list"))
     stats = {
         "rows": res.fingerprints.count(),
         "candidates": res.candidates.count(),
         "verified": res.verified.count(),
         "clusters": res.clusters.select("cluster_id").distinct().count(),
+        "kept": keep.where("is_kept = 1").count(),
         "wall_s": round(time.time() - t0, 2),
     }
     print(json.dumps(stats))
