@@ -105,6 +105,34 @@ def test_exact_dedup_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
+def test_embedding_lsh_dedup_exchange_carries_no_vectors(spark):
+    """Regression tripwire for the r2 plan defect: the candidate pair-dedup
+    shuffle must move bare (a, b) ids — never embedding vectors. Every
+    hash-partitioned Exchange in the plan is checked; the only exchange
+    allowed to carry the vector column is the round-robin small-input
+    spread of the raw corpus (which moves each vector exactly once)."""
+    import re
+
+    from simhash_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = embedding_near_dup(emb, threshold=0.4, use_lsh=True, n_planes=8, n_tables=4)
+    formatted = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    blocks = re.split(r"\n\(\d+\) ", formatted)
+    offenders = []
+    for b in blocks:
+        if not b.startswith("Exchange"):
+            continue
+        if "hashpartitioning" not in b:
+            continue  # round-robin spread of the raw corpus is the one allowed vector move
+        input_line = next((ln for ln in b.splitlines() if ln.startswith("Input")), "")
+        if re.search(r"\b(va|vb|vec|embedding)#", input_line):
+            offenders.append(input_line)
+    assert not offenders, f"vectors ride a hash exchange: {offenders}"
+
+
 def test_no_cartesian_product_on_any_scale_path(spark):
     """Scale-killer tripwire over the WHOLE driver surface: no query may
     plan a CartesianProduct except the two documented exact-baseline
