@@ -251,9 +251,19 @@ def substring_pairs(
         ).alias("b"),
     ).distinct()
 
-    norm_df = df.select(
-        F.col(id_col).alias("id"),
-        _normalize_col(caption_col).alias("norm"),
+    # normalize ONLY docs that appear in candidate pairs: at web scale the
+    # pair set touches a small fraction of the corpus, and without this
+    # pre-filter the NFKC UDF would run over every doc TWICE (once per join
+    # side). The semi-join is on the id key both sides already shuffle on.
+    ids_in_pairs = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    norm_df = (
+        df.select(F.col(id_col).alias("id"), F.col(caption_col).alias("_cap"))
+        .join(ids_in_pairs, "id", "left_semi")
+        .select("id", _normalize_col("_cap").alias("norm"))
     )
     joined = (
         cand.join(norm_df.select(F.col("id").alias("a"), F.col("norm").alias("_na")), "a")
