@@ -119,7 +119,6 @@ def ngram_jaccard_pairs(
     from simhash_spark.session import spread_small_input
 
     sh = ngram_shingles(spread_small_input(df), id_col, text_col, n, hashed=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     # per-shingle doc-id lists instead of a self-equi-join: one shuffle of
     # the (id, shingle) table, pairs expanded natively (same collect+explode
     # shape as candidates.bucket_pairs_packed). The freq pre-agg exists so
@@ -143,6 +142,20 @@ def ngram_jaccard_pairs(
         ).alias("b"),
     )
     shared = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
+    # per-doc shingle counts ONLY for docs that appear in a pair: the id
+    # shuffle then moves the pair-participating slice of the shingle table,
+    # not the whole corpus (the semi-join recomputes sh, which is cheaper
+    # than a full-corpus exchange at web scale)
+    pair_ids = (
+        shared.select(F.col("a").alias("id"))
+        .unionByName(shared.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    sizes = (
+        sh.join(pair_ids, "id", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
     return (
