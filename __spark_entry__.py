@@ -384,6 +384,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_stats"] = text_stats
 
+    def doc_fingerprints(spark, sf):
+        # frozen FNV-1a 64 document fingerprint (spec.fnv1a64_str) — one
+        # vectorized pandas UDF, oracle-checked vs the spec-precomputed
+        # parquet (the kernel is not ANSI-SQL-expressible)
+        from simhash_spark.operators.textops import make_doc_fingerprint_udf
+
+        docs = spark.read.parquet(_t(sf, "documents"))
+        fp = make_doc_fingerprint_udf()
+        return docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            fp(F.col("text")).alias("doc_fp"),
+        )
+
+    q["doc_fingerprints"] = doc_fingerprints
+
     def ann_topk(spark, sf):
         from simhash_spark.operators.ann import cosine_topk
 
@@ -811,6 +826,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(cluster_size * count(*) AS BIGINT) AS n_rows
         FROM s GROUP BY cluster_size
     """
+    o["doc_fingerprints"] = _expected_values_sql(
+        "doc_fp.parquet", {"doc_id": "VARCHAR", "doc_fp": "BIGINT"}
+    )
     o["near_dup_keep_list"] = f"""
         WITH c AS ({clusters_values})
         SELECT doc_id,

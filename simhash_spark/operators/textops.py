@@ -5,7 +5,8 @@ Everything except the rolling-hash fingerprint is a NATIVE Catalyst column
 expression (whole-stage-codegen'd, no Python worker) and has an exact ANSI-SQL
 mirror for the DuckDB oracle (__spark_entry__.oracle_sql). The fingerprint is
 the frozen FNV-1a spec (simhash_spark.spec) via one vectorized pandas UDF —
-not SQL-expressible, so its driver check is rows-only.
+not SQL-expressible, so its driver check compares against the spec-precomputed
+expected parquet (tests/gen_expected.py, `doc_fingerprints`).
 
 Design note for 100 TB: these are all embarrassingly-parallel per-row
 projections — no shuffle, no UDF except the fingerprint, filters push down to

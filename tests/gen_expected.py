@@ -71,6 +71,18 @@ def main() -> None:
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     n = len(docs)
 
+    # doc_fingerprints: FNV-1a 64 of the raw UTF-8 text (spec.fnv1a64_str —
+    # the same kernel make_doc_fingerprint_udf runs per Arrow batch)
+    doc_fp = spec.u64_to_i64(spec.fnv1a64_str(docs["text"].fillna("").tolist()))
+    pq.write_table(
+        pa.table(
+            {"doc_id": docs["doc_id"].astype(str), "doc_fp": doc_fp},
+            schema=pa.schema([("doc_id", pa.string()), ("doc_fp", pa.int64())]),
+        ),
+        OUT / "doc_fp.parquet",
+    )
+    print(f"doc fingerprints: {len(doc_fp)}")
+
     m = text_kernel_mirror(docs, CFG)
     ids = m["ids"]
     by_id = {ids[i]: i for i in range(n)}
