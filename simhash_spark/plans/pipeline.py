@@ -116,14 +116,33 @@ def run_pipeline(
     enable_substring: bool = True,
     include_phash: bool = True,
     cc_ckpt_every: int = 0,
+    bucket_fingerprints: bool = True,
 ) -> PipelineResult:
     """The resumable end-to-end run: every stage lands in the catalog with a
-    manifest; rerunning after a crash skips complete stages (T5)."""
+    manifest; rerunning after a crash skips complete stages (T5).
+
+    ``bucket_fingerprints`` writes the E1 checkpoint hash-clustered + sorted
+    on image_id (CheckpointCatalog.write bucket_by): E3 joins the fingerprint
+    table TWICE on that key and E4's singleton anti-join hits it again — with
+    the bucketed layout all three reads skip the exchange/sort on the big
+    side, paying one clustered write instead of three shuffles of the
+    largest intermediate. Bucket count follows the session's shuffle
+    parallelism (a real deployment sets both to ~2-3x total cores)."""
     cat = CheckpointCatalog(spark, checkpoint_path)
     in_fp = stage_fingerprint(input_path, cfg, enable_substring, include_phash)
     src = spark.read.parquet(input_path)
 
-    fp = cat.run_stage("01_fingerprints", in_fp, lambda: fingerprint_job(spark, src, cfg))
+    fp_buckets = (
+        (int(spark.conf.get("spark.sql.shuffle.partitions")), ["image_id"])
+        if bucket_fingerprints
+        else None
+    )
+    fp = cat.run_stage(
+        "01_fingerprints",
+        in_fp,
+        lambda: fingerprint_job(spark, src, cfg),
+        bucket_by=fp_buckets,
+    )
 
     def _cand() -> DataFrame:
         return candidate_job(fp, cfg, include_phash=include_phash)

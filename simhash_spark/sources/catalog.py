@@ -18,13 +18,17 @@ input_fingerprint matches — it reads the checkpoint back (T5 test).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import pathlib
+import re
+import shutil
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 MANIFEST_NAME = "_manifest.json"
 
@@ -65,18 +69,88 @@ class CheckpointCatalog:
 
     # ------------------------------------------------------------ run/read
 
+    def _table_name(self, stage: str) -> str:
+        """Session-catalog name for a bucketed stage: stage slug + a hash of
+        this catalog's base path, so two catalogs in one session never
+        collide on a shared stage name."""
+        slug = re.sub(r"[^a-z0-9_]", "_", stage.lower())
+        suffix = hashlib.sha256(str(self.base.resolve()).encode()).hexdigest()[:8]
+        return f"ckpt_{slug}_{suffix}"
+
+    def _register_bucketed(self, stage: str, m: dict) -> str:
+        """(Re-)register the external bucketed table over an existing stage
+        checkpoint. saveAsTable metadata lives in the in-memory session
+        catalog, so a NEW session resuming from this checkpoint must restore
+        the bucket spec from the manifest — otherwise the files read back as
+        plain parquet and every downstream join re-shuffles the big side."""
+        name = self._table_name(stage)
+        if not self.spark.catalog.tableExists(name):
+            schema = T.StructType.fromJson(m["schema"])
+            cols_ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            bcols = ", ".join(f"`{c}`" for c in m["bucket_cols"])
+            self.spark.sql(
+                f"CREATE TABLE {name} ({cols_ddl}) USING PARQUET "
+                f"CLUSTERED BY ({bcols}) SORTED BY ({bcols}) "
+                f"INTO {m['bucket_n']} BUCKETS "
+                f"LOCATION '{self._stage_dir(stage) / 'data'}'"
+            )
+        return name
+
     def read(self, stage: str) -> DataFrame:
+        m = self.manifest(stage)
+        if m and m.get("bucket_n"):
+            return self.spark.table(self._register_bucketed(stage, m))
         return self.spark.read.parquet(str(self._stage_dir(stage) / "data"))
 
-    def write(self, stage: str, df: DataFrame, input_fingerprint: str, extra: dict | None = None) -> DataFrame:
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        input_fingerprint: str,
+        extra: dict | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
+    ) -> DataFrame:
         """Materialize a stage: write parquet, collect per-partition lineage
-        metrics from the files actually written, emit the manifest."""
+        metrics from the files actually written, emit the manifest.
+
+        ``bucket_by=(n, cols)`` writes the stage as a BUCKETED, sorted table
+        (hash-clustered files + session-catalog metadata). Downstream
+        equi-joins on the bucket columns then read the checkpoint WITHOUT an
+        exchange on this side — at 10^12 rows the fingerprint table is the
+        largest intermediate and the verify stage joins it twice, so the
+        bucketed write trades one shuffle at write time for zero at every
+        read. The Iceberg production backend expresses the same layout as a
+        bucket-transform partition spec."""
         d = self._stage_dir(stage)
         data_dir = d / "data"
         t0 = time.time()
-        df.write.mode("overwrite").parquet(str(data_dir))
+        if bucket_by is not None:
+            n_buckets, bcols = bucket_by
+            name = self._table_name(stage)
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            if data_dir.exists():
+                shutil.rmtree(data_dir)
+            # repartition on the bucket key first so every writer task holds
+            # exactly one bucket -> one file per bucket, which is what lets
+            # the scan expose the SORTED property too (multi-file buckets
+            # force a partition-local re-sort under sort-merge joins). This
+            # is the write-time shuffle the layout trades for.
+            (
+                df.repartition(n_buckets, *[F.col(c) for c in bcols])
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, *bcols)
+                .sortBy(*bcols)
+                .option("path", str(data_dir))
+                .format("parquet")
+                .saveAsTable(name)
+            )
+            out = self.spark.table(name)
+        else:
+            df.write.mode("overwrite").parquet(str(data_dir))
+            out = self.spark.read.parquet(str(data_dir))
         wall_ms = int((time.time() - t0) * 1000)
-        out = self.spark.read.parquet(str(data_dir))
         # per-partition (file) lineage: rows + bytes per parquet part file
         parts = [
             {"file": f.name, "bytes": f.stat().st_size}
@@ -102,6 +176,11 @@ class CheckpointCatalog:
             "partitions": parts,
             "wall_ms": wall_ms,
             "written_at_epoch_s": int(t0),
+            **(
+                {"bucket_n": bucket_by[0], "bucket_cols": list(bucket_by[1])}
+                if bucket_by is not None
+                else {}
+            ),
             **(extra or {}),
         }
         (d / MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
@@ -113,6 +192,7 @@ class CheckpointCatalog:
         input_fingerprint: str,
         compute: Callable[[], DataFrame],
         extra_metrics: Callable[[], dict] | None = None,
+        bucket_by: tuple[int, list[str]] | None = None,
     ) -> DataFrame:
         """Resume-aware stage execution: skip compute when a matching complete
         checkpoint exists (the reference's 'each article read exactly once'
@@ -121,7 +201,7 @@ class CheckpointCatalog:
             return self.read(stage)
         df = compute()
         extra = extra_metrics() if extra_metrics else None
-        return self.write(stage, df, input_fingerprint, extra)
+        return self.write(stage, df, input_fingerprint, extra, bucket_by=bucket_by)
 
 
 def input_fingerprint_of(path: str) -> str:

@@ -127,6 +127,46 @@ def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
     assert not cat.is_complete("02_candidates", fp8)
 
 
+def test_bucketed_fingerprint_checkpoint_joins_without_exchange(spark, fixture_dir, tmp_path):
+    """The E1 checkpoint is written hash-clustered on image_id: the E3
+    verify shape (fingerprints joined twice, once per pair side) must plan
+    with exchanges ONLY on the candidate side — both fingerprint scans read
+    bucketed, shuffle-free. Also covers the new-session resume path: after
+    the session-catalog table entry is dropped, read() re-registers the
+    external bucketed table from the manifest's bucket spec."""
+    from pyspark.sql import functions as F
+
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    ck = tmp_path / "ckpt_bk"
+    res = run_pipeline(spark, str(fixture_dir / "images.parquet"), str(ck), CFG)
+    cat = CheckpointCatalog(spark, ck)
+    m = cat.manifest("01_fingerprints")
+    assert m["bucket_n"] >= 1 and m["bucket_cols"] == ["image_id"]
+    # one file per bucket: the write aligned partitions to buckets
+    assert m["n_partitions"] <= m["bucket_n"]
+
+    # simulate resuming in a NEW session: drop the in-memory table entry
+    spark.sql(f"DROP TABLE IF EXISTS {cat._table_name('01_fingerprints')}")
+    fp = cat.read("01_fingerprints")
+    assert fp.count() == 2000
+
+    pairs = res.candidates.select("a", "b").localCheckpoint()
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = fp.select(F.col("image_id").alias("a"), F.col("simhash").alias("_sa"))
+        b = fp.select(F.col("image_id").alias("b"), F.col("simhash").alias("_sb"))
+        plan = (
+            pairs.join(a, "a").join(b, "b")._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert plan.count("Bucketed: true") == 2, plan
+    # the only exchanges hash-partition the candidate side (a then b)
+    assert plan.count("Exchange") == 2, plan
+
+
 def test_iceberg_backend_gate_raises_without_runtime_jar(spark, tmp_path):
     """The production-backend selection logic itself (catalog.py): requesting
     the Iceberg backend in an environment without the runtime jar must fail
