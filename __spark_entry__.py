@@ -473,6 +473,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_near_dup_clusters_substr"] = text_near_dup_clusters_substr
 
+    def incremental_near_dup_clusters(spark, sf):
+        # batch-incremental (delta) index maintenance: cluster a base half
+        # of the corpus, then fold the other half in via the delta path
+        # (only buckets touching an increment row are expanded; untouched
+        # clusters keep labels verbatim). By the delta equality contract
+        # the result is IDENTICAL to the full-corpus run — so it is checked
+        # against the same full-run oracle as text_near_dup_clusters.
+        from simhash_spark.plans.delta import text_incremental_clusters
+
+        docs = spark.read.parquet(_t(sf, "documents"))
+        split = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+        return text_incremental_clusters(
+            docs.where(split == 0), docs.where(split == 1), "doc_id", "text", CFG
+        )
+
+    q["incremental_near_dup_clusters"] = incremental_near_dup_clusters
+
     def near_dup_cluster_stats(spark, sf):
         # the dedup report over the flagship's cluster labels: size
         # histogram + duplicate row mass per multiplicity
@@ -818,6 +835,10 @@ def oracle_sql() -> dict[str, str]:
     clusters_values = _expected_values_sql(
         "clusters.parquet", {"doc_id": "VARCHAR", "cluster_id": "VARCHAR"}
     )
+    # the delta path's contract is equality with the full run (plans/delta.py
+    # docstring + tests/test_delta.py), so its oracle IS the full-run
+    # expected cluster set
+    o["incremental_near_dup_clusters"] = clusters_values
     o["near_dup_cluster_stats"] = f"""
         WITH c AS ({clusters_values}),
              s AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
