@@ -1,0 +1,71 @@
+"""spark-submit entry point for batch-incremental index maintenance.
+
+Folds an increment parquet into a completed run's checkpoint state (a
+run_pipeline catalog or a previous run_delta catalog — chains compose):
+
+    spark-submit --py-files engine.zip jobs/run_delta.py \
+        --base-checkpoint /path/to/prev/checkpoints \
+        --increment /path/to/new_rows_parquet \
+        --checkpoint /path/to/delta/checkpoints \
+        --output /path/to/clusters_out \
+        [--parallelism 32]
+
+Config and stage flags are restored from the base chain's manifests (and
+validated — an increment folded in under a different config would silently
+miss candidates). Outputs mirror run_pipeline: full updated clusters +
+keep_list, plus the increment-only verified pairs. By the delta equality
+contract (plans/delta.py), clusters equal a full run over base ∪ increment
+whenever no bucket exceeds the cap.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+try:  # under spark-submit --py-files the engine zip is already importable
+    import simhash_spark  # noqa: F401
+except ImportError:  # plain `python jobs/run_delta.py` from a checkout
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="simhash_spark delta maintenance step")
+    ap.add_argument("--base-checkpoint", required=True, help="completed base catalog")
+    ap.add_argument("--increment", required=True, help="increment parquet path")
+    ap.add_argument("--checkpoint", required=True, help="NEW catalog dir for this delta")
+    ap.add_argument("--output", required=True, help="output dir for updated clusters")
+    ap.add_argument("--parallelism", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from simhash_spark.operators.dedup import near_dup_keep_list
+    from simhash_spark.plans.delta import run_delta
+    from simhash_spark.session import get_spark
+
+    spark = get_spark(parallelism=args.parallelism, app_name="simhash-delta")
+    t0 = time.time()
+    res = run_delta(spark, args.base_checkpoint, args.increment, args.checkpoint)
+
+    out = pathlib.Path(args.output)
+    res.clusters.write.mode("overwrite").parquet(str(out / "clusters"))
+    res.verified_new.write.mode("overwrite").parquet(str(out / "verified_pairs_delta"))
+    keep = near_dup_keep_list(res.clusters, id_col="image_id")
+    keep.write.mode("overwrite").parquet(str(out / "keep_list"))
+    stats = {
+        "increment_rows": res.fingerprints_new.count(),
+        "candidates_delta": res.candidates_new.count(),
+        "verified_delta": res.verified_new.count(),
+        "rows_total": res.clusters.count(),
+        "clusters": res.clusters.select("cluster_id").distinct().count(),
+        "kept": keep.where("is_kept = 1").count(),
+        "wall_s": round(time.time() - t0, 2),
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

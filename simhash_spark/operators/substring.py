@@ -207,24 +207,21 @@ def _pair_shares_run(
     return False
 
 
-def substring_pairs(
+def winnow_anchor_table(
     df: DataFrame, cfg: PipelineConfig, id_col: str = "image_id", caption_col: str = "caption"
 ) -> DataFrame:
-    """documents -> (a, b, src='substr') pairs sharing a normalized run >= L.
+    """(id, caption) -> distinct (id, anchor) winnowing-anchor rows.
 
-    Shape: anchors co-locate docs -> DISTINCT candidate pairs -> one exact
-    verification per pair. Earlier formulation ran the group suffix-array
-    verify once per anchor GROUP — near-identical docs share dozens of
-    anchors, so at sf0.1 that was 7,422 group verifications for only 3,847
-    distinct pairs (46 s -> ~3 s after the dedup). The SA/LCP machinery
-    (suffix_array / lcp_kasai / _group_pairs) remains the bulk verifier for
-    grouped use and stays unit-tested.
-    """
+    Content-keyed like the fingerprint bucket keys: two docs sharing a
+    normalized run >= L always share >= 1 anchor, so the table doubles as
+    the substring stage's equi-join index AND the incremental-maintenance
+    state (plans/delta.py semi-joins a base anchor checkpoint against an
+    increment's anchors instead of re-winnowing the base corpus)."""
     from simhash_spark.session import spread_small_input
 
     df = spread_small_input(df)
     winnow = make_winnow_udf(cfg)
-    anchors = (
+    return (
         df.select(
             F.col(id_col).alias("id"),
             F.explode(winnow(F.col(caption_col))).alias("anch"),
@@ -232,7 +229,15 @@ def substring_pairs(
         .select("id", F.col("anch.anchor").alias("anchor"))
         .distinct()
     )
-    # cap hot anchors deterministically (keep lowest ids); observable drop
+
+
+def pairs_from_anchor_table(anchors: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(id, anchor) -> distinct unverified (a, b) pairs, a < b.
+
+    Hot anchors (boilerplate prefixes) are capped deterministically at
+    ``bucket_cap`` docs per anchor (keep lowest ids); the cap is applied to
+    the FULL bucket contents, so a delta run feeding only touched buckets
+    reproduces the full run's keep decision exactly."""
     w = Window.partitionBy("anchor").orderBy("id")
     anchors = anchors.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= cfg.bucket_cap
@@ -244,13 +249,23 @@ def substring_pairs(
         .where(F.size("_ids") > 1)
     )
     lefts = grouped.select("_ids", F.posexplode("_ids").alias("_i", "a"))
-    cand = lefts.select(
+    return lefts.select(
         "a",
         F.explode(
             F.slice("_ids", F.col("_i") + 2, F.size("_ids") - F.col("_i") - 1)
         ).alias("b"),
     ).distinct()
 
+
+def verify_substring_pairs(
+    cand: DataFrame,
+    df: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Exact shared-run >= L verification of candidate (a, b) pairs against
+    the docs table; returns the surviving (a, b) rows."""
     # normalize ONLY docs that appear in candidate pairs: at web scale the
     # pair set touches a small fraction of the corpus, and without this
     # pre-filter the NFKC UDF would run over every doc TWICE (once per join
@@ -292,7 +307,25 @@ def substring_pairs(
             ]
             yield pdf.loc[keep, ["a", "b"]]
 
-    pairs = joined.mapInPandas(verify, schema="a string, b string")
+    return joined.mapInPandas(verify, schema="a string, b string")
+
+
+def substring_pairs(
+    df: DataFrame, cfg: PipelineConfig, id_col: str = "image_id", caption_col: str = "caption"
+) -> DataFrame:
+    """documents -> (a, b, src='substr') pairs sharing a normalized run >= L.
+
+    Shape: anchors co-locate docs -> DISTINCT candidate pairs -> one exact
+    verification per pair. Earlier formulation ran the group suffix-array
+    verify once per anchor GROUP — near-identical docs share dozens of
+    anchors, so at sf0.1 that was 7,422 group verifications for only 3,847
+    distinct pairs (46 s -> ~3 s after the dedup). The SA/LCP machinery
+    (suffix_array / lcp_kasai / _group_pairs) remains the bulk verifier for
+    grouped use and stays unit-tested.
+    """
+    anchors = winnow_anchor_table(df, cfg, id_col, caption_col)
+    cand = pairs_from_anchor_table(anchors, cfg)
+    pairs = verify_substring_pairs(cand, df, cfg, id_col, caption_col)
     return pairs.withColumn("src", F.lit("substr"))
 
 

@@ -32,15 +32,24 @@ agree for content that actually verifies as duplicate).
 
 from __future__ import annotations
 
+import json
+import pathlib
 from dataclasses import dataclass
+from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
+from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig, config_fingerprint
 from simhash_spark.operators.candidates import bucket_pairs_packed, explode_all_keys
 from simhash_spark.operators.connected_components import connected_components
+from simhash_spark.operators.substring import (
+    pairs_from_anchor_table,
+    verify_substring_pairs,
+    winnow_anchor_table,
+)
 from simhash_spark.operators.verify import verify_pairs
+from simhash_spark.sources.catalog import CheckpointCatalog, input_fingerprint_of
 
 
 def incremental_candidates(
@@ -70,6 +79,37 @@ def incremental_candidates(
     pa = pairs.join(new_ids.withColumnRenamed("image_id", "a"), "a", "left_semi")
     pb = pairs.join(new_ids.withColumnRenamed("image_id", "b"), "b", "left_semi")
     return pa.unionByName(pb).dropDuplicates(["a", "b"])
+
+
+def incremental_substring_pairs(
+    anchors_base: DataFrame,
+    anchors_new: DataFrame,
+    docs_all: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Substring-stage delta: verified (a, b, src='substr') pairs touching
+    >= 1 increment doc, without re-winnowing the base corpus.
+
+    Anchors are content hashes, so the same semi-join trick as the bucket
+    index applies: only anchor buckets CONTAINING a new doc are expanded,
+    and the hot-anchor cap sees the full bucket contents (base ∪ new), so
+    its keep decision matches the full run's. Old–old pairs inside touched
+    buckets are dropped before verification — the base run already emitted
+    them (equality caveat: buckets past the cap, as everywhere else).
+    """
+    anchors_all = anchors_base.unionByName(anchors_new)
+    touched = anchors_all.join(
+        anchors_new.select("anchor").distinct(), "anchor", "left_semi"
+    )
+    cand = pairs_from_anchor_table(touched, cfg)
+    new_ids = anchors_new.select("id").distinct()
+    pa = cand.join(new_ids.withColumnRenamed("id", "a"), "a", "left_semi")
+    pb = cand.join(new_ids.withColumnRenamed("id", "b"), "b", "left_semi")
+    cand = pa.unionByName(pb).dropDuplicates(["a", "b"])
+    verified = verify_substring_pairs(cand, docs_all, cfg, id_col, caption_col)
+    return verified.withColumn("src", F.lit("substr"))
 
 
 def incremental_cluster_update(
@@ -133,6 +173,199 @@ def incremental_near_dup_update(
     verified = verify_pairs(cand, fp_all, cfg, use_phash=include_phash)
     clusters = incremental_cluster_update(base_clusters, verified, fp_new)
     return DeltaResult(fp_new, verified, clusters)
+
+
+# --------------------------------------------------------------------------
+# Production surface: delta runs over CheckpointCatalog state (jobs/run_delta)
+#
+# A delta catalog stores ONLY increment-sized stages (01_fingerprints_delta,
+# 02b_anchors_delta, 02_candidates_delta, 03_verified_delta) plus the full
+# updated label table (04_clusters — the narrow consumer artifact) and a
+# `_delta_base.json` pointer to the catalog it extends. State that must span
+# the whole corpus (fingerprints, anchors) is never rewritten: readers union
+# the chain root's table with each link's delta table — the Iceberg
+# append-snapshot shape expressed over the parquet backend. Chains grow one
+# plan-union per increment; a periodic full run (compaction) resets the root.
+
+DELTA_POINTER = "_delta_base.json"
+
+
+def _delta_base_of(ckpt_path: str | pathlib.Path) -> str | None:
+    p = pathlib.Path(ckpt_path) / DELTA_POINTER
+    return json.loads(p.read_text())["base"] if p.exists() else None
+
+
+def catalog_chain(ckpt_path: str | pathlib.Path) -> list[str]:
+    """[root full-run catalog, delta 1, ..., this catalog] — oldest first."""
+    chain: list[str] = []
+    cur: str | None = str(ckpt_path)
+    while cur is not None:
+        if cur in chain:
+            raise RuntimeError(f"delta chain cycle at {cur}")
+        chain.append(cur)
+        cur = _delta_base_of(cur)
+    return list(reversed(chain))
+
+
+def read_chain_stage(
+    spark: SparkSession, ckpt_path: str | pathlib.Path, root_stage: str, delta_stage: str
+) -> DataFrame:
+    """Union a corpus-spanning stage across the delta chain: the root's full
+    table plus each subsequent catalog's increment-only table."""
+    chain = catalog_chain(ckpt_path)
+    dfs = [CheckpointCatalog(spark, chain[0]).read(root_stage)]
+    dfs += [CheckpointCatalog(spark, c).read(delta_stage) for c in chain[1:]]
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def chain_run_metadata(spark: SparkSession, ckpt_path: str | pathlib.Path) -> dict:
+    """Root run's recorded config + flags, and every link's input path."""
+    chain = catalog_chain(ckpt_path)
+    root = CheckpointCatalog(spark, chain[0]).manifest("01_fingerprints")
+    if not root or "config" not in root:
+        raise RuntimeError(
+            f"{chain[0]} has no 01_fingerprints manifest with a recorded config — "
+            "the delta path needs a base produced by run_pipeline (current version)"
+        )
+    paths = [root["input_path"]]
+    for c in chain[1:]:
+        m = CheckpointCatalog(spark, c).manifest("01_fingerprints_delta")
+        if not m:
+            raise RuntimeError(f"{c} is not a complete delta catalog")
+        paths.append(m["input_path"])
+    return {
+        "config": root["config"],
+        "enable_substring": root["enable_substring"],
+        "include_phash": root["include_phash"],
+        "input_paths": paths,
+    }
+
+
+@dataclass
+class DeltaRunResult:
+    fingerprints_new: DataFrame
+    candidates_new: DataFrame
+    verified_new: DataFrame
+    clusters: DataFrame
+
+
+def run_delta(
+    spark: SparkSession,
+    base_checkpoint: str,
+    increment_path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig | None = None,
+) -> DeltaRunResult:
+    """Fold one increment into a completed run's checkpoint state.
+
+    ``base_checkpoint`` is a run_pipeline catalog OR a previous run_delta
+    catalog (chains compose). The config and stage flags are restored from
+    the chain root's manifest; passing ``cfg`` asserts it matches — bucket
+    keys depend on the config, so an increment folded in under a different
+    one would silently miss candidates (the check makes drift loud).
+
+    Resumable like run_pipeline: every delta stage lands in the new catalog
+    under a lineage fingerprint that embeds the base's, so a crashed delta
+    rerun skips complete stages and a changed base/increment/config recomputes.
+    """
+    from dataclasses import asdict
+
+    from simhash_spark.plans.pipeline import fingerprint_job
+
+    meta = chain_run_metadata(spark, base_checkpoint)
+    base_cfg = PipelineConfig(**meta["config"])
+    if cfg is None:
+        cfg = base_cfg
+    elif config_fingerprint(cfg) != config_fingerprint(base_cfg):
+        raise RuntimeError(
+            "config drift: the base chain was built with "
+            f"{meta['config']}, which does not match the config passed to run_delta"
+        )
+    enable_substring = meta["enable_substring"]
+    include_phash = meta["include_phash"]
+
+    cat = CheckpointCatalog(spark, checkpoint_path)
+    ptr = pathlib.Path(checkpoint_path) / DELTA_POINTER
+    if ptr.exists():
+        prev = json.loads(ptr.read_text())["base"]
+        if prev != str(base_checkpoint):
+            raise RuntimeError(
+                f"{checkpoint_path} already extends {prev}, not {base_checkpoint}"
+            )
+    else:
+        ptr.write_text(json.dumps({"base": str(base_checkpoint)}))
+
+    base_cat = CheckpointCatalog(spark, base_checkpoint)
+    base01 = base_cat.manifest("01_fingerprints") or base_cat.manifest(
+        "01_fingerprints_delta"
+    )
+    in_fp = (
+        f"{base01['input_fingerprint']}+{input_fingerprint_of(increment_path)}"
+        f"-{config_fingerprint(cfg)}-ss{int(enable_substring)}-ph{int(include_phash)}"
+    )
+
+    src_new = spark.read.parquet(increment_path)
+    fp_new = cat.run_stage(
+        "01_fingerprints_delta",
+        in_fp,
+        lambda: fingerprint_job(spark, src_new, cfg),
+        extra_metrics=lambda: {
+            "config": asdict(cfg),
+            "enable_substring": enable_substring,
+            "include_phash": include_phash,
+            "input_path": increment_path,
+        },
+    )
+    fp_base = read_chain_stage(
+        spark, base_checkpoint, "01_fingerprints", "01_fingerprints_delta"
+    )
+    fp_all = fp_base.unionByName(fp_new)
+
+    if enable_substring:
+        anch_new = cat.run_stage(
+            "02b_anchors_delta",
+            in_fp,
+            lambda: winnow_anchor_table(src_new.select("image_id", "caption"), cfg),
+        )
+        anch_base = read_chain_stage(
+            spark, base_checkpoint, "02b_anchors", "02b_anchors_delta"
+        )
+        docs_all = reduce(
+            lambda a, b: a.unionByName(b),
+            [
+                spark.read.parquet(p).select("image_id", "caption")
+                for p in [*meta["input_paths"], increment_path]
+            ],
+        )
+
+    def _cand() -> DataFrame:
+        c = incremental_candidates(fp_new, fp_all, cfg, include_phash=include_phash)
+        if not enable_substring:
+            return c
+        sub = incremental_substring_pairs(anch_base, anch_new, docs_all, cfg)
+        return (
+            c.unionByName(sub)
+            .groupBy("a", "b")
+            .agg(
+                F.array_join(
+                    F.array_sort(F.flatten(F.collect_set(F.split("src", ",")))), ","
+                ).alias("src")
+            )
+        )
+
+    cand = cat.run_stage("02_candidates_delta", in_fp, _cand)
+    verified = cat.run_stage(
+        "03_verified_delta",
+        in_fp,
+        lambda: verify_pairs(cand, fp_all, cfg, use_phash=include_phash),
+    )
+    base_clusters = base_cat.read("04_clusters")
+    clusters = cat.run_stage(
+        "04_clusters",
+        in_fp,
+        lambda: incremental_cluster_update(base_clusters, verified, fp_new),
+    )
+    return DeltaRunResult(fp_new, cand, verified, clusters)
 
 
 def text_incremental_clusters(

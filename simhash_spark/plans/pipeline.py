@@ -27,7 +27,12 @@ from simhash_spark.config import DEFAULT_CONFIG, PipelineConfig
 from simhash_spark.functions.udfs import with_fingerprints
 from simhash_spark.operators.candidates import bucket_stats_packed, explode_all_keys, generate_candidates
 from simhash_spark.operators.connected_components import connected_components
-from simhash_spark.operators.substring import substring_pairs
+from simhash_spark.operators.substring import (
+    pairs_from_anchor_table,
+    substring_pairs,
+    verify_substring_pairs,
+    winnow_anchor_table,
+)
 from simhash_spark.operators.verify import verify_pairs
 from simhash_spark.sources.catalog import CheckpointCatalog, input_fingerprint_of
 
@@ -49,7 +54,9 @@ def candidate_job(fp: DataFrame, cfg: PipelineConfig, include_phash: bool = True
 
 
 def substring_job(src: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """E2b: captions -> substring candidate pairs (a, b, src='substr')."""
+    """E2b one-shot form: captions -> substring pairs (a, b, src='substr').
+    run_pipeline instead splits this into the 02b_anchors checkpoint +
+    verify so the anchor table persists as incremental-maintenance state."""
     return substring_pairs(src.select("image_id", "caption"), cfg)
 
 
@@ -137,10 +144,25 @@ def run_pipeline(
         if bucket_fingerprints
         else None
     )
+    def _run_metadata() -> dict:
+        # the delta path (plans/delta.py) reconstructs the EXACT base config
+        # and stage flags from this manifest — bucket keys depend on them, so
+        # an increment folded in under a different config would silently miss
+        # candidates. Recording them here makes config drift detectable.
+        from dataclasses import asdict
+
+        return {
+            "config": asdict(cfg),
+            "enable_substring": enable_substring,
+            "include_phash": include_phash,
+            "input_path": input_path,
+        }
+
     fp = cat.run_stage(
         "01_fingerprints",
         in_fp,
         lambda: fingerprint_job(spark, src, cfg),
+        extra_metrics=_run_metadata,
         bucket_by=fp_buckets,
     )
 
@@ -164,7 +186,22 @@ def run_pipeline(
     cand = cat.run_stage("02_candidates", in_fp, _cand, extra_metrics=_cand_metrics)
 
     if enable_substring:
-        sub = cat.run_stage("02b_substr", in_fp, lambda: substring_job(src, cfg))
+        # the anchor table is checkpointed as its own stage: it is BOTH a
+        # resume point for the substring stage and the incremental-
+        # maintenance state (a delta run semi-joins it against the
+        # increment's anchors instead of re-winnowing the base corpus)
+        anch = cat.run_stage(
+            "02b_anchors",
+            in_fp,
+            lambda: winnow_anchor_table(src.select("image_id", "caption"), cfg),
+        )
+        sub = cat.run_stage(
+            "02b_substr",
+            in_fp,
+            lambda: verify_substring_pairs(
+                pairs_from_anchor_table(anch, cfg), src, cfg
+            ).withColumn("src", F.lit("substr")),
+        )
         all_cand = cand.unionByName(sub).groupBy("a", "b").agg(
             F.array_join(F.array_sort(F.flatten(F.collect_set(F.split("src", ",")))), ",").alias("src")
         )

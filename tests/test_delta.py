@@ -73,6 +73,87 @@ def test_increment_bridges_two_base_clusters(spark):
     ]
 
 
+def test_run_delta_chain_equals_full_pipeline(spark, tmp_path, capsys):
+    """Production surface: a run_pipeline base catalog extended by TWO
+    chained run_delta steps (hash-split corpus, so planted clusters straddle
+    the base/increment boundary) must label the union corpus identically to
+    one full run — including the substring stage, whose anchor state rides
+    the 02b_anchors checkpoint chain instead of re-winnowing the base."""
+    from simhash_spark.plans.delta import catalog_chain, run_delta
+    from simhash_spark.plans.pipeline import run_pipeline
+    from simhash_spark.sources.fixtures import write_images_fixture
+
+    fx = tmp_path / "fx"
+    write_images_fixture(fx, n_rows=1200, seed=7, with_bytes=False, with_truth=False)
+    full_df = spark.read.parquet(str(fx / "images.parquet"))
+    part = F.pmod(F.xxhash64("image_id"), F.lit(4))
+    paths = []
+    for i, pred in enumerate([part < 2, part == 2, part == 3]):
+        p = tmp_path / f"part{i}"
+        full_df.where(pred).coalesce(1).write.parquet(str(p))
+        paths.append(str(p))
+
+    full = run_pipeline(spark, str(fx / "images.parquet"), str(tmp_path / "ck_full"), CFG)
+    run_pipeline(spark, paths[0], str(tmp_path / "ck_base"), CFG)
+    run_delta(spark, str(tmp_path / "ck_base"), paths[1], str(tmp_path / "ck_d1"))
+    d2 = run_delta(spark, str(tmp_path / "ck_d1"), paths[2], str(tmp_path / "ck_d2"))
+
+    assert catalog_chain(str(tmp_path / "ck_d2")) == [
+        str(tmp_path / "ck_base"),
+        str(tmp_path / "ck_d1"),
+        str(tmp_path / "ck_d2"),
+    ]
+    assert _rows(d2.clusters) == _rows(full.clusters)
+    # the delta verified set never contains old–old pairs
+    inc_ids = {r["image_id"] for r in spark.read.parquet(paths[2]).select("image_id").collect()}
+    for r in d2.verified_new.collect():
+        assert r["a"] in inc_ids or r["b"] in inc_ids
+    # every delta stage is checkpointed + resumable
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(spark, tmp_path / "ck_d2")
+    for stage in (
+        "01_fingerprints_delta",
+        "02b_anchors_delta",
+        "02_candidates_delta",
+        "03_verified_delta",
+        "04_clusters",
+    ):
+        m = cat.manifest(stage)
+        assert m and m["complete"], stage
+
+    # config drift between base and delta must fail loudly, not miss pairs
+    import pytest as _pytest
+    from dataclasses import replace
+
+    with _pytest.raises(RuntimeError, match="config drift"):
+        run_delta(
+            spark,
+            str(tmp_path / "ck_d2"),
+            paths[2],
+            str(tmp_path / "ck_bad"),
+            cfg=replace(CFG, n_blocks=8),
+        )
+
+    # the spark-submit CLI face over the same state
+    import json as _json
+
+    from jobs.run_delta import main as delta_main
+
+    rc = delta_main(
+        [
+            "--base-checkpoint", str(tmp_path / "ck_base"),
+            "--increment", paths[1],
+            "--checkpoint", str(tmp_path / "ck_cli"),
+            "--output", str(tmp_path / "out_cli"),
+        ]
+    )
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["rows_total"] == spark.read.parquet(paths[0]).count() + spark.read.parquet(paths[1]).count()
+    assert (tmp_path / "out_cli" / "keep_list").exists()
+
+
 def test_disjoint_increment_keeps_base_labels_verbatim(spark):
     """An increment sharing no bucket with the base: zero new verified
     pairs, base labels pass through untouched, increment rows become
