@@ -20,8 +20,17 @@ cached across runs) — no external data. Prints one JSON line per stage and a
 summary line; timings are best-of-1 (these are long stages; run twice and
 take the better run if CPU steal is suspected).
 
+- --delta N: batch-incremental maintenance experiment (plans/delta.py) at
+  N images — full run_pipeline over the whole corpus vs run_delta folding a
+  ~1% file-level increment into the base's checkpoint catalog; reports both
+  walls, the recompute/delta ratio, and label agreement between the two
+  label tables (exact equality is the contract when no bucket exceeds the
+  cap; the corpus's hot caption deliberately exceeds it, so agreement is
+  reported, not asserted — the equality gate lives in tests/test_delta.py).
+
 Usage:  python jobs/design_regime.py [--docs 500000] [--vecs 1000000]
                                      [--cpus 32] [--skip-docs] [--skip-vecs]
+                                     [--delta 1000000]
 """
 
 from __future__ import annotations
@@ -89,6 +98,15 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--skip-docs", action="store_true")
     ap.add_argument("--skip-vecs", action="store_true")
+    ap.add_argument(
+        "--delta",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="delta-maintenance experiment at ROWS images: full pipeline vs "
+        "base(~99%%) + run_delta(~1%% increment); reports the recompute-vs-"
+        "delta wall ratio",
+    )
     args = ap.parse_args()
 
     # corpora BEFORE the JVM (process-pool fork safety)
@@ -96,6 +114,7 @@ def main() -> None:
 
     docs_path = None if args.skip_docs else ensure_images_corpus(args.docs)
     vecs_path = None if args.skip_vecs else ensure_embeddings_corpus(args.vecs, args.dim)
+    delta_path = ensure_images_corpus(args.delta) if args.delta else None
 
     from pyspark.sql import functions as F
 
@@ -151,6 +170,69 @@ def main() -> None:
             json.dumps({"stage": "embedding_near_dup_lsh", **results["embedding_near_dup_lsh"]}),
             flush=True,
         )
+
+    if delta_path is not None:
+        import shutil
+
+        from simhash_spark.config import index_config_for
+        from simhash_spark.plans.delta import run_delta
+        from simhash_spark.plans.pipeline import run_pipeline
+
+        # file-level split: the corpus is written in independent chunks, so
+        # carving the last ~1% of part files off as the increment is exactly
+        # the append-arrival shape the delta path serves
+        parts = sorted(p.name for p in delta_path.glob("part-*.parquet"))
+        n_inc = max(1, len(parts) // 100)
+        split = CACHE / f"delta_split_{args.delta}"
+        if not (split / "_SUCCESS").exists():
+            shutil.rmtree(split, ignore_errors=True)
+            (split / "base").mkdir(parents=True)
+            (split / "inc").mkdir(parents=True)
+            for name in parts[:-n_inc]:
+                os.symlink(delta_path / name, split / "base" / name)
+            for name in parts[-n_inc:]:
+                os.symlink(delta_path / name, split / "inc" / name)
+            (split / "_SUCCESS").touch()
+        n_inc_rows = (
+            spark.read.parquet(str(split / "inc")).count()
+        )
+
+        exp = CACHE / f"delta_exp_{args.delta}"
+        shutil.rmtree(exp, ignore_errors=True)  # fresh catalogs: no resume skips
+
+        # the adaptive index config on BOTH sides, exactly as the production
+        # CLI picks it — a DEFAULT_CONFIG (4-block) full run at 1M rows would
+        # sit in the quadratic-collision regime and flatter the delta ratio
+        cfg = index_config_for(args.delta)
+
+        t0 = time.time()
+        full = run_pipeline(spark, str(delta_path), str(exp / "full"), cfg=cfg)
+        wall_full = time.time() - t0
+
+        t0 = time.time()
+        run_pipeline(spark, str(split / "base"), str(exp / "base"), cfg=cfg)
+        wall_base = time.time() - t0
+
+        t0 = time.time()
+        delta = run_delta(spark, str(exp / "base"), str(split / "inc"), str(exp / "delta"))
+        wall_delta = time.time() - t0
+
+        lf = full.clusters.select("image_id", F.col("cluster_id").alias("c_full"))
+        ld = delta.clusters.select("image_id", F.col("cluster_id").alias("c_delta"))
+        joined = lf.join(ld, "image_id", "full_outer")
+        agree = joined.where(F.col("c_full") == F.col("c_delta")).count()
+        total = joined.count()
+        results["delta_maintenance"] = {
+            "rows": args.delta,
+            "n_blocks": cfg.n_blocks,
+            "increment_rows": n_inc_rows,
+            "wall_full_s": round(wall_full, 1),
+            "wall_base_s": round(wall_base, 1),
+            "wall_delta_s": round(wall_delta, 1),
+            "recompute_over_delta": round(wall_full / wall_delta, 1),
+            "label_agreement": round(agree / total, 6),
+        }
+        print(json.dumps({"stage": "delta_maintenance", **results["delta_maintenance"]}), flush=True)
 
     print(json.dumps({"metric": "design_regime", "cpus": args.cpus, "stages": results}))
     spark.stop()

@@ -185,7 +185,8 @@ def incremental_near_dup_update(
 # the whole corpus (fingerprints, anchors) is never rewritten: readers union
 # the chain root's table with each link's delta table — the Iceberg
 # append-snapshot shape expressed over the parquet backend. Chains grow one
-# plan-union per increment; a periodic full run (compaction) resets the root.
+# plan-union per increment; a periodic compact_chain (below) resets the root
+# without recomputing anything.
 
 DELTA_POINTER = "_delta_base.json"
 
@@ -227,7 +228,10 @@ def chain_run_metadata(spark: SparkSession, ckpt_path: str | pathlib.Path) -> di
             f"{chain[0]} has no 01_fingerprints manifest with a recorded config — "
             "the delta path needs a base produced by run_pipeline (current version)"
         )
-    paths = [root["input_path"]]
+    # a run_pipeline root records one input path; a compacted root records
+    # the list of every path its chain folded in
+    rp = root["input_path"]
+    paths = list(rp) if isinstance(rp, list) else [rp]
     for c in chain[1:]:
         m = CheckpointCatalog(spark, c).manifest("01_fingerprints_delta")
         if not m:
@@ -366,6 +370,68 @@ def run_delta(
         lambda: incremental_cluster_update(base_clusters, verified, fp_new),
     )
     return DeltaRunResult(fp_new, cand, verified, clusters)
+
+
+def compact_chain(
+    spark: SparkSession,
+    tip_checkpoint: str,
+    out_checkpoint: str,
+) -> None:
+    """Compact a delta chain into a fresh root catalog (the periodic
+    'rewrite the snapshot' step every append-log design needs — each
+    run_delta link adds one plan-union to every chain read, so a chain left
+    to grow pays O(links) scan setup per stage read and its readers depend
+    on every link directory staying alive).
+
+    NO recompute: the fingerprint UDF never runs. Cost is one bucketed write
+    of the unioned fingerprint table (the same image_id clustering
+    run_pipeline gives its E1 checkpoint, so post-compaction deltas keep the
+    exchange-free verify joins), one write of the unioned anchor table, and
+    one copy of the tip's full label table — all linear scans. The
+    increment-sized candidate/verified stages are per-run audit artifacts
+    and are not carried forward. ``run_delta`` chains compose off the
+    compacted catalog exactly as off a run_pipeline catalog
+    (chain length resets to 1); equality is gated in tests/test_delta.py.
+
+    On the Iceberg production backend this is ``rewrite_data_files`` +
+    snapshot expiry; here it is expressed over the parquet backend.
+    """
+    from dataclasses import asdict
+
+    meta = chain_run_metadata(spark, tip_checkpoint)
+    cfg = PipelineConfig(**meta["config"])
+    enable_substring = meta["enable_substring"]
+    chain = catalog_chain(tip_checkpoint)
+    tip = CheckpointCatalog(spark, chain[-1])
+    tip01 = tip.manifest("01_fingerprints_delta") or tip.manifest("01_fingerprints")
+    in_fp = f"compact:{tip01['input_fingerprint']}"
+
+    cat = CheckpointCatalog(spark, out_checkpoint)
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cat.run_stage(
+        "01_fingerprints",
+        in_fp,
+        lambda: read_chain_stage(
+            spark, tip_checkpoint, "01_fingerprints", "01_fingerprints_delta"
+        ),
+        extra_metrics=lambda: {
+            "config": asdict(cfg),
+            "enable_substring": enable_substring,
+            "include_phash": meta["include_phash"],
+            "input_path": meta["input_paths"],
+            "compacted_from": chain,
+        },
+        bucket_by=(n_buckets, ["image_id"]),
+    )
+    if enable_substring:
+        cat.run_stage(
+            "02b_anchors",
+            in_fp,
+            lambda: read_chain_stage(
+                spark, tip_checkpoint, "02b_anchors", "02b_anchors_delta"
+            ),
+        )
+    cat.run_stage("04_clusters", in_fp, lambda: tip.read("04_clusters"))
 
 
 def text_incremental_clusters(

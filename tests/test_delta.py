@@ -122,6 +122,31 @@ def test_run_delta_chain_equals_full_pipeline(spark, tmp_path, capsys):
         m = cat.manifest(stage)
         assert m and m["complete"], stage
 
+    # --- compaction: chain -> ONE fresh root, further deltas compose off it,
+    # labels stay identical to the full run (no recompute happened: the new
+    # root's fingerprints are the chain union, bucketed like a pipeline E1)
+    from jobs.compact import main as compact_main
+
+    rc = compact_main(
+        ["--tip", str(tmp_path / "ck_d1"), "--checkpoint", str(tmp_path / "ck_comp")]
+    )
+    assert rc == 0
+    comp = CheckpointCatalog(spark, tmp_path / "ck_comp")
+    m01 = comp.manifest("01_fingerprints")
+    assert m01["bucket_n"] and m01["bucket_cols"] == ["image_id"]
+    assert m01["n_rows"] == spark.read.parquet(paths[0]).count() + spark.read.parquet(
+        paths[1]
+    ).count()
+    assert catalog_chain(str(tmp_path / "ck_comp")) == [str(tmp_path / "ck_comp")]
+    d2c = run_delta(
+        spark, str(tmp_path / "ck_comp"), paths[2], str(tmp_path / "ck_d2c")
+    )
+    assert catalog_chain(str(tmp_path / "ck_d2c")) == [
+        str(tmp_path / "ck_comp"),
+        str(tmp_path / "ck_d2c"),
+    ]
+    assert _rows(d2c.clusters) == _rows(full.clusters)
+
     # config drift between base and delta must fail loudly, not miss pairs
     import pytest as _pytest
     from dataclasses import replace
