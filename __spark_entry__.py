@@ -384,6 +384,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_stats"] = text_stats
 
+    def text_repetition_stats(spark, sf):
+        # Gopher-style repetition/boilerplate signals — zero-shuffle native
+        # projection over the documents table (operators/textops.py)
+        from simhash_spark.operators.textops import with_repetition_stats
+        from simhash_spark.session import spread_small_input
+
+        # CPU-heavy per-row projection over the driver's single-row-group
+        # parquet -> spread first (no-op at production split counts)
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        return with_repetition_stats(d, "text").select(
+            "doc_id",
+            "n_lines",
+            "n_nonempty_lines",
+            "dup_line_frac",
+            "dup_token_frac",
+            "dup_2gram_frac",
+            "n_ellipsis_lines",
+            "n_bullet_lines",
+        )
+
+    q["text_repetition_stats"] = text_repetition_stats
+
     def doc_fingerprints(spark, sf):
         # frozen FNV-1a 64 document fingerprint (spec.fnv1a64_str) — one
         # vectorized pandas UDF, oracle-checked vs the spec-precomputed
@@ -791,6 +813,16 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(lower(text), '{stop_re}')) AS stopword_hits,
                {langid_oracle_sql("text")} AS lang_pred,
                {count_bpeish} AS n_tokens_bpeish
+        FROM documents
+    """
+
+    from simhash_spark.operators.textops import repetition_oracle_sql
+
+    rep = repetition_oracle_sql("text")
+    rep_cols = ",\n               ".join(f"{sql} AS {name}" for name, sql in rep.items())
+    o["text_repetition_stats"] = f"""
+        SELECT doc_id,
+               {rep_cols}
         FROM documents
     """
 

@@ -72,15 +72,23 @@ def ngram_shingles(
     table is the biggest intermediate this operator owns. A 64-bit collision
     inside one doc merges two of its shingles (~n_sh^2/2^64, negligible,
     only ever lowers that doc's count)."""
+    from functools import reduce
+
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     nt = F.size(toks)
-    grams = F.when(
-        nt >= n,
-        F.transform(
-            F.sequence(F.lit(1), nt - (n - 1)),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
-        ),
-    ).otherwise(
+    # n-grams as a zip_with chain of n shifted slices, NOT
+    # transform(sequence(...), i -> slice(toks, i, n)): HOF lambdas run
+    # interpreted and re-evaluate captured expressions PER ELEMENT, so the
+    # sequence form re-ran the whole lower/trim/split chain once per token
+    # (measured 6x slower on the sf0.1 documents). zip_with's array children
+    # are ordinary per-row expressions; the lambda touches only elements.
+    cnt = nt - (n - 1)
+    shifted = [F.slice(toks, i + 1, cnt) for i in range(n)]
+    joined = reduce(
+        lambda acc, nxt: F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b)),
+        shifted,
+    )
+    grams = F.when(nt >= n, joined).otherwise(
         F.when(nt > 0, F.array(F.array_join(toks, " "))).otherwise(
             F.array().cast("array<string>")
         )
@@ -116,9 +124,20 @@ def ngram_jaccard_pairs(
     LOWER jaccard estimates for pairs that share such mega-shingles; the cap
     is recorded by the caller's manifest, never silent.
     """
+    from pyspark import StorageLevel
+
     from simhash_spark.session import spread_small_input
 
-    sh = ngram_shingles(spread_small_input(df), id_col, text_col, n, hashed=True)
+    # the shingle table feeds THREE aggregations (frequency, bucket lists,
+    # per-doc sizes) whose exchanges differ, so without pinning each branch
+    # recomputes the split/gram/distinct subplan — measured 6.5x slower at
+    # sf0.1. Serialized MEMORY_AND_DISK persist (narrow 16-byte rows, none
+    # of the wide-UDF MemoryStore contention CLAUDE.md warns about) computes
+    # it once; at 10^12 rows the production pipeline materializes this stage
+    # through the CheckpointCatalog instead, same role.
+    sh = ngram_shingles(spread_small_input(df), id_col, text_col, n, hashed=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # per-shingle doc-id lists instead of a self-equi-join: one shuffle of
     # the (id, shingle) table, pairs expanded natively (same collect+explode
     # shape as candidates.bucket_pairs_packed). The freq pre-agg exists so
@@ -142,20 +161,14 @@ def ngram_jaccard_pairs(
         ).alias("b"),
     )
     shared = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
-    # per-doc shingle counts ONLY for docs that appear in a pair: the id
-    # shuffle then moves the pair-participating slice of the shingle table,
-    # not the whole corpus (the semi-join recomputes sh, which is cheaper
-    # than a full-corpus exchange at web scale)
-    pair_ids = (
-        shared.select(F.col("a").alias("id"))
-        .unionByName(shared.select(F.col("b").alias("id")))
-        .distinct()
-    )
-    sizes = (
-        sh.join(pair_ids, "id", "left_semi")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    # per-doc shingle counts over the FULL corpus, not semi-joined down to
+    # pair-participating docs: that variant chains sizes behind the whole
+    # pair pipeline (shared -> pair_ids -> semi-join), serializing the plan
+    # and re-scanning sh after the persisted partitions may already be
+    # evicted — measured 2.17 s (this form) vs 14-35 s (semi-join forms) at
+    # sf0.1. One count-agg of the pinned shingle table is also the scale
+    # answer: its shuffle is ~one row per doc after map-side combine.
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
     return (

@@ -122,6 +122,117 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# ------------------------------------------------- repetition / boilerplate
+
+
+def _tokens_col(text_col: Column) -> Column:
+    """Lowercased whitespace tokens; blank text -> empty array (frozen rule,
+    same split the quality counters use)."""
+    t = F.trim(F.lower(text_col))
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def repetition_cols(text_col: Column) -> dict[str, Column]:
+    """Gopher-style repetition/boilerplate signals (Rae'21 §A1.1), as
+    zero-shuffle native column expressions with an exact DuckDB mirror
+    (repetition_oracle_sql):
+
+    - n_lines / n_nonempty_lines: '\\n' split (trailing empties kept — Java
+      split(limit=-1) and DuckDB string_split agree).
+    - dup_line_frac: fraction of non-empty lines that are repeats of an
+      earlier line — (n - n_distinct) / n.
+    - dup_token_frac / dup_2gram_frac: same over whitespace tokens and
+      word 2-grams (joined by one space).
+    - n_ellipsis_lines / n_bullet_lines: lines trim-ending in '...' / trim-
+      starting with '-' or '*'.
+
+    Frozen rules: fractions are 0.0 when the denominator is 0; every ratio
+    is one int/int IEEE division so Spark and DuckDB agree bit-for-bit.
+    Higher-order functions here run interpreted per element, but the arrays
+    are one document's lines/tokens — a per-row projection, not a kernel;
+    the whole operator stays shuffle-free at any corpus size.
+    """
+    lines = F.split(text_col, "\n", -1)
+    nonempty = F.filter(lines, lambda x: F.length(F.trim(x)) > 0)
+    n_ne = F.size(nonempty)
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n == 0, F.lit(0.0)).otherwise(
+            (n - F.size(F.array_distinct(arr))).cast("double") / n.cast("double")
+        )
+
+    toks = _tokens_col(text_col)
+    n_tok = F.size(toks)
+    # 2-grams via zip_with of two shifted slices — NOT transform(sequence)
+    # with toks captured in the lambda, which re-evaluates the whole split
+    # chain per element (interpreted HOF; measured 6x slower, see
+    # dedup.ngram_shingles for the same fix)
+    grams2 = F.when(
+        n_tok >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return {
+        "n_lines": F.size(lines),
+        "n_nonempty_lines": n_ne,
+        "dup_line_frac": dup_frac(nonempty),
+        "dup_token_frac": dup_frac(toks),
+        "dup_2gram_frac": dup_frac(grams2),
+        "n_ellipsis_lines": F.size(
+            F.filter(lines, lambda x: F.endswith(F.trim(x), F.lit("...")))
+        ),
+        "n_bullet_lines": F.size(
+            F.filter(lines, lambda x: F.substring(F.trim(x), 1, 1).isin("-", "*"))
+        ),
+    }
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    out = df
+    for name, col in repetition_cols(F.col(text_col)).items():
+        out = out.withColumn(name, col)
+    return out
+
+
+def repetition_oracle_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB mirrors of repetition_cols, keyed by output column name.
+    Kept next to the Spark expressions so the two dialects stay in lockstep."""
+    lines = f"string_split({text_expr}, chr(10))"
+    nonempty = f"list_filter({lines}, x -> length(trim(x)) > 0)"
+    toks = (
+        f"CASE WHEN length(trim({text_expr})) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex(trim(lower({text_expr})), '\\s+') END"
+    )
+    grams2 = (
+        f"list_transform(range(1, len({toks})), i -> "
+        f"array_to_string(({toks})[i:i+1], ' '))"
+    )
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"CASE WHEN len({arr}) = 0 THEN 0.0 ELSE "
+            f"CAST(len({arr}) - len(list_distinct({arr})) AS DOUBLE) / len({arr}) END"
+        )
+
+    return {
+        "n_lines": f"len({lines})",
+        "n_nonempty_lines": f"len({nonempty})",
+        "dup_line_frac": dup_frac(nonempty),
+        "dup_token_frac": dup_frac(toks),
+        "dup_2gram_frac": dup_frac(grams2),
+        "n_ellipsis_lines": f"len(list_filter({lines}, x -> ends_with(trim(x), '...')))",
+        "n_bullet_lines": (
+            f"len(list_filter({lines}, x -> substr(trim(x), 1, 1) IN ('-', '*')))"
+        ),
+    }
+
+
 # ------------------------------------------------- document fingerprint (UDF)
 
 

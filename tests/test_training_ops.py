@@ -263,6 +263,67 @@ def test_text_stats_vs_python(spark, docs):
         assert r["lang_pred"] == expect
 
 
+def test_repetition_stats_vs_python(spark, docs):
+    """Crafted multi-line docs (the sf tables are single-line, so the line
+    signals need their own fixture) + real docs, checked against a direct
+    python evaluation of the frozen rules AND the DuckDB oracle dialect."""
+    import duckdb
+
+    from simhash_spark.operators.textops import (
+        repetition_oracle_sql,
+        with_repetition_stats,
+    )
+
+    crafted = [
+        ("c1", "line one\nline one\n\nline two"),          # dup non-empty line
+        ("c2", "a a a b"),                                   # dup tokens+2grams
+        ("c3", "wait for it...\n- bullet\n* star\nplain"),  # boilerplate lines
+        ("c4", ""),                                          # empty text
+        ("c5", "   "),                                       # blank text
+        ("c6", "single"),                                    # 1 token, no 2grams
+        ("c7", "tail\n"),                                    # trailing newline
+    ]
+    df = spark.createDataFrame(crafted, "doc_id string, text string").unionByName(
+        docs.orderBy("doc_id").limit(30).select(F.col("doc_id").cast("string"), "text")
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_stats(df, "text").collect()}
+
+    def dup_frac(xs):
+        return 0.0 if not xs else (len(xs) - len(set(xs))) / len(xs)
+
+    for doc_id, text in crafted + [
+        (r["doc_id"], r["text"]) for r in df.collect() if r["doc_id"] not in dict(crafted)
+    ]:
+        r = rows[doc_id]
+        lines = text.split("\n")
+        nonempty = [x for x in lines if x.strip()]
+        toks = text.strip().lower().split() if text.strip() else []
+        grams2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        assert r["n_lines"] == len(lines), doc_id
+        assert r["n_nonempty_lines"] == len(nonempty), doc_id
+        assert r["dup_line_frac"] == dup_frac(nonempty), doc_id
+        assert r["dup_token_frac"] == dup_frac(toks), doc_id
+        assert r["dup_2gram_frac"] == dup_frac(grams2), doc_id
+        assert r["n_ellipsis_lines"] == sum(
+            1 for x in lines if x.strip().endswith("...")
+        ), doc_id
+        assert r["n_bullet_lines"] == sum(
+            1 for x in lines if x.strip()[:1] in ("-", "*")
+        ), doc_id
+
+    # the DuckDB oracle dialect computes the identical values on the crafted
+    # docs (the sf-table parity is test_entry_oracle's job; this pins the
+    # multi-line cases the sf tables never exercise)
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(crafted, columns=["doc_id", "text"]))
+    cols = repetition_oracle_sql("text")
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in cols.items())
+    for rec in con.sql(f"SELECT doc_id, {sel} FROM documents").df().to_dict("records"):
+        r = rows[rec["doc_id"]]
+        for name in cols:
+            assert rec[name] == r[name], (rec["doc_id"], name)
+
+
 def test_doc_fingerprint_matches_spec(spark, docs):
     from simhash_spark import spec
     from simhash_spark.operators.textops import make_doc_fingerprint_udf
