@@ -160,23 +160,18 @@ def explode_all_keys(
 def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(id, src, key_idx, key) -> candidate pairs (a, b, src), a < b.
 
-    Plan (scale-reasoned):
-    1. bucket sizes via partial+final hash agg (map-side combine shrinks the
-       shuffle to ~one row per bucket);
-    2. join sizes back (hash-partitioned on the same key -> no extra
-       exchange of the big side beyond its one shuffle);
-    3. SMALL buckets (size <= cap): groupBy + sort_array(collect_list(id)) —
+    Plan (scale-reasoned; details in bucket_pairs_packed):
+    1. ONE exchange clustering the packed key table by bucket key; bucket
+       size = window count over the clustered rows (no separate sizes agg,
+       no semi-joins — their differing column sets defeated exchange reuse);
+    2. SMALL buckets (size <= cap): groupBy + sort_array(collect_list(id)) —
        bounded by the cap, so per-task memory is bounded at ANY corpus size —
-       then all C(s,2) pairs expanded NATIVELY (nested transform + explode),
-       no self-join, no window sort;
-    4. BIG buckets (hot bands, rare): a lag-window chain of consecutive ids —
-       linear output that preserves connectivity through verification for the
-       identical/near-identical content that makes buckets hot; sort-based
-       window spills safely for pathological bucket sizes.
-
-    Versus the previous window + self-equi-join formulation this halves the
-    shuffles and avoids recomputing the exploded key table once per join side
-    (measured 6x on the 60k-image bench).
+       then all C(s,2) pairs expanded NATIVELY (posexplode + slice-explode),
+       no self-join;
+    3. BIG buckets (hot bands, rare): a salted lag-window chain of
+       consecutive ids — linear output that preserves connectivity through
+       verification for the identical/near-identical content that makes
+       buckets hot; sort-based windows spill safely for pathological sizes.
     """
     # fold (src, key_idx, key) into ONE 8-byte key with the source code in
     # the low 2 bits: shuffle rows shrink to (key:8B, id)
@@ -192,31 +187,42 @@ def bucket_pairs(keyed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return bucket_pairs_packed(packed, cfg)
 
 
-def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig, pin: bool = False) -> DataFrame:
+def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """(k, id) packed bucket memberships -> candidate pairs (a, b, src).
 
-    packed is consumed three times (sizes agg / cold semi-join / big
-    semi-join); its keygen plan is cheap interpreted expressions (~0.5 us/
-    key), so recomputing beats materializing: ``pin=True`` (an eager
-    localCheckpoint) was measured SLOWER at 34M keys — deserialized
-    MemoryStore rows cost more than three recomputes. On a real cluster
-    with a 10^12-row corpus, materialize packed through the
-    CheckpointCatalog (serialized parquet) instead.
-    """
-    if pin:
-        packed = packed.localCheckpoint(eager=True)
-    sizes = packed.groupBy("k").agg(F.count(F.lit(1)).alias("_bsize"))
-    # Only buckets with 2..cap members produce all-pairs output. Filtering
-    # via semi-join (AQE broadcasts the bucket list when small) BEFORE the
-    # collect agg matters in the sparse-index regime: with 40-bit keys
-    # (n_blocks=8) ~85% of buckets are singletons, and collecting ~30M
-    # one-element arrays just to drop them dominated the stage.
-    useful = sizes.where(
-        (F.col("_bsize") >= 2) & (F.col("_bsize") <= cfg.bucket_cap)
-    ).select("k")
-    hot = sizes.where(F.col("_bsize") > cfg.bucket_cap).select("k")
+    ONE exchange of the key table, total. Bucket size is a window count over
+    the k-clustered rows, not a separate groupBy + semi-join: the previous
+    shape (sizes agg / cold semi / hot semi) consumed packed three times with
+    DIFFERENT column sets, so Catalyst's column pruning made the three
+    exchange subplans non-identical and exchange reuse never fired — three
+    full shuffles (and three fingerprint scans + keygen passes) of a table
+    with ~40 keys/row. Here the window's required ClusteredDistribution(k)
+    inserts the single exchange (none at all if the input is already
+    k-clustered, e.g. the delta path's bucketed checkpoints); the cold and
+    hot branches then read the SAME (k, id, _bsize) rows, so AQE reuses the
+    one materialized shuffle stage at runtime, and the downstream groupBy(k)
+    / lag windows are exchange-free (k ⊆ their clustering keys). Local
+    measurement at 60k images/2.4M keys: ~2x faster best-case and far lower
+    run variance than the semi-join shape (fewer shuffles = less of this
+    sandbox's syscall-bound shuffle term); at 10^12 rows it also removes two
+    O(n_buckets) join builds that could never broadcast.
 
-    cold = packed.join(useful, "k", "left_semi")
+    The window count buffers one bucket per task slot (sort-based, spills via
+    ExternalAppendOnlyUnsafeRowArray), so a viral 10^6-member bucket spills
+    to disk instead of OOMing — same guarantee the old sort-window chain path
+    already relied on.
+
+    Only buckets with 2..cap members produce all-pairs output; the collect
+    agg sees them AFTER the _bsize filter, so per-group memory stays bounded
+    by the cap at any corpus size and the sparse-index regime (~85%
+    singleton buckets at 40-bit keys) never collects one-element arrays.
+    """
+    with_size = packed.withColumn(
+        "_bsize", F.count(F.lit(1)).over(Window.partitionBy("k"))
+    )
+    cold = with_size.where(
+        (F.col("_bsize") >= 2) & (F.col("_bsize") <= cfg.bucket_cap)
+    )
     grouped = (
         cold.groupBy("k")
         .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
@@ -243,7 +249,7 @@ def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig, pin: bool = Fals
     # output stays linear in m and no single task ever sorts the full
     # hot bucket.
     big = (
-        packed.join(hot, "k", "left_semi")
+        with_size.where(F.col("_bsize") > cfg.bucket_cap)
         .withColumn("c", src_code())
         .withColumn("_salt", F.pmod(F.xxhash64("id"), F.lit(cfg.salt_buckets)))
     )
