@@ -61,17 +61,18 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def ngram_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = False
 ) -> DataFrame:
-    """(id, shingle) distinct word-n-grams, native exprs only:
-    split on whitespace -> sliding n-window via transform(sequence) ->
-    explode -> distinct. Short docs (1..n-1 tokens) emit their full join —
-    same frozen short-row rule as spec.shingle_list.
+    """(id, shingle) distinct word-n-grams, native exprs only, ZERO shuffle:
+    split on whitespace -> sliding n-window -> per-doc array_distinct ->
+    explode. Cross-doc (id, shingle) duplicates are impossible, so deduping
+    INSIDE each row's gram array replaces the old post-explode
+    ``.distinct()`` — which was a full exchange of the operator's biggest
+    intermediate at any corpus size. Short docs (1..n-1 tokens) emit their
+    full join — same frozen short-row rule as spec.shingle_list.
 
-    ``hashed=True`` replaces the shingle string with xxhash64(shingle)
-    BEFORE the distinct, so the dedup shuffle (and everything downstream)
-    moves 16-byte rows instead of n-gram text — at web scale the shingle
-    table is the biggest intermediate this operator owns. A 64-bit collision
-    inside one doc merges two of its shingles (~n_sh^2/2^64, negligible,
-    only ever lowers that doc's count)."""
+    ``hashed=True`` replaces each shingle string with xxhash64(shingle)
+    before the dedup, so everything downstream moves 16-byte rows instead
+    of n-gram text. A 64-bit collision inside one doc merges two of its
+    shingles (~n_sh^2/2^64, negligible, only ever lowers that doc's count)."""
     from functools import reduce
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -81,7 +82,8 @@ def ngram_shingles(
     # interpreted and re-evaluate captured expressions PER ELEMENT, so the
     # sequence form re-ran the whole lower/trim/split chain once per token
     # (measured 6x slower on the sf0.1 documents). zip_with's array children
-    # are ordinary per-row expressions; the lambda touches only elements.
+    # are ordinary per-row expressions; the lambdas below touch only their
+    # element args.
     cnt = nt - (n - 1)
     shifted = [F.slice(toks, i + 1, cnt) for i in range(n)]
     joined = reduce(
@@ -93,12 +95,12 @@ def ngram_shingles(
             F.array().cast("array<string>")
         )
     )
-    out = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).where(
-        F.length("shingle") > 0
-    )
+    grams = F.filter(grams, lambda g: F.length(g) > 0)
     if hashed:
-        out = out.select("id", F.xxhash64("shingle").alias("shingle"))
-    return out.distinct()
+        grams = F.transform(grams, lambda g: F.xxhash64(g))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
 
 
 def ngram_jaccard_pairs(
@@ -124,32 +126,26 @@ def ngram_jaccard_pairs(
     LOWER jaccard estimates for pairs that share such mega-shingles; the cap
     is recorded by the caller's manifest, never silent.
     """
-    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     from simhash_spark.session import spread_small_input
 
-    # the shingle table feeds THREE aggregations (frequency, bucket lists,
-    # per-doc sizes) whose exchanges differ, so without pinning each branch
-    # recomputes the split/gram/distinct subplan — measured 6.5x slower at
-    # sf0.1. Serialized MEMORY_AND_DISK persist (narrow 16-byte rows, none
-    # of the wide-UDF MemoryStore contention CLAUDE.md warns about) computes
-    # it once; at 10^12 rows the production pipeline materializes this stage
-    # through the CheckpointCatalog instead, same role.
-    sh = ngram_shingles(spread_small_input(df), id_col, text_col, n, hashed=True).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # per-shingle doc-id lists instead of a self-equi-join: one shuffle of
-    # the (id, shingle) table, pairs expanded natively (same collect+explode
-    # shape as candidates.bucket_pairs_packed). The freq pre-agg exists so
-    # no task ever collect_lists a mega-shingle's doc set (the stop-shingle
-    # cap bounds per-group memory at ANY corpus size); its semi-join is
-    # AQE-broadcast when the kept-shingle list is small.
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    kept = freq.where(
-        (F.col("df_") >= 2) & (F.col("df_") <= shingle_doc_cap)
-    ).select("shingle")
+    # ONE exchange of the shingle table, total (the bucket_pairs_packed
+    # pattern): shingle frequency is a window count over the shingle-
+    # clustered rows, not a separate groupBy + semi-join — the old shape
+    # (freq agg / semi-join / sizes agg over a persisted table) paid an
+    # extra full exchange for the frequency pre-agg plus a broadcast build
+    # of the kept-shingle list that could never broadcast at web scale.
+    # ngram_shingles itself is now shuffle-free (per-doc array_distinct),
+    # so the window's ClusteredDistribution(shingle) inserts the single
+    # exchange; the stop-shingle filter runs before the collect agg, which
+    # therefore never materializes a mega-shingle's doc list (per-group
+    # memory bounded by the cap at ANY corpus size — the window count
+    # itself spills via the sort-based window buffer).
+    sh = ngram_shingles(spread_small_input(df), id_col, text_col, n, hashed=True)
+    with_df = sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
     grouped = (
-        sh.join(kept, "shingle", "left_semi")
+        with_df.where((F.col("df_") >= 2) & (F.col("df_") <= shingle_doc_cap))
         .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
     )
@@ -161,14 +157,14 @@ def ngram_jaccard_pairs(
         ).alias("b"),
     )
     shared = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_shared"))
-    # per-doc shingle counts over the FULL corpus, not semi-joined down to
-    # pair-participating docs: that variant chains sizes behind the whole
-    # pair pipeline (shared -> pair_ids -> semi-join), serializing the plan
-    # and re-scanning sh after the persisted partitions may already be
-    # evicted — measured 2.17 s (this form) vs 14-35 s (semi-join forms) at
-    # sf0.1. One count-agg of the pinned shingle table is also the scale
-    # answer: its shuffle is ~one row per doc after map-side combine.
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # per-doc shingle counts over the FULL corpus, computed from the SAME
+    # shingle-clustered rows (identical subplan incl. the window -> AQE
+    # reuses the materialized shuffle stage at runtime; no persist needed):
+    # one map-side-combining count agg whose shuffle is ~one row per doc.
+    # Deliberately NOT semi-joined down to pair-participating docs — that
+    # variant chains sizes behind the whole pair pipeline and serializes
+    # the plan (measured 2.17 s vs 14-35 s at sf0.1).
+    sizes = with_df.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
     return (
