@@ -406,6 +406,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition_stats"] = text_repetition_stats
 
+    def decontaminate_overlap(spark, sf):
+        # benchmark decontamination: corpus docs sharing >= 1 word-5-gram
+        # with the (deterministic) benchmark slice doc_id % 7 == 3; the
+        # benchmark gram set broadcasts, the corpus side never shuffles
+        # beyond the per-doc count agg (operators/curation.py)
+        from simhash_spark.operators.curation import contamination_counts
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        bench = d.where(F.col("doc_id") % 7 == 3)
+        corpus = d.where(F.col("doc_id") % 7 != 3)
+        return contamination_counts(corpus, bench, n=5).select(
+            F.col("id").alias("doc_id"), "n_overlap"
+        )
+
+    q["decontaminate_overlap"] = decontaminate_overlap
+
+    def stratified_sample_docs(spark, sf):
+        # deterministic per-language subsampling: md5-threshold keep rule,
+        # no RNG — identical selection at any parallelism (curation.py)
+        from simhash_spark.operators.curation import stratified_sample
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        kept = stratified_sample(
+            d, "doc_id", "lang", {"en": 0.25, "de": 1.0}, default_rate=0.5
+        )
+        return kept.select("doc_id", "lang", "source")
+
+    q["stratified_sample_docs"] = stratified_sample_docs
+
     def doc_fingerprints(spark, sf):
         # frozen FNV-1a 64 document fingerprint (spec.fnv1a64_str) — one
         # vectorized pandas UDF, oracle-checked vs the spec-precomputed
@@ -824,6 +854,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                {rep_cols}
         FROM documents
+    """
+
+    from simhash_spark.operators.curation import (
+        contamination_oracle_sql,
+        stratified_sample_oracle_sql,
+    )
+
+    o["decontaminate_overlap"] = f"""
+        SELECT id AS doc_id, n_overlap
+        FROM ({contamination_oracle_sql("doc_id % 7 = 3", n=5)})
+    """
+
+    o["stratified_sample_docs"] = f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE {stratified_sample_oracle_sql("doc_id", "lang", {"en": 0.25, "de": 1.0}, default_rate=0.5)}
     """
 
     o["ann_topk"] = """

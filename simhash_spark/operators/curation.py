@@ -1,0 +1,168 @@
+"""Corpus-curation operators: benchmark decontamination and deterministic
+stratified sampling — the two selection passes a training-data pipeline runs
+after hygiene/dedup (brief: "operations a large-scale training-data pipeline
+would need").
+
+Decontamination (Brown et al. GPT-3 appendix C; Dolma §4): a training corpus
+must not contain evaluation-benchmark text, detected as shared word n-grams.
+The benchmark side is tiny (10^6-10^7 grams for a full eval suite) so the
+plan is a broadcast semi/inner join against the corpus gram table — the
+corpus side stays one map pass + one per-doc count agg; nothing n^2, no
+corpus-side shuffle beyond the count.
+
+Stratified sampling: reproducible subsampling by content-stable hash
+threshold, with per-stratum rates (e.g. downsample English, keep all
+low-resource languages). The keep decision is a pure projection —
+md5(key) prefix compared lexicographically against a rate threshold — so
+it is deterministic across runs, engines (exact DuckDB mirror), cluster
+sizes, and partitionings; no RNG state, no sort, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from simhash_spark.operators.dedup import ngram_shingles
+
+# ------------------------------------------------------------ decontamination
+
+
+def contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_overlap) for every corpus doc sharing >= 1 word-n-gram with the
+    benchmark set; docs with zero overlap are absent (semi-join semantics).
+
+    n_overlap counts the doc's DISTINCT shingles that appear anywhere in the
+    benchmark (ngram_shingles dedups per doc, so a gram repeated inside one
+    doc counts once). Shingles ride as xxhash64 on both sides — identical
+    64-bit collision caveat as ngram_jaccard_pairs (a cross-gram collision
+    could only ADD a count; ~n_grams^2/2^64, negligible).
+
+    Scale: the benchmark gram set is explicitly broadcast — a full eval
+    suite is megabytes of hashes, the corpus is the 100 TB side. The corpus
+    gram table never shuffles; the only exchange is the per-doc count agg
+    (map-side combined, <= one row per contaminated doc).
+    """
+    bench_grams = (
+        ngram_shingles(benchmark, id_col, bench_text_col, n, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_grams = ngram_shingles(corpus, id_col, text_col, n, hashed=True)
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """The clean corpus: drop docs with >= min_overlap benchmark n-grams.
+    Anti-join on the contaminated id list; all corpus columns survive."""
+    dirty = (
+        contamination_counts(corpus, benchmark, id_col, text_col, bench_text_col, n)
+        .where(F.col("n_overlap") >= min_overlap)
+        .select(F.col("id").alias(id_col))
+    )
+    return corpus.join(dirty, id_col, "left_anti")
+
+
+def contamination_oracle_sql(
+    bench_pred: str, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of contamination_counts over the `documents` view, with
+    ``bench_pred`` selecting the benchmark rows (e.g. "doc_id % 50 = 7") and
+    the corpus = NOT bench_pred. String grams instead of xxhash64 (DuckDB has
+    no xxhash64); equal up to 64-bit collisions, i.e. bit-equal in practice.
+    Mirrors ngram_shingles' frozen short-doc rule: 1..n-1 tokens emit the
+    full join, empty text emits nothing."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    grams = (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), i -> "
+        f"array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"WHEN length(trim({text_col})) > 0 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return f"""
+        WITH grams AS (
+            SELECT {id_col} AS id, unnest(list_distinct({grams})) AS shingle,
+                   ({bench_pred}) AS is_bench
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT shingle FROM grams WHERE is_bench)
+        SELECT g.id AS id, COUNT(*) AS n_overlap
+        FROM grams g JOIN bench b USING (shingle)
+        WHERE NOT g.is_bench
+        GROUP BY g.id
+    """
+
+
+# ------------------------------------------------------- stratified sampling
+
+
+def _rate_threshold(rate: float) -> str:
+    """rate in [0, 1] -> 4-hex-digit lowercase threshold string. Granularity
+    1/65536; rate >= 1 keeps everything ('zzzz' sorts after any hex digit)."""
+    if rate >= 1.0:
+        return "zzzz"
+    return format(max(0, int(rate * 65536)), "04x")
+
+
+def keep_col(key_col, rate: float):
+    """Deterministic keep decision at ``rate``: first 4 hex chars of
+    md5(string(key)) compared lexicographically against the rate threshold.
+    Content-stable (same key -> same decision on any engine/cluster/run) and
+    uniform (md5 prefix is uniform over [0, 16^4))."""
+    return F.substring(F.md5(key_col.cast("string")), 1, 4) < F.lit(_rate_threshold(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum values (e.g. languages) to keep-rates; strata not
+    listed use ``default_rate``. Pure projection + filter: pushes to the
+    scan, no shuffle, no RNG — rerunning at any parallelism selects the
+    exact same rows, which makes downstream dedup/bench comparisons
+    reproducible and lets a resumed 100 TB run re-derive its own sample.
+    """
+    expr = F.lit(_rate_threshold(default_rate))
+    for stratum, rate in rates.items():
+        expr = F.when(F.col(stratum_col) == stratum, F.lit(_rate_threshold(rate))).otherwise(
+            expr
+        )
+    return df.where(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4) < expr)
+
+
+def stratified_sample_oracle_sql(
+    key_col: str, stratum_col: str, rates: dict[str, float], default_rate: float = 1.0
+) -> str:
+    """DuckDB mirror of stratified_sample's WHERE clause (md5 hex is
+    lowercase in both engines; BIGINT-to-VARCHAR casts agree on decimal
+    form)."""
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN '{_rate_threshold(r)}'" for s, r in rates.items()
+    )
+    thresh = f"CASE {cases} ELSE '{_rate_threshold(default_rate)}' END"
+    return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 4) < {thresh}"

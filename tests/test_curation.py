@@ -1,0 +1,148 @@
+"""Curation operators: benchmark decontamination + deterministic stratified
+sampling — checked against direct python evaluation AND the DuckDB oracle
+dialect (the same two-dialect lockstep pattern as the repetition stats)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+from simhash_spark.operators.curation import (
+    _rate_threshold,
+    contamination_counts,
+    contamination_oracle_sql,
+    decontaminate,
+    keep_col,
+    stratified_sample,
+    stratified_sample_oracle_sql,
+)
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    toks = text.strip().lower().split()
+    if not toks:
+        return set()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_contamination_counts_vs_python(spark, docs):
+    n = 5
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_mask = pdf["doc_id"] % 7 == 3
+    bench_pdf, corp_pdf = pdf[bench_mask], pdf[~bench_mask]
+
+    bench = spark.createDataFrame(bench_pdf)
+    corpus = spark.createDataFrame(corp_pdf)
+    got = {
+        r["id"]: r["n_overlap"]
+        for r in contamination_counts(corpus, bench, n=n).collect()
+    }
+
+    bench_grams = set().union(*(_py_grams(t, n) for t in bench_pdf["text"]), set())
+    expect = {}
+    for _, row in corp_pdf.iterrows():
+        k = len(_py_grams(row["text"], n) & bench_grams)
+        if k:
+            expect[row["doc_id"]] = k
+    assert got == expect
+    # the synthetic corpus contains near-dup families, so a benchmark slice
+    # must actually contaminate something — otherwise this test is vacuous
+    assert expect, "fixture produced zero contamination; pick a new slice"
+
+    clean = decontaminate(corpus, bench, n=n)
+    assert set(r["doc_id"] for r in clean.select("doc_id").collect()) == set(
+        corp_pdf["doc_id"]
+    ) - set(expect)
+
+
+def test_contamination_oracle_dialect_matches(spark, docs):
+    """DuckDB mirror == Spark operator on the same documents slice."""
+    pdf = docs.select("doc_id", "text").toPandas()
+    pred = "doc_id % 7 = 3"
+    bench = spark.createDataFrame(pdf[pdf["doc_id"] % 7 == 3])
+    corpus = spark.createDataFrame(pdf[pdf["doc_id"] % 7 != 3])
+    got = (
+        contamination_counts(corpus, bench, n=5)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = (
+        con.sql(contamination_oracle_sql(pred, n=5))
+        .df()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"id": "int64", "n_overlap": "int64"}),
+        ora.astype({"id": "int64", "n_overlap": "int64"}),
+    )
+
+
+def test_rate_threshold_mapping():
+    assert _rate_threshold(0.0) == "0000"
+    assert _rate_threshold(0.25) == "4000"
+    assert _rate_threshold(0.5) == "8000"
+    assert _rate_threshold(1.0) == "zzzz"  # sorts after every hex digit
+
+
+def test_stratified_sample_deterministic_and_uniform(spark, docs):
+    rates = {"en": 0.25, "de": 1.0}
+    kept = stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.5)
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert a == b  # deterministic across runs
+
+    # per-stratum empirical rates within a loose binomial band
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_tot in tot.items():
+        rate = rates.get(lang, 0.5)
+        frac = got.get(lang, 0) / n_tot
+        assert abs(frac - rate) < 0.2, (lang, frac, rate)
+    # de is kept wholesale
+    if "de" in tot:
+        assert got.get("de", 0) == tot["de"]
+
+
+def test_stratified_sample_oracle_dialect_matches(spark, docs):
+    rates = {"en": 0.25, "de": 1.0}
+    pdf = docs.select("doc_id", "lang").toPandas()
+    kept = stratified_sample(docs, "doc_id", "lang", rates, default_rate=0.5)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    where = stratified_sample_oracle_sql("doc_id", "lang", rates, default_rate=0.5)
+    ora = sorted(
+        con.sql(f"SELECT doc_id FROM documents WHERE {where}").df()["doc_id"].tolist()
+    )
+    assert got == ora
+
+
+def test_keep_col_matches_python_md5(spark):
+    import hashlib
+
+    df = spark.range(0, 2000).select(F.col("id"))
+    kept = sorted(
+        r["id"] for r in df.where(keep_col(F.col("id"), 0.3)).collect()
+    )
+    expect = sorted(
+        i
+        for i in range(2000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:4] < _rate_threshold(0.3)
+    )
+    assert kept == expect
