@@ -133,6 +133,35 @@ def test_embedding_lsh_dedup_exchange_carries_no_vectors(spark):
     assert not offenders, f"vectors ride a hash exchange: {offenders}"
 
 
+def test_candidates_single_key_exchange(spark):
+    """Regression tripwire for the r3 plan fix: candidate generation must
+    shuffle the packed key table EXACTLY ONCE. The old shape (sizes agg +
+    cold/hot semi-joins) consumed it three times with different column
+    sets, so column pruning defeated exchange reuse and each branch
+    re-shuffled (and re-scanned the fingerprints). The window-count shape
+    materializes one k-exchange; the hot-bucket branches must read it via
+    ReusedExchange, and no LeftSemi may reappear."""
+    import re
+
+    from simhash_spark.operators.candidates import generate_candidates
+
+    fp = spark.createDataFrame(
+        [(f"id{i}", i % 7, 3, [i % 5, i % 3], i % 11) for i in range(200)],
+        "image_id string, simhash long, n_shingles int, bands array<long>, phash long",
+    )
+    df = generate_candidates(fp, CFG)
+    df.collect()  # finalize the adaptive plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    assert "LeftSemi" not in final, "semi-join candidate shape reintroduced"
+    materialized = re.findall(
+        r"\+- Exchange hashpartitioning\(k#\d+L", final
+    )
+    assert len(materialized) == 1, (
+        f"packed key table shuffled {len(materialized)}x, want 1:\n{materialized}"
+    )
+    assert "ReusedExchange" in final, "hot-bucket branches must reuse the k-exchange"
+
+
 def test_no_cartesian_product_on_any_scale_path(spark):
     """Scale-killer tripwire over the WHOLE driver surface: no query may
     plan a CartesianProduct except the two documented exact-baseline
