@@ -210,7 +210,13 @@ def bucket_pairs_packed(packed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     The window count buffers one bucket per task slot (sort-based, spills via
     ExternalAppendOnlyUnsafeRowArray), so a viral 10^6-member bucket spills
     to disk instead of OOMing — same guarantee the old sort-window chain path
-    already relied on.
+    already relied on. Skew note: a window (unlike a join) cannot be
+    AQE-skew-split, so one pathological bucket = one slow (spilled) task.
+    This is an accepted trade for -2 full exchanges per run because the
+    production funnel runs exact_dedup FIRST (dedup.py): identical content —
+    the only thing that makes buckets truly enormous — collapses to one row
+    before any index key is built, leaving hot buckets at near-identical
+    scale (bounded by cfg.bucket_cap accounting, chained after the count).
 
     Only buckets with 2..cap members produce all-pairs output; the collect
     agg sees them AFTER the _bsize filter, so per-group memory stays bounded
