@@ -613,6 +613,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup_lsh"] = embedding_near_dup_lsh
 
+    def embedding_near_dup_clusters(spark, sf):
+        # SemDeDup-style semantic dedup: cosine near-dup pairs (the exact
+        # config of embedding_near_dup_lsh) -> iterative connected
+        # components -> (vec_id, cluster_id = min member); vectors in no
+        # pair are singletons. The keep decision is then near_dup_keep_list
+        # (cluster_id == vec_id), same frozen rule as the text/image paths.
+        from simhash_spark.operators.connected_components import connected_components
+        from simhash_spark.operators.dedup import embedding_near_dup as op
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        pairs = op(emb, threshold=0.4, use_lsh=True, n_planes=8, n_tables=4).select(
+            "a", "b"
+        )
+        labels = connected_components(pairs)
+        all_ids = emb.select(F.col("vec_id"))
+        singletons = all_ids.join(
+            labels.select(F.col("id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        return (
+            labels.select(F.col("id").alias("vec_id"), "cluster_id")
+            .unionByName(singletons.select("vec_id", F.col("vec_id").alias("cluster_id")))
+        )
+
+    q["embedding_near_dup_clusters"] = embedding_near_dup_clusters
+
     def image_near_dup_clusters(spark, sf):
         # the flagship image+caption pipeline on a deterministic synthetic
         # corpus of the BASELINE input_hint shape (no external data)
@@ -977,6 +1002,9 @@ def oracle_sql() -> dict[str, str]:
     )
     o["embedding_near_dup_lsh"] = _expected_values_sql(
         "emb_lsh_pairs.parquet", {"a": "BIGINT", "b": "BIGINT"}
+    )
+    o["embedding_near_dup_clusters"] = _expected_values_sql(
+        "emb_clusters.parquet", {"vec_id": "BIGINT", "cluster_id": "BIGINT"}
     )
 
     o["frame_sample"] = """

@@ -409,6 +409,38 @@ def main() -> None:
     )
     print(f"embedding_near_dup_lsh: {len(kept)} pairs")
 
+    # embedding_near_dup_clusters (SemDeDup-style semantic dedup): connected
+    # components over the SAME kept LSH pair set; every vector absent from a
+    # pair is its own singleton cluster; label = min member id (the frozen
+    # representative rule shared with the text/image cluster queries)
+    eparent: dict[int, int] = {int(v): int(v) for v in vids}
+
+    def efind(x: int) -> int:
+        while eparent[x] != x:
+            eparent[x] = eparent[eparent[x]]
+            x = eparent[x]
+        return x
+
+    for a, b in kept:
+        ra, rb = efind(a), efind(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            eparent[hi] = lo
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.array(sorted(int(v) for v in vids), np.int64),
+                "cluster_id": np.array(
+                    [efind(int(v)) for v in sorted(int(v) for v in vids)], np.int64
+                ),
+            },
+            schema=pa.schema([("vec_id", pa.int64()), ("cluster_id", pa.int64())]),
+        ),
+        OUT / "emb_clusters.parquet",
+    )
+    n_clu = len({efind(int(v)) for v in vids})
+    print(f"embedding_near_dup_clusters: {len(vids)} labels, {n_clu} clusters")
+
 
 if __name__ == "__main__":
     main()
