@@ -436,6 +436,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stratified_sample_docs"] = stratified_sample_docs
 
+    def token_budget_sample_docs(spark, sf):
+        # fill each language's character budget in deterministic md5(key)
+        # order: whole hash buckets below the cutoff are kept without any
+        # sort; only the single cutoff bucket (1/256 of a stratum) pays an
+        # exact cumulative window (operators/curation.py::budget_sample)
+        from simhash_spark.operators.curation import budget_sample
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        kept = budget_sample(
+            d, "doc_id", "lang", "n_chars", {"en": 10_000, "de": 5_000},
+            default_budget=8_000,
+        )
+        return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+    q["token_budget_sample_docs"] = token_budget_sample_docs
+
     def doc_fingerprints(spark, sf):
         # frozen FNV-1a 64 document fingerprint (spec.fnv1a64_str) — one
         # vectorized pandas UDF, oracle-checked vs the spec-precomputed
@@ -896,6 +912,17 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WHERE {stratified_sample_oracle_sql("doc_id", "lang", {"en": 0.25, "de": 1.0}, default_rate=0.5)}
     """
+
+    from simhash_spark.operators.curation import budget_sample_oracle_sql
+
+    o["token_budget_sample_docs"] = budget_sample_oracle_sql(
+        "doc_id",
+        "lang",
+        "n_chars",
+        {"en": 10_000, "de": 5_000},
+        default_budget=8_000,
+        select_cols="doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars",
+    )
 
     o["ann_topk"] = """
         WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv

@@ -20,7 +20,7 @@ sizes, and partitionings; no RNG state, no sort, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from simhash_spark.operators.dedup import ngram_shingles
@@ -166,3 +166,122 @@ def stratified_sample_oracle_sql(
     )
     thresh = f"CASE {cases} ELSE '{_rate_threshold(default_rate)}' END"
     return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 4) < {thresh}"
+
+
+# ------------------------------------------------------ token-budget sampling
+
+
+def budget_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    cost_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+) -> DataFrame:
+    """Fill each stratum's budget ("1B tokens of English, 200M of German"):
+    within a stratum, rows are taken in md5(key) hash order until the
+    cumulative ``cost_col`` would exceed the budget. FROZEN RULE: a row is
+    kept iff its inclusive cumulative cost along (md5(str(key)), key)
+    ascending is <= the stratum's budget; budget None = unlimited. Costs
+    must be >= 0 and keys unique. Deterministic across runs, engines, and
+    parallelisms — the same property as stratified_sample, but hitting an
+    absolute size target instead of a rate.
+
+    Scale plan — the naive formulation (SUM(cost) OVER (PARTITION BY stratum
+    ORDER BY hash)) sorts an ENTIRE stratum in one task, the exact skew
+    hazard the CC docstring rejects. Instead:
+
+    1. bucket = first 2 hex chars of md5(key) (256 hash buckets/stratum);
+       per-(stratum, bucket) cost sums via one map-combined agg — the only
+       corpus-wide pass, shuffling ~256 rows per stratum;
+    2. driver computes, per stratum, the cutoff bucket (first bucket that
+       does not fit the remaining budget in hash order) — bounded collect,
+       |strata| x 256 rows, same regime as ivf_fit's sample;
+    3. buckets strictly before the cutoff are kept WHOLE (no sort at all);
+       only the single cutoff bucket — 1/256 of the stratum — pays an exact
+       cumulative-sum window for the boundary. Buckets after the cutoff are
+       dropped whole (the global cumsum already exceeds the budget there).
+
+    Equivalence to the frozen rule is exact because hash order sorts by
+    (bucket, rest-of-hash, key) and the cumulative sum is monotone.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.substring(h, 1, 2)
+    wdf = df.withColumn("_h", h).withColumn("_bk", bucket)
+    sums = (
+        wdf.groupBy(F.col(stratum_col).alias("_st"), F.col("_bk"))
+        .agg(F.sum(F.col(cost_col).cast("long")).alias("_s"))
+        .collect()
+    )
+    per: dict[str, list[tuple[str, int]]] = {}
+    for r in sums:
+        per.setdefault(r["_st"], []).append((r["_bk"], r["_s"] or 0))
+    cut_rows = []
+    for st, lst in per.items():
+        budget = budgets.get(st, default_budget)
+        if budget is None:
+            cut_rows.append((st, "zz", 0))  # 'zz' sorts after every hex bucket
+            continue
+        running = 0
+        cutoff, remaining = None, 0
+        for bk, s in sorted(lst):
+            if running + s <= budget:
+                running += s
+            else:
+                cutoff, remaining = bk, budget - running
+                break
+        if cutoff is None:
+            cut_rows.append((st, "zz", 0))
+        else:
+            cut_rows.append((st, cutoff, remaining))
+    spark = df.sparkSession
+    cuts = F.broadcast(
+        spark.createDataFrame(
+            cut_rows, f"`{stratum_col}` string, _cut string, _rem long"
+        )
+    )
+    joined = wdf.join(cuts, stratum_col, "left")
+    keep_full = joined.where(F.col("_bk") < F.col("_cut"))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_cut = (
+        joined.where(F.col("_bk") == F.col("_cut"))
+        .withColumn("_cum", F.sum(F.col(cost_col).cast("long")).over(w))
+        .where(F.col("_cum") <= F.col("_rem"))
+        .drop("_cum")
+    )
+    return keep_full.unionByName(kept_cut).drop("_h", "_bk", "_cut", "_rem")
+
+
+def budget_sample_oracle_sql(
+    key_col: str,
+    stratum_col: str,
+    cost_col: str,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    table: str = "documents",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB mirror of budget_sample's FROZEN RULE, as the naive global
+    cumulative window (fine at oracle scale; the engine's bucketed plan is
+    provably equivalent — see budget_sample)."""
+    cases = " ".join(f"WHEN {stratum_col} = '{s}' THEN {b}" for s, b in budgets.items())
+    dflt = "NULL" if default_budget is None else str(default_budget)
+    budget = f"CASE {cases} ELSE {dflt} END"
+    return f"""
+        SELECT {select_cols} FROM (
+            SELECT *,
+                   SUM(CAST({cost_col} AS BIGINT)) OVER (
+                       PARTITION BY {stratum_col}
+                       ORDER BY md5(CAST({key_col} AS VARCHAR)), {key_col}
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS _cum,
+                   {budget} AS _budget
+            FROM {table}
+        )
+        WHERE _budget IS NULL OR _cum <= _budget
+    """

@@ -133,6 +133,80 @@ def test_stratified_sample_oracle_dialect_matches(spark, docs):
     assert got == ora
 
 
+def _py_budget_sample(rows, budgets, default_budget):
+    """Direct python evaluation of the frozen budget rule:
+    rows = [(key, stratum, cost)] -> kept key set."""
+    import hashlib
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for key, st, cost in rows:
+        per[st].append((hashlib.md5(str(key).encode()).hexdigest(), key, cost))
+    kept = set()
+    for st, lst in per.items():
+        budget = budgets.get(st, default_budget)
+        cum = 0
+        for _, key, cost in sorted(lst):
+            cum += cost
+            if budget is None or cum <= budget:
+                kept.add(key)
+    return kept
+
+
+def test_budget_sample_vs_python(spark, docs):
+    from simhash_spark.operators.curation import budget_sample
+
+    budgets = {"en": 10_000, "de": 5_000}
+    rows = [
+        (r["doc_id"], r["lang"], r["n_chars"])
+        for r in docs.select("doc_id", "lang", "n_chars").collect()
+    ]
+    expect = _py_budget_sample(rows, budgets, 8_000)
+    out = budget_sample(docs, "doc_id", "lang", "n_chars", budgets, 8_000)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == expect
+    # the budgets must actually bite (otherwise the test is vacuous) and the
+    # kept set must respect each budget exactly
+    assert len(got) < len(rows)
+    kept_rows = [(k, s, c) for k, s, c in rows if k in got]
+    from collections import defaultdict
+
+    spend = defaultdict(int)
+    for _, s, c in kept_rows:
+        spend[s] += c
+    for s, total in spend.items():
+        assert total <= budgets.get(s, 8_000), (s, total)
+
+
+def test_budget_sample_unlimited_default_keeps_unlisted_strata(spark, docs):
+    from simhash_spark.operators.curation import budget_sample
+
+    out = budget_sample(docs, "doc_id", "lang", "n_chars", {"en": 1}, None)
+    tot = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in tot.items():
+        if lang == "en":
+            assert got.get(lang, 0) <= 1  # at most one doc can cost <= 1 char
+        else:
+            assert got.get(lang, 0) == n  # unlimited default keeps everything
+
+
+def test_budget_sample_oracle_dialect_matches(spark, docs):
+    from simhash_spark.operators.curation import budget_sample, budget_sample_oracle_sql
+
+    budgets = {"en": 10_000, "de": 5_000}
+    pdf = docs.select("doc_id", "lang", "n_chars").toPandas()
+    out = budget_sample(docs, "doc_id", "lang", "n_chars", budgets, 8_000)
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = budget_sample_oracle_sql(
+        "doc_id", "lang", "n_chars", budgets, 8_000, select_cols="doc_id"
+    )
+    ora = sorted(con.sql(sql).df()["doc_id"].tolist())
+    assert got == ora
+
+
 def test_keep_col_matches_python_md5(spark):
     import hashlib
 
