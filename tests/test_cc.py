@@ -28,12 +28,19 @@ def _check(spark, n: int, edges: list[tuple[int, int]]):
     ids = [f"n{i:05d}" for i in range(n)]
     pdf = pd.DataFrame({"a": [ids[a] for a, _ in edges], "b": [ids[b] for _, b in edges]})
     df = spark.createDataFrame(pdf, schema="a string, b string")
-    got = {r["id"]: r["cluster_id"] for r in connected_components(df).collect()}
     want = _uf_components(n, edges)
     touched = {i for e in edges for i in e}
-    for i in touched:
-        assert got[ids[i]] == ids[want[i]], (i, got[ids[i]], ids[want[i]])
-    assert set(got) == {ids[i] for i in touched}
+    # BOTH paths must produce the identical min-id labels: the driver
+    # union-find shortcut (default) and the distributed star loop (forced
+    # via small_graph_limit=0)
+    for limit in (200_000, 0):
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in connected_components(df, small_graph_limit=limit).collect()
+        }
+        for i in touched:
+            assert got[ids[i]] == ids[want[i]], (limit, i, got[ids[i]], ids[want[i]])
+        assert set(got) == {ids[i] for i in touched}
 
 
 def test_cc_random_graphs(spark):
