@@ -174,27 +174,41 @@ def srp_topk(
     n_planes/n_tables trade candidate volume (~ n_tables*(n_planes+1)/2^n_planes
     of the corpus per query) against recall; the defaults probe ~3% of the
     corpus per query.
+
+    The candidate stage moves BARE (query_id, neighbor_id) pairs through the
+    bucket join and the pair-dedup exchange — a (query, neighbor) pair can
+    collide in up to n_tables*(n_planes+1) keys, and each duplicate would
+    otherwise pay full-vector serialization (~1 KB/row at 64-dim double)
+    through the shuffle. Vectors are re-attached AFTER the dedup: the query
+    side by an explicit broadcast (queries are the small side by contract,
+    same as cosine_topk), the corpus side by one equi-join that moves each
+    corpus vector at most once. Identical pattern to embedding_near_dup
+    (dedup.py) and verify_pairs' fingerprint re-join; tripwire-tested in
+    tests/test_plans.py.
     """
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     c = srp_keys(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")),
-        "cvec",
-        n_planes=n_planes,
-        n_tables=n_tables,
-        seed=seed,
-        multi_probe=False,
-    )
+        c_vecs, "cvec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=False
+    ).select("neighbor_id", "key")
     q = srp_keys(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        "qvec",
-        n_planes=n_planes,
-        n_tables=n_tables,
-        seed=seed,
-        multi_probe=True,
-    )
-    cand = (
+        q_vecs, "qvec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=True
+    ).select("query_id", "key")
+    pairs = (
         c.join(q, "key")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _rerank_topk(pairs, q_vecs, c_vecs, k)
+
+
+def _rerank_topk(pairs: DataFrame, q_vecs: DataFrame, c_vecs: DataFrame, k: int) -> DataFrame:
+    """Shared ANN tail: re-attach vectors to deduped bare-id candidate pairs
+    (query side broadcast, corpus side one equi-join), exact cosine re-rank,
+    top-k per query with the frozen (cosine desc, neighbor_id asc) tie rule."""
+    cand = (
+        pairs.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
         .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -293,26 +307,25 @@ def ivf_topk(
 
     Per query this touches ~nprobe/n_centroids of the corpus. Same output
     schema as cosine_topk (recall measured against it in tests).
+
+    Like srp_topk, the list_id bucket join and the pair-dedup exchange move
+    BARE (query_id, neighbor_id) rows — a pair collides in up to nprobe keys
+    — and vectors are re-attached only for the cosine re-rank (_rerank_topk:
+    queries broadcast, corpus vectors move at most once).
     """
     c_assign = make_ivf_assign_udf(centroids, 1)
     q_assign = make_ivf_assign_udf(centroids, nprobe)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    ).withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
-    ).withColumn("list_id", F.explode(q_assign(F.col("qvec"))))
-    cand = (
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = c_vecs.withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1)).select(
+        "neighbor_id", "list_id"
+    )
+    q = q_vecs.withColumn("list_id", F.explode(q_assign(F.col("qvec")))).select(
+        "query_id", "list_id"
+    )
+    pairs = (
         c.join(q, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "cosine")
-    )
+    return _rerank_topk(pairs, q_vecs, c_vecs, k)

@@ -105,32 +105,76 @@ def test_exact_dedup_partial_aggregation(spark):
     assert "Exchange" in plan
 
 
+def _vector_carrying_hash_exchanges(spark, df, vec_names=("va", "vb", "vec", "qvec", "cvec", "embedding")):
+    """Input lines of every hash-partitioned Exchange in df's formatted plan
+    that carry a vector column. Round-robin exchanges (spread_small_input of
+    the raw corpus — each vector moves exactly once) are exempt."""
+    import re
+
+    formatted = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pat = re.compile(r"\b(" + "|".join(vec_names) + r")#")
+    offenders = []
+    for b in re.split(r"\n\(\d+\) ", formatted):
+        if not b.startswith("Exchange") or "hashpartitioning" not in b:
+            continue
+        input_line = next((ln for ln in b.splitlines() if ln.startswith("Input")), "")
+        if pat.search(input_line):
+            offenders.append(input_line)
+    return offenders
+
+
 def test_embedding_lsh_dedup_exchange_carries_no_vectors(spark):
     """Regression tripwire for the r2 plan defect: the candidate pair-dedup
     shuffle must move bare (a, b) ids — never embedding vectors. Every
     hash-partitioned Exchange in the plan is checked; the only exchange
     allowed to carry the vector column is the round-robin small-input
     spread of the raw corpus (which moves each vector exactly once)."""
-    import re
-
     from simhash_spark.operators.dedup import embedding_near_dup
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     df = embedding_near_dup(emb, threshold=0.4, use_lsh=True, n_planes=8, n_tables=4)
-    formatted = spark._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
-    blocks = re.split(r"\n\(\d+\) ", formatted)
-    offenders = []
-    for b in blocks:
-        if not b.startswith("Exchange"):
-            continue
-        if "hashpartitioning" not in b:
-            continue  # round-robin spread of the raw corpus is the one allowed vector move
-        input_line = next((ln for ln in b.splitlines() if ln.startswith("Input")), "")
-        if re.search(r"\b(va|vb|vec|embedding)#", input_line):
-            offenders.append(input_line)
+    offenders = _vector_carrying_hash_exchanges(spark, df)
     assert not offenders, f"vectors ride a hash exchange: {offenders}"
+
+
+@pytest.mark.parametrize("query", ["srp_topk", "ann_ivf_topk"])
+def test_ann_topk_dedup_exchanges_carry_no_vectors(spark, query):
+    """r4 extension of the no-vectors tripwire to the two ANN top-k operators
+    (the r3 verdict's last plan anti-pattern): the bucket join and the
+    (query_id, neighbor_id) pair-dedup exchange must move bare ids; qvec is
+    re-attached by broadcast and cvec by one post-dedup equi-join."""
+    df = entrymod.queries()[query](spark, SF)
+    offenders = _vector_carrying_hash_exchanges(spark, df)
+    assert not offenders, f"{query}: vectors ride a hash exchange: {offenders}"
+
+
+def test_ngram_jaccard_single_shingle_exchange(spark):
+    """ngram_jaccard's docstring claims ONE exchange of the shingle table,
+    with the per-doc sizes branch reusing the pair branch's window exchange
+    via AQE stage reuse (both branches read identical shingle-clustered
+    rows). Assert it: exactly one materialized shingle-keyed exchange in the
+    finalized adaptive plan, plus a ReusedExchange/stage reuse marker."""
+    import re
+
+    from simhash_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 9} w{(i + 1) % 9} w{(i + 2) % 9} w{i % 4} w{(i + 3) % 7}")
+         for i in range(300)],
+        "doc_id long, text string",
+    )
+    df = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    df.collect()  # finalize the adaptive plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    materialized = re.findall(r"\+- Exchange hashpartitioning\(shingle#\d+L", final)
+    assert len(materialized) == 1, (
+        f"shingle table shuffled {len(materialized)}x, want 1:\n{materialized}"
+    )
+    assert "ReusedExchange" in final, (
+        "sizes branch must reuse the pair branch's shingle exchange"
+    )
 
 
 def test_candidates_single_key_exchange(spark):
