@@ -42,8 +42,11 @@ def contamination_counts(
     n_overlap counts the doc's DISTINCT shingles that appear anywhere in the
     benchmark (ngram_shingles dedups per doc, so a gram repeated inside one
     doc counts once). Shingles ride as xxhash64 on both sides — identical
-    64-bit collision caveat as ngram_jaccard_pairs (a cross-gram collision
-    could only ADD a count; ~n_grams^2/2^64, negligible).
+    64-bit collision caveat as ngram_jaccard_pairs, in both directions:
+    hashing happens BEFORE the per-doc array_distinct, so a within-doc
+    collision merges two distinct grams and LOWERS n_overlap, while a
+    cross-side corpus-vs-benchmark collision ADDS a count. Both
+    ~n_grams^2/2^64, negligible vs the string-gram oracle.
 
     Scale: the benchmark gram set is explicitly broadcast — a full eval
     suite is megabytes of hashes, the corpus is the 100 TB side. The corpus
@@ -116,6 +119,18 @@ def contamination_oracle_sql(
 # ------------------------------------------------------- stratified sampling
 
 
+def _sql_lit(v) -> str:
+    """Render a stratum value as a SQL literal for the oracle mirrors:
+    strings get single quotes with embedded quotes doubled (so a stratum like
+    "it's" can't break or diverge the generated SQL); ints/floats render
+    bare, matching the Spark side's typed equality."""
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    return str(v)
+
+
 def _rate_threshold(rate: float) -> str:
     """rate in [0, 1] -> 4-hex-digit lowercase threshold string. Granularity
     1/65536; rate >= 1 keeps everything ('zzzz' sorts after any hex digit)."""
@@ -162,7 +177,8 @@ def stratified_sample_oracle_sql(
     lowercase in both engines; BIGINT-to-VARCHAR casts agree on decimal
     form)."""
     cases = " ".join(
-        f"WHEN {stratum_col} = '{s}' THEN '{_rate_threshold(r)}'" for s, r in rates.items()
+        f"WHEN {stratum_col} = {_sql_lit(s)} THEN '{_rate_threshold(r)}'"
+        for s, r in rates.items()
     )
     thresh = f"CASE {cases} ELSE '{_rate_threshold(default_rate)}' END"
     return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 4) < {thresh}"
@@ -178,6 +194,7 @@ def budget_sample(
     cost_col: str,
     budgets: dict[str, int],
     default_budget: int | None = None,
+    max_strata: int = 4096,
 ) -> DataFrame:
     """Fill each stratum's budget ("1B tokens of English, 200M of German"):
     within a stratum, rows are taken in md5(key) hash order until the
@@ -205,16 +222,38 @@ def budget_sample(
 
     Equivalence to the frozen rule is exact because hash order sorts by
     (bucket, rest-of-hash, key) and the cumulative sum is monotone.
+
+    Assumptions made explicit (and enforced):
+    - BOUNDED STRATA: step 2's collect and the broadcast cuts table are
+      |strata| x 256 rows, so the stratum column must be low-cardinality
+      (languages, source tiers — not per-domain ids). The collect is
+      limit-probed and raises past ``max_strata`` distinct strata instead of
+      bloating the driver; route high-cardinality budget columns through a
+      coarser stratum first.
+    - NULL strata form one stratum (matching SQL's PARTITION BY, which
+      groups NULLs together) and take ``default_budget`` — the cuts join is
+      null-safe, so NULL-stratum rows follow the same FROZEN RULE as any
+      unlisted stratum (mirrored by the oracle's CASE ... ELSE arm).
+    - EAGER: the cutoff computation runs Spark jobs at call time (like
+      ivf_fit's sample), not lazily at action time.
     """
     h = F.md5(F.col(key_col).cast("string"))
     bucket = F.substring(h, 1, 2)
     wdf = df.withColumn("_h", h).withColumn("_bk", bucket)
-    sums = (
-        wdf.groupBy(F.col(stratum_col).alias("_st"), F.col("_bk"))
-        .agg(F.sum(F.col(cost_col).cast("long")).alias("_s"))
-        .collect()
+    sums_df = wdf.groupBy(F.col(stratum_col).alias("_st"), F.col("_bk")).agg(
+        F.sum(F.col(cost_col).cast("long")).alias("_s")
     )
-    per: dict[str, list[tuple[str, int]]] = {}
+    # limit-probe instead of a bare collect: a runaway-cardinality stratum
+    # column fails loudly after max_strata*256+1 rows, never OOMs the driver
+    sums = sums_df.limit(max_strata * 256 + 1).collect()
+    if len(sums) > max_strata * 256:
+        raise ValueError(
+            f"budget_sample: stratum column {stratum_col!r} exceeds "
+            f"max_strata={max_strata} distinct values (driver cutoff table "
+            "would be unbounded); aggregate to a coarser stratum or raise "
+            "max_strata deliberately"
+        )
+    per: dict[str | None, list[tuple[str, int]]] = {}
     for r in sums:
         per.setdefault(r["_st"], []).append((r["_bk"], r["_s"] or 0))
     cut_rows = []
@@ -236,12 +275,24 @@ def budget_sample(
         else:
             cut_rows.append((st, cutoff, remaining))
     spark = df.sparkSession
-    cuts = F.broadcast(
-        spark.createDataFrame(
-            cut_rows, f"`{stratum_col}` string, _cut string, _rem long"
-        )
+    # cuts stratum column typed from the input schema (an int bucket-id
+    # stratum must not silently string-cast the join), named _st to keep the
+    # null-safe join condition unambiguous
+    from pyspark.sql import types as T
+
+    cuts_schema = T.StructType(
+        [
+            T.StructField("_st", df.schema[stratum_col].dataType, True),
+            T.StructField("_cut", T.StringType(), False),
+            T.StructField("_rem", T.LongType(), False),
+        ]
     )
-    joined = wdf.join(cuts, stratum_col, "left")
+    cuts = F.broadcast(spark.createDataFrame(cut_rows, cuts_schema))
+    # eqNullSafe: plain equality never matches the NULL-stratum cuts row
+    # (SQL NULL != NULL), which silently DROPPED all NULL-stratum rows —
+    # the FROZEN RULE and the oracle's CASE...ELSE keep them under
+    # default_budget
+    joined = wdf.join(cuts, wdf[stratum_col].eqNullSafe(cuts["_st"]), "left").drop("_st")
     keep_full = joined.where(F.col("_bk") < F.col("_cut"))
     w = (
         Window.partitionBy(stratum_col)
@@ -269,7 +320,9 @@ def budget_sample_oracle_sql(
     """DuckDB mirror of budget_sample's FROZEN RULE, as the naive global
     cumulative window (fine at oracle scale; the engine's bucketed plan is
     provably equivalent — see budget_sample)."""
-    cases = " ".join(f"WHEN {stratum_col} = '{s}' THEN {b}" for s, b in budgets.items())
+    cases = " ".join(
+        f"WHEN {stratum_col} = {_sql_lit(s)} THEN {b}" for s, b in budgets.items()
+    )
     dflt = "NULL" if default_budget is None else str(default_budget)
     budget = f"CASE {cases} ELSE {dflt} END"
     return f"""

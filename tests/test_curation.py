@@ -220,3 +220,95 @@ def test_keep_col_matches_python_md5(spark):
         if hashlib.md5(str(i).encode()).hexdigest()[:4] < _rate_threshold(0.3)
     )
     assert kept == expect
+
+def test_budget_sample_null_stratum_follows_default_budget(spark):
+    """r4 regression (ADVICE): NULL-stratum rows were silently DROPPED —
+    the cuts join used plain equality, which never matches the NULL cuts
+    row. They must follow the FROZEN RULE under default_budget, like the
+    oracle's CASE ... ELSE arm, with all NULLs forming one stratum."""
+    from simhash_spark.operators.curation import budget_sample, budget_sample_oracle_sql
+
+    rows = [(i, None if i % 3 == 0 else ("en" if i % 2 == 0 else "de"), 100 + i)
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    budgets = {"en": 3_000, "de": 2_000}
+    out = budget_sample(df, "doc_id", "lang", "n_chars", budgets, 4_000)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    expect = _py_budget_sample(rows, budgets, 4_000)
+    assert got == expect
+    assert any(i % 3 == 0 for i in got), "NULL-stratum rows all dropped"
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = budget_sample_oracle_sql(
+        "doc_id", "lang", "n_chars", budgets, 4_000, select_cols="doc_id"
+    )
+    ora = set(con.sql(sql).df()["doc_id"].tolist())
+    assert got == ora
+
+
+def test_budget_sample_non_string_stratum(spark):
+    """r4 (ADVICE): an int stratum column must keep its type through the
+    cuts join (the cuts schema used to hardcode string) and the oracle must
+    render it unquoted."""
+    from simhash_spark.operators.curation import budget_sample, budget_sample_oracle_sql
+
+    rows = [(i, i % 4, 50 + i) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket long, n_chars long")
+    budgets = {0: 1_500, 1: 800}
+    out = budget_sample(df, "doc_id", "bucket", "n_chars", budgets, 2_000)
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got == _py_budget_sample(rows, budgets, 2_000)
+
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = budget_sample_oracle_sql(
+        "doc_id", "bucket", "n_chars", budgets, 2_000, select_cols="doc_id"
+    )
+    assert got == set(con.sql(sql).df()["doc_id"].tolist())
+
+
+def test_budget_sample_high_cardinality_stratum_fails_loudly(spark):
+    """r4 (ADVICE): a per-key stratum column must raise, not OOM the driver
+    through the |strata| x 256 cutoff collect."""
+    from simhash_spark.operators.curation import budget_sample
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("domain"),
+        F.lit(100).alias("n_chars"),
+    )
+    with pytest.raises(ValueError, match="max_strata"):
+        budget_sample(df, "doc_id", "domain", "n_chars", {}, 1_000, max_strata=16)
+
+
+def test_oracle_sql_escapes_quoted_strata(spark):
+    """r4 (ADVICE): stratum values containing single quotes must not break
+    (or diverge) the generated oracle SQL."""
+    from simhash_spark.operators.curation import (
+        budget_sample,
+        budget_sample_oracle_sql,
+        stratified_sample,
+        stratified_sample_oracle_sql,
+    )
+
+    rows = [(i, "it's" if i % 2 == 0 else "plain", 100) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+
+    rates = {"it's": 0.25}
+    kept = stratified_sample(df, "doc_id", "lang", rates, default_rate=1.0)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    where = stratified_sample_oracle_sql("doc_id", "lang", rates, default_rate=1.0)
+    ora = sorted(con.sql(f"SELECT doc_id FROM documents WHERE {where}").df()["doc_id"])
+    assert got == ora
+
+    budgets = {"it's": 2_000}
+    out = budget_sample(df, "doc_id", "lang", "n_chars", budgets, None)
+    got_b = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    sql = budget_sample_oracle_sql(
+        "doc_id", "lang", "n_chars", budgets, None, select_cols="doc_id"
+    )
+    ora_b = sorted(con.sql(sql).df()["doc_id"].tolist())
+    assert got_b == ora_b
