@@ -423,6 +423,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_overlap"] = decontaminate_overlap
 
+    def decontaminate_spans(spark, sf):
+        # WHICH token spans overlap the benchmark (Lee'22/Dolma span
+        # excision): maximal merged 1-based [start_tok, end_tok] ranges per
+        # contaminated doc; same broadcast-benchmark shape as
+        # decontaminate_overlap, only contaminated (id, pos) rows reach the
+        # span-merge exchange (operators/curation.py)
+        from simhash_spark.operators.curation import contaminated_spans
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        bench = d.where(F.col("doc_id") % 7 == 3)
+        corpus = d.where(F.col("doc_id") % 7 != 3)
+        return contaminated_spans(corpus, bench, n=5).select(
+            F.col("id").alias("doc_id"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.col("end_tok").cast("long").alias("end_tok"),
+            "n_grams",
+        )
+
+    q["decontaminate_spans"] = decontaminate_spans
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -898,6 +919,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     from simhash_spark.operators.curation import (
+        contaminated_spans_oracle_sql,
         contamination_oracle_sql,
         stratified_sample_oracle_sql,
     )
@@ -905,6 +927,12 @@ def oracle_sql() -> dict[str, str]:
     o["decontaminate_overlap"] = f"""
         SELECT id AS doc_id, n_overlap
         FROM ({contamination_oracle_sql("doc_id % 7 = 3", n=5)})
+    """
+
+    o["decontaminate_spans"] = f"""
+        SELECT id AS doc_id, CAST(start_tok AS BIGINT) AS start_tok,
+               CAST(end_tok AS BIGINT) AS end_tok, n_grams
+        FROM ({contaminated_spans_oracle_sql("doc_id % 7 = 3", n=5)})
     """
 
     o["stratified_sample_docs"] = f"""

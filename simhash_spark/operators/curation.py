@@ -116,6 +116,117 @@ def contamination_oracle_sql(
     """
 
 
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """WHICH token spans of each corpus doc overlap the benchmark — the
+    span-excision output a real curation run uses (Lee et al. '22 §4.1 /
+    Dolma decontamination remove the overlapping SPAN, not the whole doc;
+    contamination_counts only says how much, this says where).
+
+    Returns (id, start_tok, end_tok, n_grams): 1-based inclusive token
+    ranges, one row per maximal contaminated span. FROZEN RULE: a gram
+    starting at token p covers tokens [p, p+n-1] (clamped to the doc's token
+    count for the short-doc full-join gram); two contaminated grams merge
+    into one span iff their covered ranges overlap or touch (next start <=
+    prev start + n); n_grams counts the contaminated gram STARTS inside the
+    span. Within-doc duplicate grams are counted at every contaminated
+    position (no per-doc distinct — each occurrence is a span to excise).
+
+    Scale shape: same as contamination_counts — benchmark grams broadcast,
+    the corpus side is one map pass (positional grams ride as xxhash64);
+    only the ~contaminated (id, pos) rows reach the span-merge exchange, one
+    hash exchange on id (the island window's sum + the (id, island) groupBy
+    both cluster by id, so the groupBy reuses the window's partitioning).
+    """
+    from simhash_spark.operators.dedup import ngram_array_col
+
+    bench_grams = (
+        ngram_shingles(benchmark, id_col, bench_text_col, n, hashed=True)
+        .select("shingle")
+        .distinct()
+    )
+    grams = F.transform(ngram_array_col(text_col, n), lambda g: F.xxhash64(g))
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pos_grams = corpus.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("nt"),
+        F.posexplode(grams).alias("pos0", "shingle"),
+    )
+    cont = pos_grams.join(F.broadcast(bench_grams), "shingle").select(
+        "id", "nt", (F.col("pos0") + 1).alias("pos")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    brk = F.when(F.col("pos") > F.lag("pos").over(w) + n, F.lit(1)).otherwise(F.lit(0))
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = cont.withColumn("_isl", F.sum(brk).over(wcum))
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(
+            F.min("pos").alias("start_tok"),
+            F.least(F.max("pos") + F.lit(n - 1), F.min("nt")).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select("id", "start_tok", "end_tok", "n_grams")
+    )
+
+
+def contaminated_spans_oracle_sql(
+    bench_pred: str, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of contaminated_spans over the `documents` view —
+    positional string grams (vs Spark's xxhash64; equal up to 64-bit
+    collisions), identical island/merge/clamp rules as the FROZEN RULE."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    grams = (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), i -> "
+        f"array_to_string(({toks})[i:i+{n - 1}], ' ')) "
+        f"WHEN length(trim({text_col})) > 0 THEN [array_to_string({toks}, ' ')] "
+        f"ELSE CAST([] AS VARCHAR[]) END"
+    )
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id, len({toks}) AS nt, {grams} AS grams,
+                   ({bench_pred}) AS is_bench
+            FROM documents
+        ),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM base WHERE is_bench),
+        pos_grams AS (
+            SELECT id, nt,
+                   unnest(list_transform(range(1, len(grams) + 1),
+                                         i -> struct_pack(p := i, g := grams[i]))) AS u
+            FROM base WHERE NOT is_bench
+        ),
+        cont AS (
+            SELECT pg.id, pg.nt, pg.u.p AS pos
+            FROM pos_grams pg JOIN bench b ON pg.u.g = b.gram
+        ),
+        flagged AS (
+            SELECT id, nt, pos,
+                   CASE WHEN pos > lag(pos) OVER (PARTITION BY id ORDER BY pos) + {n}
+                        THEN 1 ELSE 0 END AS brk
+            FROM cont
+        ),
+        islands AS (
+            SELECT id, nt, pos,
+                   SUM(brk) OVER (PARTITION BY id ORDER BY pos
+                                  ROWS UNBOUNDED PRECEDING) AS isl
+            FROM flagged
+        )
+        SELECT id, MIN(pos) AS start_tok,
+               LEAST(MAX(pos) + {n - 1}, MIN(nt)) AS end_tok,
+               COUNT(*) AS n_grams
+        FROM islands
+        GROUP BY id, isl
+    """
+
+
 # ------------------------------------------------------- stratified sampling
 
 

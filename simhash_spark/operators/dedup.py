@@ -73,6 +73,20 @@ def ngram_shingles(
     before the dedup, so everything downstream moves 16-byte rows instead
     of n-gram text. A 64-bit collision inside one doc merges two of its
     shingles (~n_sh^2/2^64, negligible, only ever lowers that doc's count)."""
+    grams = ngram_array_col(text_col, n)
+    if hashed:
+        grams = F.transform(grams, lambda g: F.xxhash64(g))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_array_col(text_col: str, n: int) -> F.Column:
+    """array<string> of a doc's word n-grams IN TOKEN-POSITION ORDER (element
+    i = the gram starting at 1-based token i+1) — the shared frozen-semantics
+    core of ngram_shingles and the positional span operators. Frozen rules:
+    lowercase, trim, split on whitespace; docs with 1..n-1 tokens emit their
+    full join as one gram; empty/whitespace text emits nothing."""
     from functools import reduce
 
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -95,12 +109,9 @@ def ngram_shingles(
             F.array().cast("array<string>")
         )
     )
-    grams = F.filter(grams, lambda g: F.length(g) > 0)
-    if hashed:
-        grams = F.transform(grams, lambda g: F.xxhash64(g))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle")
-    )
+    # the only possible empty gram is the whitespace-only-doc artifact
+    # (split('') = ['']), whose removal cannot shift any other position
+    return F.filter(grams, lambda g: F.length(g) > 0)
 
 
 def ngram_jaccard_pairs(

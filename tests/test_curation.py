@@ -312,3 +312,94 @@ def test_oracle_sql_escapes_quoted_strata(spark):
     )
     ora_b = sorted(con.sql(sql).df()["doc_id"].tolist())
     assert got_b == ora_b
+
+def _py_spans(text: str, bench_grams: set[str], n: int):
+    """Direct python evaluation of contaminated_spans' FROZEN RULE."""
+    toks = text.strip().lower().split()
+    if not toks:
+        return []
+    nt = len(toks)
+    if nt < n:
+        grams = [" ".join(toks)]
+    else:
+        grams = [" ".join(toks[i : i + n]) for i in range(nt - n + 1)]
+    hits = [i + 1 for i, g in enumerate(grams) if g in bench_grams]
+    spans = []
+    for p in hits:
+        if spans and p <= spans[-1][1] + n:
+            spans[-1] = (spans[-1][0], p, spans[-1][2] + 1)
+        else:
+            spans.append((p, p, 1))
+    return [(s, min(e + n - 1, nt), c) for s, e, c in spans]
+
+
+def test_contaminated_spans_vs_python_and_oracle(spark, docs):
+    from simhash_spark.operators.curation import (
+        contaminated_spans,
+        contaminated_spans_oracle_sql,
+    )
+
+    n = 5
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_mask = pdf["doc_id"] % 7 == 3
+    bench = spark.createDataFrame(pdf[bench_mask])
+    corpus = spark.createDataFrame(pdf[~bench_mask])
+
+    got = sorted(
+        (r["id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in contaminated_spans(corpus, bench, n=n).collect()
+    )
+
+    bench_grams = set().union(*(_py_grams(t, n) for t in pdf[bench_mask]["text"]), set())
+    expect = sorted(
+        (row["doc_id"], s, e, c)
+        for _, row in pdf[~bench_mask].iterrows()
+        for s, e, c in _py_spans(row["text"], bench_grams, n)
+    )
+    assert got == expect
+    assert expect, "fixture produced zero contaminated spans; pick a new slice"
+    # every counted doc in contamination_counts must own >= 1 span here
+    from simhash_spark.operators.curation import contamination_counts
+
+    counted = {r["id"] for r in contamination_counts(corpus, bench, n=n).collect()}
+    assert counted == {t[0] for t in got}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = sorted(
+        tuple(r)
+        for r in con.sql(contaminated_spans_oracle_sql("doc_id % 7 = 3", n=n))
+        .df()
+        .itertuples(index=False)
+    )
+    assert got == ora
+
+
+def test_contaminated_spans_merge_and_clamp_rules(spark):
+    """Touching grams merge (next start == prev start + n), a gap of one
+    token splits, and the short-doc full-join gram clamps end_tok to nt."""
+    from simhash_spark.operators.curation import contaminated_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),                    # bench
+        (2, "a b c d e x x x x x a b c d e f g h i j"),  # pos1 + pos11..16
+        (3, "q a b c d e q q q q q a b c d e"),        # pos2 and pos12
+        (4, "a b c"),                                   # short doc, no hit
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = df.where(F.col("doc_id") == 1)
+    corpus = df.where(F.col("doc_id") != 1)
+    got = sorted(
+        (r["id"], r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in contaminated_spans(corpus, bench, n=5).collect()
+    )
+    assert got == [(2, 1, 5, 1), (2, 11, 20, 6), (3, 2, 6, 1), (3, 12, 16, 1)]
+
+    # short-doc clamp: make the whole short doc a benchmark gram
+    bench2 = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    corpus2 = spark.createDataFrame([(10, "tiny doc")], "doc_id long, text string")
+    got2 = [
+        (r["start_tok"], r["end_tok"], r["n_grams"])
+        for r in contaminated_spans(corpus2, bench2, n=5).collect()
+    ]
+    assert got2 == [(1, 2, 1)], "end_tok must clamp to the doc's token count"
