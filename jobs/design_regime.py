@@ -107,6 +107,15 @@ def main() -> None:
         "base(~99%%) + run_delta(~1%% increment); reports the recompute-vs-"
         "delta wall ratio",
     )
+    ap.add_argument(
+        "--wide",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="run the 16-block/560-table index config (the 10^12 design "
+        "point) at its regime: a ROWS/4, ROWS/2, ROWS corpus ladder, "
+        "measuring vectorized-keygen keys/s and candidate-pair growth",
+    )
     args = ap.parse_args()
 
     # corpora BEFORE the JVM (process-pool fork safety)
@@ -115,13 +124,31 @@ def main() -> None:
     docs_path = None if args.skip_docs else ensure_images_corpus(args.docs)
     vecs_path = None if args.skip_vecs else ensure_embeddings_corpus(args.vecs, args.dim)
     delta_path = ensure_images_corpus(args.delta) if args.delta else None
+    wide_rungs = [args.wide // 4, args.wide // 2, args.wide] if args.wide else []
+    wide_paths = {n: ensure_images_corpus(n) for n in wide_rungs}
+    if args.wide:
+        # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
+        # can hold together; split shuffle/spill round-robin across
+        # tmpfs + disk (session.py SPARK_GRAFT_LOCAL_DIR override)
+        pathlib.Path("/root/sparktmp").mkdir(exist_ok=True)
+        os.environ.setdefault(
+            "SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local,/root/sparktmp"
+        )
 
     from pyspark.sql import functions as F
 
     from simhash_spark.config import DEFAULT_CONFIG as CFG
     from simhash_spark.session import get_spark
 
-    spark = get_spark(parallelism=args.cpus, app_name="design-regime")
+    spark = get_spark(
+        parallelism=args.cpus,
+        app_name="design-regime",
+        # the wide ladder's key shuffle is ~10-50 GB per rung: size reduce
+        # partitions so each window-sort partition fits in execution memory
+        # (the 100-TB sizing rule) instead of spilling; AQE coalesces the
+        # small rungs' partitions back down at runtime
+        shuffle_partitions=max(256, args.cpus * 2) if args.wide else None,
+    )
     spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
 
     def sink(df):
@@ -170,6 +197,74 @@ def main() -> None:
             json.dumps({"stage": "embedding_near_dup_lsh", **results["embedding_near_dup_lsh"]}),
             flush=True,
         )
+
+    if wide_rungs:
+        # The 16-block pigeonhole config (C(16,13)=560 tables of 52-bit keys,
+        # config.index_config_for's 10^12 design point) AT ITS REGIME instead
+        # of extrapolated from the 4->8-block crossover (VERDICT r3 next #2).
+        # Two measurements per rung:
+        #   keygen  — keys/s through the vectorized numpy keygen UDF
+        #             (combos > WIDE_INDEX_UDF_THRESHOLD picks it), FULL
+        #             production key set: 32 bands + 560 simhash + 560 phash
+        #             combos per row; count() forces every key.
+        #   cand    — the full candidate operator (ONE packed-key exchange,
+        #             window bucket count, capped collect / salted chains,
+        #             pair dedup) in the text-corpus shape (no phash index:
+        #             592 keys/row; the phash rotation index is structurally
+        #             identical — same combos over a different 64-bit column
+        #             — and including it only doubles constant shuffle volume
+        #             past what tmpfs+disk hold at the 5M rung).
+        # Linearity evidence = pairs_per_row and keys_per_s flat across the
+        # 4x ladder; expected RANDOM pairs at 52-bit keys are
+        # ~C(n,2)*560/2^52 (< 2 pairs at n=5e6) so measured pairs are planted
+        # dups + chains, growing linearly with n.
+        import math
+        from dataclasses import replace
+
+        from simhash_spark.config import DEFAULT_CONFIG
+        from simhash_spark.operators.candidates import explode_all_keys, generate_candidates
+        from simhash_spark.plans.pipeline import fingerprint_job
+
+        cfg16 = replace(DEFAULT_CONFIG, n_blocks=16)
+        assert math.comb(16, 13) == 560
+        wide_out = []
+        for n in wide_rungs:
+            src = spark.read.parquet(str(wide_paths[n])).select(
+                "image_id", "caption", "phash"
+            )
+            fpdir = CACHE / f"wide_fp_{n}"
+            if not (fpdir / "_SUCCESS").exists():
+                fingerprint_job(spark, src, cfg16).write.mode("overwrite").parquet(
+                    str(fpdir)
+                )
+            # spread the fp scan so each map task's 592x key explode sorts
+            # ~10M rows, not a 128MB-coalesced multi-file split's ~200M
+            # (map-side shuffle sort stays in memory instead of spilling);
+            # the repartition itself moves only the slim fp rows once
+            fp = spark.read.parquet(str(fpdir)).repartition(max(256, args.cpus * 8))
+
+            t0 = time.time()
+            n_keys = explode_all_keys(fp, cfg16, include_phash=True).count()
+            wall_keys = time.time() - t0
+
+            t0 = time.time()
+            n_pairs = generate_candidates(fp, cfg16, include_phash=False).count()
+            wall_cand = time.time() - t0
+
+            rec = {
+                "rows": n,
+                "n_blocks": 16,
+                "keys": n_keys,
+                "keygen_s": round(wall_keys, 1),
+                "keys_per_s": round(n_keys / wall_keys, 1),
+                "rows_per_s_keygen": round(n / wall_keys, 1),
+                "cand_s": round(wall_cand, 1),
+                "pairs": n_pairs,
+                "pairs_per_row": round(n_pairs / n, 4),
+            }
+            wide_out.append(rec)
+            print(json.dumps({"stage": "wide_index", **rec}), flush=True)
+        results["wide_index"] = wide_out
 
     if delta_path is not None:
         import shutil

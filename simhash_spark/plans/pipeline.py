@@ -72,18 +72,24 @@ def cluster_job(
     catalog: CheckpointCatalog | None = None,
     cc_ckpt_every: int = 0,
     input_fingerprint: str = "",
+    small_graph_limit: int | None = None,
 ) -> DataFrame:
     """E4: verified pairs -> (image_id, cluster_id = min id in component).
     Vertices absent from any verified pair are singleton clusters.
 
     ``catalog`` + ``cc_ckpt_every`` > 0 turns on the fault-tolerant CC round
     checkpoint (connected_components docstring) — localCheckpoint alone is
-    executor-local and a lost executor mid-loop would kill a 100-TB run."""
+    executor-local and a lost executor mid-loop would kill a 100-TB run.
+    ``small_graph_limit`` passes through to connected_components (0 forces
+    the distributed star loop — the scaling bench uses it to measure the
+    loop path instead of the parallelism-constant driver fast path)."""
+    cc_kwargs = {} if small_graph_limit is None else {"small_graph_limit": small_graph_limit}
     labels = connected_components(
         verified.select("a", "b"),
         catalog=catalog,
         ckpt_every=cc_ckpt_every,
         input_fingerprint=input_fingerprint,
+        **cc_kwargs,
     )
     all_ids = vertices.select(F.col("image_id"))
     singletons = all_ids.join(labels.select(F.col("id").alias("image_id")), "image_id", "left_anti")

@@ -50,8 +50,14 @@ def get_spark(
         .config("spark.sql.execution.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
         # local-mode shuffle files on tmpfs: this sandbox has very expensive
         # syscalls (70%+ system time on disk-backed shuffle); on a real
-        # cluster this conf is per-node spark.local.dir as usual
-        .config("spark.local.dir", "/dev/shm/spark-local")
+        # cluster this conf is per-node spark.local.dir as usual.
+        # SPARK_GRAFT_LOCAL_DIR overrides (comma-separated dirs round-robin,
+        # like any spark.local.dir): the wide-index design run shuffles more
+        # bytes than tmpfs-plus-JVM can hold, so it splits across tmpfs+disk.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"),
+        )
         # Catalyst's Union constraint rewrite crashes with
         # "NoSuchElementException: key not found: <attr>" on the candidate
         # union plan once localCheckpoint re-analyzes it (Spark 4.1,
