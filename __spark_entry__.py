@@ -444,6 +444,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_spans"] = decontaminate_spans
 
+    def decontaminate_excise(spark, sf):
+        # the excision output itself: every corpus doc with contaminated
+        # token ranges removed (clean docs pass through, 0 removed) —
+        # clean_text = frozen-tokenized tokens outside all spans
+        from simhash_spark.operators.curation import excise_spans
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        bench = d.where(F.col("doc_id") % 7 == 3)
+        corpus = d.where(F.col("doc_id") % 7 != 3)
+        return excise_spans(corpus, bench, n=5).select(
+            F.col("id").alias("doc_id"), "clean_text", "n_tokens_removed"
+        )
+
+    q["decontaminate_excise"] = decontaminate_excise
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -933,6 +949,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, CAST(start_tok AS BIGINT) AS start_tok,
                CAST(end_tok AS BIGINT) AS end_tok, n_grams
         FROM ({contaminated_spans_oracle_sql("doc_id % 7 = 3", n=5)})
+    """
+
+    from simhash_spark.operators.curation import excise_spans_oracle_sql
+
+    o["decontaminate_excise"] = f"""
+        SELECT id AS doc_id, clean_text, n_tokens_removed
+        FROM ({excise_spans_oracle_sql("doc_id % 7 = 3", n=5)})
     """
 
     o["stratified_sample_docs"] = f"""

@@ -227,6 +227,96 @@ def contaminated_spans_oracle_sql(
     """
 
 
+def excise_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """The span-excision output itself: every corpus doc with its
+    contaminated token ranges REMOVED (Lee'22 §4.1 removes the overlapping
+    span and keeps the rest of the doc — dropping whole docs over one quoted
+    benchmark sentence wastes data). Returns (id, clean_text,
+    n_tokens_removed) for EVERY corpus doc (clean docs pass through with 0).
+
+    FROZEN RULE: clean_text is the space-join of the doc's frozen-tokenized
+    tokens (lowercase, trim, whitespace split — the same normalization every
+    gram operator applies) whose 1-based position falls in no
+    contaminated_spans range. Deterministic and engine-portable; the oracle
+    mirrors it exactly.
+
+    Scale shape: contaminated_spans' plan (benchmark broadcast, one id
+    exchange over contaminated rows only) + one broadcast-or-shuffle left
+    join of the per-doc span list back to the corpus — the span table has
+    <= one row per contaminated doc, so the join's build side is the small
+    contaminated slice, never the corpus. The token filter is a per-row
+    nested HOF (filter x exists) — interpreted, but its lambdas touch only
+    their element/index args and the joined span arrays (plain attribute
+    reads, not re-evaluated expression chains), and per-doc span counts are
+    small.
+    """
+    spans = contaminated_spans(corpus, benchmark, id_col, text_col, bench_text_col, n)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    joined = corpus.select(F.col(id_col).alias("id"), toks.alias("_toks")).join(
+        per_doc, "id", "left"
+    )
+    spans_arr = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<start_tok:int,end_tok:int>>"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            spans_arr,
+            lambda sp: (sp["start_tok"] <= i + 1) & (sp["end_tok"] >= i + 1),
+        ),
+    )
+    return joined.select(
+        "id",
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )
+
+
+def excise_spans_oracle_sql(
+    bench_pred: str, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of excise_spans: contaminated_spans' oracle as a CTE,
+    spans grouped per doc, same positional token filter."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    spans_cte = contaminated_spans_oracle_sql(bench_pred, n, id_col, text_col)
+    return f"""
+        WITH spans AS ({spans_cte}),
+        per_doc AS (
+            SELECT id, list(struct_pack(s := start_tok, e := end_tok)) AS sp
+            FROM spans GROUP BY id
+        ),
+        corpus AS (
+            SELECT {id_col} AS id, {toks} AS toks FROM documents
+            WHERE NOT ({bench_pred})
+        )
+        SELECT c.id,
+               -- COALESCE: DuckDB's array_to_string([]) is NULL, Spark's
+               -- array_join([]) is '' — a fully-excised doc must agree
+               COALESCE(array_to_string(
+                   list_filter(c.toks, (t, i) ->
+                       len(list_filter(COALESCE(p.sp, []),
+                                       x -> x.s <= i AND x.e >= i)) = 0),
+                   ' '), '') AS clean_text,
+               CAST(len(c.toks) - len(
+                   list_filter(c.toks, (t, i) ->
+                       len(list_filter(COALESCE(p.sp, []),
+                                       x -> x.s <= i AND x.e >= i)) = 0)
+               ) AS BIGINT) AS n_tokens_removed
+        FROM corpus c LEFT JOIN per_doc p USING (id)
+    """
+
+
 # ------------------------------------------------------- stratified sampling
 
 

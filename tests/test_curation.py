@@ -403,3 +403,58 @@ def test_contaminated_spans_merge_and_clamp_rules(spark):
         for r in contaminated_spans(corpus2, bench2, n=5).collect()
     ]
     assert got2 == [(1, 2, 1)], "end_tok must clamp to the doc's token count"
+
+def test_excise_spans_vs_python_and_oracle(spark, docs):
+    """excise_spans = the frozen tokenization minus contaminated_spans
+    ranges; every corpus doc survives (clean docs with 0 removed)."""
+    from simhash_spark.operators.curation import (
+        contaminated_spans,
+        excise_spans,
+        excise_spans_oracle_sql,
+    )
+
+    n = 5
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_mask = pdf["doc_id"] % 7 == 3
+    bench = spark.createDataFrame(pdf[bench_mask])
+    corpus = spark.createDataFrame(pdf[~bench_mask])
+
+    out = excise_spans(corpus, bench, n=n).toPandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == (~bench_mask).sum(), "every corpus doc must survive"
+
+    # python mirror: tokens minus span ranges
+    bench_grams = set().union(*(_py_grams(t, n) for t in pdf[bench_mask]["text"]), set())
+    expect_rows = []
+    for _, row in pdf[~bench_mask].iterrows():
+        toks = row["text"].strip().lower().split()
+        spans = _py_spans(row["text"], bench_grams, n)
+        keep = [t for i, t in enumerate(toks, start=1)
+                if not any(s <= i <= e for s, e, _ in spans)]
+        expect_rows.append((row["doc_id"], " ".join(keep), len(toks) - len(keep)))
+    expect = pd.DataFrame(expect_rows, columns=["id", "clean_text", "n_tokens_removed"]).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"id": "int64", "n_tokens_removed": "int64"}),
+        expect.astype({"id": "int64", "n_tokens_removed": "int64"}),
+    )
+    assert (out["n_tokens_removed"] > 0).any(), "fixture excised nothing; vacuous"
+
+    # removed-token accounting must agree with the span table
+    spans_df = contaminated_spans(corpus, bench, n=n).toPandas()
+    span_tokens = (
+        spans_df.assign(w=spans_df["end_tok"] - spans_df["start_tok"] + 1)
+        .groupby("id")["w"].sum()
+    )
+    got_removed = out.set_index("id")["n_tokens_removed"]
+    for doc_id, w in span_tokens.items():
+        assert got_removed[doc_id] == w, (doc_id, got_removed[doc_id], w)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    ora = (
+        con.sql(excise_spans_oracle_sql("doc_id % 7 = 3", n=n))
+        .df().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"id": "int64", "n_tokens_removed": "int64"}),
+        ora.astype({"id": "int64", "n_tokens_removed": "int64"}),
+    )
