@@ -619,6 +619,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_keep_list"] = near_dup_keep_list
 
+    def near_dup_keep_best(spark, sf):
+        # quality-aware dedup decision: keep each cluster's longest doc
+        # (n_chars as the quality score; ties -> min id) instead of min id
+        from simhash_spark.operators.dedup import near_dup_keep_best as op
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+        docs = spark.read.parquet(_t(sf, "documents"))
+        clusters = text_near_dup_clusters(docs, "doc_id", "text", CFG)
+        scores = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("n_chars").alias("quality"),
+        )
+        return op(clusters, scores, score_col="quality")
+
+    q["near_dup_keep_best"] = near_dup_keep_best
+
     def substring_pairs_docs(spark, sf):
         from simhash_spark.operators.substring import substring_pairs
 
@@ -1037,6 +1053,22 @@ def oracle_sql() -> dict[str, str]:
                cluster_id AS keep_id,
                CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS is_kept
         FROM c
+    """
+    o["near_dup_keep_best"] = f"""
+        WITH c AS ({clusters_values}),
+        s AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, n_chars FROM documents),
+        k AS (
+            SELECT c.doc_id,
+                   first_value(c.doc_id) OVER (
+                       PARTITION BY c.cluster_id
+                       ORDER BY s.n_chars DESC, c.doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS keep_id
+            FROM c JOIN s USING (doc_id)
+        )
+        SELECT doc_id, keep_id,
+               CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS INT) AS is_kept
+        FROM k
     """
     o["substring_pairs_docs"] = _expected_values_sql(
         "substr_pairs.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}

@@ -208,6 +208,42 @@ def near_dup_keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def near_dup_keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware dedup decision: (id, cluster_id) labels + (id, score) ->
+    (id, keep_id, is_kept), keeping each cluster's HIGHEST-score member
+    (ties broken by minimum id — frozen, deterministic). Real curation runs
+    keep the best member (longest / highest quality score), not the minimum
+    id; near_dup_keep_list stays as the id-rule variant.
+
+    ``scores`` must cover every clustered id (inner join; a missing score
+    silently dropping a row would corrupt the keep decision, so callers
+    join the same table the clusters came from). Plan: one score equi-join
+    + ONE cluster_id exchange — keep_id is a first_value window over the
+    whole cluster partition, no second aggregate+join pass.
+    """
+    j = clusters.join(
+        scores.select(F.col(id_col), F.col(score_col).alias("_score")), id_col
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("_score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    j = j.withColumn("keep_id", F.first(F.col(id_col)).over(w))
+    return j.select(
+        F.col(id_col),
+        F.col("keep_id"),
+        (F.col(id_col) == F.col("keep_id")).cast("int").alias("is_kept"),
+    )
+
+
 def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
     """(id, cluster_id) labels -> (cluster_size, n_clusters, n_rows): the
     dedup report a 100 TB run publishes (how much of the corpus is

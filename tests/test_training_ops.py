@@ -499,3 +499,27 @@ def test_wav_roundtrip_and_audio_quarantine(spark):
             assert r["error"] is None and r["duration_ms"] > 0 and r["sample_rate"] > 0
         else:
             assert r["error"] is not None and r["sample_rate"] == 0
+
+
+def test_near_dup_keep_best_rule(spark):
+    """keep = argmax score per cluster, ties -> min id; exactly one kept
+    member per cluster; singletons keep themselves."""
+    from simhash_spark.operators.dedup import near_dup_keep_best
+
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"), ("solo", "solo")],
+        "doc_id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("a", 10), ("b", 99), ("c", 99), ("x", 5), ("y", 5), ("solo", 1)],
+        "doc_id string, quality long",
+    )
+    rows = {
+        r["doc_id"]: (r["keep_id"], r["is_kept"])
+        for r in near_dup_keep_best(clusters, scores, score_col="quality").collect()
+    }
+    # cluster a: scores b=c=99 tie -> min id 'b' wins
+    assert rows["a"] == ("b", 0) and rows["b"] == ("b", 1) and rows["c"] == ("b", 0)
+    # cluster x: tie at 5 -> 'x'
+    assert rows["x"] == ("x", 1) and rows["y"] == ("x", 0)
+    assert rows["solo"] == ("solo", 1)
