@@ -523,6 +523,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup"] = embedding_near_dup
 
+    def ann_cosine_range(spark, sf):
+        # exact cosine range search ("all neighbors at least this similar"):
+        # the retrieval-dedup / RAG-audit companion to top-k. The cosine
+        # column is dropped from the driver output: the pair SET is
+        # engine-portable at tau=0.3 (min |cos - 0.3| margin measured
+        # 1.2e-3 at sf0.01, ~12 orders above cross-engine float reduction
+        # noise) while the raw float would not hash bit-equal.
+        from simhash_spark.operators.ann import cosine_range
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return cosine_range(emb, queries_df, threshold=0.3).select(
+            "query_id", "neighbor_id"
+        )
+
+    q["ann_cosine_range"] = ann_cosine_range
+
     def frame_sample(spark, sf):
         from simhash_spark.operators.multimodal import sample_frame_offsets
 
@@ -634,6 +651,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return op(clusters, scores, score_col="quality")
 
     q["near_dup_keep_best"] = near_dup_keep_best
+
+    def cross_source_pairs(spark, sf):
+        # cross-shard / cross-source leakage report: which near-dup
+        # candidate pairs span two different corpus sources (eval-vs-train
+        # contamination, the same page crawled under two domains). Pairs =
+        # the frozen MinHash/SimHash candidate set; groups = documents.source.
+        from simhash_spark.operators.curation import cross_group_pairs
+        from simhash_spark.plans.text_dedup import text_candidates, text_fingerprints
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        pairs = text_candidates(text_fingerprints(d, "doc_id", "text", CFG), CFG)
+        return cross_group_pairs(pairs, d, id_col="doc_id", group_col="source")
+
+    q["cross_source_pairs"] = cross_source_pairs
+
+    def dedup_source_report(spark, sf):
+        # per-source duplication monitoring table (Dolma/RefinedWeb publish
+        # exactly this per source): docs contributed, docs in multi-member
+        # near-dup clusters, docs surviving the keep rule, duplicate ratio.
+        from simhash_spark.operators.curation import dedup_report
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        labels = op(d, "doc_id", "text", CFG)
+        return dedup_report(labels, d, id_col="doc_id", group_col="source").select(
+            F.col("group").alias("source"),
+            "n_docs",
+            "n_dup_docs",
+            "n_kept",
+            "dup_ratio",
+        )
+
+    q["dedup_source_report"] = dedup_source_report
 
     def substring_pairs_docs(spark, sf):
         from simhash_spark.operators.substring import substring_pairs
@@ -1069,6 +1119,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, keep_id,
                CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS INT) AS is_kept
         FROM k
+    """
+    candidates_values = _expected_values_sql(
+        "candidates.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}
+    )
+    o["cross_source_pairs"] = f"""
+        WITH c AS ({candidates_values}),
+             d AS (SELECT CAST(doc_id AS VARCHAR) AS id, source FROM documents)
+        SELECT c.a, c.b, da.source AS group_a, db.source AS group_b
+        FROM c JOIN d da ON c.a = da.id JOIN d db ON c.b = db.id
+        WHERE da.source != db.source
+    """
+    o["dedup_source_report"] = f"""
+        WITH c AS ({clusters_values}),
+             s AS (SELECT cluster_id, count(*) AS csize FROM c GROUP BY 1),
+             d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source FROM documents),
+             j AS (SELECT d.source AS src, c.doc_id, c.cluster_id, s.csize
+                   FROM c JOIN s ON c.cluster_id = s.cluster_id
+                          JOIN d ON c.doc_id = d.doc_id)
+        SELECT src AS source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS dup_ratio
+        FROM j GROUP BY src
+    """
+    o["ann_cosine_range"] = """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM v q, v c
+        WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+          AND list_cosine_similarity(q.e, c.e) >= 0.3
     """
     o["substring_pairs_docs"] = _expected_values_sql(
         "substr_pairs.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}

@@ -71,6 +71,40 @@ def cosine_topk(
     )
 
 
+def cosine_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine range search: every corpus vector within ``threshold``
+    of each query (self-matches excluded) — the "all neighbors at least this
+    similar" API that retrieval-dedup and RAG-index audits use, vs top-k's
+    "the k most similar whatever their score".
+
+    Returns (query_id, neighbor_id, cosine). Same shape as cosine_topk:
+    queries broadcast, the corpus streams through one codegen'd projection —
+    no shuffle at all (top-k's per-query window needs one; range search is a
+    pure filter, so at 10^12 corpus rows this is a single map-side pass).
+    The scale path is the same SRP/IVF bucketing as the top-k variants; this
+    is the oracle-checkable exact baseline.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    return (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 # --------------------------------------------------------------- SRP LSH
 
 

@@ -320,6 +320,94 @@ def excise_spans_oracle_sql(
 # ------------------------------------------------------- stratified sampling
 
 
+def cross_group_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Near-dup pairs whose members come from DIFFERENT groups — the
+    cross-shard / cross-source leakage report (e.g. an eval split sharing a
+    near-duplicate with a training shard, or the same page crawled under two
+    domains). Input ``pairs`` is any verified pair set (a, b); ``docs`` maps
+    id -> group.
+
+    Returns (a, b, group_a, group_b). Plan: the pair table is the small side
+    by construction (pairs are duplicate-bounded, docs are corpus-bounded),
+    so at scale this is two shuffles of the PAIR table against the
+    id-hashed doc projection — the corpus side ships only (id, group). At
+    bench scale AQE broadcasts the pair side and the corpus never shuffles.
+    """
+    g = docs.select(
+        F.col(id_col).cast("string").alias("_gid"),
+        F.col(group_col).alias("_grp"),
+    )
+    return (
+        pairs.select(F.col(a_col).cast("string").alias("a"), F.col(b_col).cast("string").alias("b"))
+        .join(g.withColumnRenamed("_grp", "group_a"), F.col("a") == F.col("_gid"))
+        .drop("_gid")
+        .join(g.withColumnRenamed("_grp", "group_b"), F.col("b") == F.col("_gid"))
+        .drop("_gid")
+        .where(F.col("group_a") != F.col("group_b"))
+        .select("a", "b", "group_a", "group_b")
+    )
+
+
+def dedup_report(
+    labels: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group duplication report — the monitoring table a production
+    dedup run publishes (Dolma/RefinedWeb report exactly this per source):
+    how many docs each group contributed, how many sit in a multi-member
+    near-dup cluster, how many survive the keep rule (cluster representative
+    = min id, singletons kept), and the duplicate fraction.
+
+    ``labels`` is the (id, cluster_id) output of a clustering query where
+    EVERY doc appears (singletons carry cluster_id = own id). Returns
+    (group, n_docs, n_dup_docs, n_kept, dup_ratio) with counts as BIGINT and
+    dup_ratio the single division n_dup_docs/n_docs (bit-equal across
+    engines per the oracle contract).
+
+    Plan: one exchange on cluster_id (window count — same one-exchange
+    pattern as candidates.py), then one map-combined agg on the group key;
+    both keys are low-cardinality relative to the corpus, nothing quadratic.
+    """
+    lab = labels.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col("cluster_id").cast("string").alias("_cid"),
+    )
+    sized = lab.withColumn(
+        "_csize", F.count(F.lit(1)).over(Window.partitionBy("_cid"))
+    )
+    g = docs.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(group_col).alias("group"),
+    )
+    return (
+        sized.join(g, "_id")
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_csize") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+            F.sum(F.when(F.col("_id") == F.col("_cid"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "group",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            (F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
 def _sql_lit(v) -> str:
     """Render a stratum value as a SQL literal for the oracle mirrors:
     strings get single quotes with embedded quotes doubled (so a stratum like

@@ -458,3 +458,64 @@ def test_excise_spans_vs_python_and_oracle(spark, docs):
         out.astype({"id": "int64", "n_tokens_removed": "int64"}),
         ora.astype({"id": "int64", "n_tokens_removed": "int64"}),
     )
+
+
+# ------------------------------------------- cross-group leakage + dedup report
+
+
+def test_cross_group_pairs_vs_python(spark, docs):
+    """Cross-source pair filter agrees with a pure-pandas join, and pairs
+    whose members share a source are excluded."""
+    from simhash_spark.operators.curation import cross_group_pairs
+
+    d = docs.limit(200)
+    pdf = d.toPandas()
+    # synthetic pair set: consecutive doc ids (deterministic, source-mixed)
+    ids = sorted(pdf["doc_id"].tolist())
+    pairs_py = [(str(a), str(b)) for a, b in zip(ids, ids[1:])]
+    pairs = spark.createDataFrame(pairs_py, "a string, b string")
+    out = cross_group_pairs(pairs, d, id_col="doc_id", group_col="source").toPandas()
+
+    src = {str(r.doc_id): r.source for r in pdf.itertuples()}
+    expect = {
+        (a, b, src[a], src[b]) for a, b in pairs_py if src[a] != src[b]
+    }
+    got = {tuple(r) for r in out[["a", "b", "group_a", "group_b"]].itertuples(index=False)}
+    assert got == expect
+    assert all(ga != gb for _, _, ga, gb in got)
+
+
+def test_dedup_report_vs_python(spark, docs):
+    """Per-group dedup report agrees with a pure-python recount over a
+    hand-built label set with known cluster structure."""
+    from simhash_spark.operators.curation import dedup_report
+
+    d = docs.limit(100)
+    pdf = d.toPandas()
+    ids = sorted(str(i) for i in pdf["doc_id"].tolist())
+    # clusters of 3: representative = min member (the frozen keep rule);
+    # remainder are singletons labelled by themselves
+    labels_py = []
+    for i, doc in enumerate(ids):
+        rep = ids[(i // 3) * 3] if i < 60 else doc
+        labels_py.append((doc, rep))
+    labels = spark.createDataFrame(labels_py, "doc_id string, cluster_id string")
+    out = (
+        dedup_report(labels, d, id_col="doc_id", group_col="source")
+        .toPandas().sort_values("group").reset_index(drop=True)
+    )
+
+    from collections import Counter, defaultdict
+    csize = Counter(c for _, c in labels_py)
+    src = {str(r.doc_id): r.source for r in pdf.itertuples()}
+    agg = defaultdict(lambda: [0, 0, 0])
+    for doc, cid in labels_py:
+        g = agg[src[doc]]
+        g[0] += 1
+        g[1] += int(csize[cid] > 1)
+        g[2] += int(doc == cid)
+    for row in out.itertuples():
+        n_docs, n_dup, n_kept = agg[row.group]
+        assert (row.n_docs, row.n_dup_docs, row.n_kept) == (n_docs, n_dup, n_kept), row
+        assert row.dup_ratio == n_dup / n_docs
+    assert set(out["group"]) == set(agg)

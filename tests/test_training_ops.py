@@ -207,6 +207,29 @@ def test_cosine_topk_vs_numpy(spark, emb):
         assert [n for _, n in sorted(by_q[q])] == expect, f"query {q}"
 
 
+def test_cosine_range_vs_numpy(spark, emb):
+    """Exact range search agrees with a numpy all-pairs scan, and its plan
+    has no shuffle at all (pure broadcast-join filter)."""
+    from simhash_spark.operators.ann import cosine_range
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    cos = _np_cosine(mat)
+    ids = pdf["vec_id"].to_numpy()
+    queries = emb.where(F.col("vec_id") < 10)
+    out = cosine_range(emb, queries, threshold=0.3)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    expect = set()
+    for q in range(10):
+        qi = int(np.flatnonzero(ids == q)[0])
+        for j in range(len(ids)):
+            if ids[j] != q and cos[qi, j] >= 0.3:
+                expect.add((q, int(ids[j])))
+    assert got == expect
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan  # map-side-only pass
+
+
 def test_srp_topk_recall_random_corpus(spark, emb):
     """Worst case for LSH: near-orthogonal corpus (true top-5 cosines ~0.3-0.5).
     8 tables x 8 planes with multi-probe still recovers most of the top-5."""
