@@ -406,6 +406,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition_stats"] = text_repetition_stats
 
+    def quality_filter_docs(spark, sf):
+        # the keep/drop decision a curation run actually applies (Gopher
+        # A1.1-style rule chain over the verified-bit-equal signals);
+        # zero-shuffle native projection
+        from simhash_spark.operators.textops import quality_filter
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        return quality_filter(d, "text").select("doc_id", "keep", "reason")
+
+    q["quality_filter_docs"] = quality_filter_docs
+
     def decontaminate_overlap(spark, sf):
         # benchmark decontamination: corpus docs sharing >= 1 word-5-gram
         # with the (deterministic) benchmark slice doc_id % 7 == 3; the
@@ -999,6 +1011,10 @@ def oracle_sql() -> dict[str, str]:
                {rep_cols}
         FROM documents
     """
+
+    from simhash_spark.operators.textops import quality_filter_oracle_sql
+
+    o["quality_filter_docs"] = quality_filter_oracle_sql("text")
 
     from simhash_spark.operators.curation import (
         contaminated_spans_oracle_sql,

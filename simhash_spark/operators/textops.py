@@ -248,3 +248,116 @@ def make_doc_fingerprint_udf():
         return pd.Series(spec.u64_to_i64(h))
 
     return doc_fp
+
+
+# ------------------------------------------------- quality filter (keep rule)
+
+# Gopher-style (Rae'21 A1.1) document quality filter thresholds. Defaults
+# are tuned for caption-length documents; real runs override per corpus.
+QUALITY_FILTER_DEFAULTS = {
+    "min_tokens": 20,
+    "max_tokens": 1_000_000,
+    "min_alnum_ratio": 0.77,
+    "min_mean_token_len": 3.0,
+    "max_mean_token_len": 10.0,
+    "min_stopword_hits": 1,
+    "max_dup_token_frac": 0.65,
+    "max_dup_2gram_frac": 0.10,
+}
+
+# FROZEN rule order: the reason reported is the FIRST violated rule in this
+# sequence (a doc failing several rules gets the earliest). Mirrored 1:1 by
+# quality_filter_oracle_sql's CASE chain.
+_QUALITY_RULE_ORDER = (
+    "too_few_tokens",
+    "too_many_tokens",
+    "low_alnum_ratio",
+    "mean_token_len",
+    "few_stopwords",
+    "dup_tokens",
+    "dup_2grams",
+)
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", **overrides
+) -> DataFrame:
+    """Compose the quality + repetition signals into the keep/drop decision a
+    curation pipeline actually applies (Rae'21 A1.1, Penedo'23 §3): adds
+    ``keep`` (1/0 int) and ``reason`` ('ok' or the first violated rule name,
+    frozen order above).
+
+    Engine-portable by construction: every signal is the exact expression
+    text_stats / text_repetition_stats already verify bit-equal against
+    DuckDB, and thresholds only ever compare those values — so the keep
+    decision is deterministic across engines and parallelism levels. The
+    whole operator is one zero-shuffle native projection (no UDF, no agg);
+    at 10^12 rows it pipelines inside the scan stage.
+    """
+    t = {**QUALITY_FILTER_DEFAULTS, **overrides}
+    c = F.col(text_col)
+    qc = quality_cols(c)
+    rc = repetition_cols(c)
+    conds = {
+        "too_few_tokens": qc["n_tokens"] < t["min_tokens"],
+        "too_many_tokens": qc["n_tokens"] > t["max_tokens"],
+        "low_alnum_ratio": qc["alnum_ratio"] < t["min_alnum_ratio"],
+        "mean_token_len": (qc["mean_token_len"] < t["min_mean_token_len"])
+        | (qc["mean_token_len"] > t["max_mean_token_len"]),
+        "few_stopwords": qc["stopword_hits"] < t["min_stopword_hits"],
+        "dup_tokens": rc["dup_token_frac"] > t["max_dup_token_frac"],
+        "dup_2grams": rc["dup_2gram_frac"] > t["max_dup_2gram_frac"],
+    }
+    reason = F.lit("ok")
+    for name in reversed(_QUALITY_RULE_ORDER):
+        reason = F.when(conds[name], F.lit(name)).otherwise(reason)
+    return df.withColumn("reason", reason).withColumn(
+        "keep", (F.col("reason") == "ok").cast("int")
+    )
+
+
+def quality_filter_oracle_sql(
+    text_expr: str = "text",
+    select_cols: str = "doc_id",
+    table: str = "documents",
+    **overrides,
+) -> str:
+    """DuckDB mirror of quality_filter — same signal expressions the
+    text_stats / text_repetition_stats oracles use, same frozen rule order."""
+    t = {**QUALITY_FILTER_DEFAULTS, **overrides}
+    stop_re = _marker_regex(_EN_STOP_SMALL)
+    rep = repetition_oracle_sql(text_expr)
+    n_tokens = (
+        f"CASE WHEN length(trim({text_expr})) = 0 THEN 0 "
+        f"ELSE len(string_split_regex(trim({text_expr}), '\\s+')) END"
+    )
+    n_alnum = f"length(regexp_replace(lower({text_expr}), '[^a-z0-9]', '', 'g'))"
+    alnum_ratio = (
+        f"CAST({n_alnum} AS DOUBLE) / greatest(length({text_expr}), 1)"
+    )
+    mean_token_len = (
+        f"CASE WHEN ({n_tokens}) = 0 THEN 0.0 "
+        f"ELSE CAST({n_alnum} AS DOUBLE) / ({n_tokens}) END"
+    )
+    stop_hits = f"len(regexp_extract_all(lower({text_expr}), '{stop_re}'))"
+    conds = {
+        "too_few_tokens": f"({n_tokens}) < {t['min_tokens']}",
+        "too_many_tokens": f"({n_tokens}) > {t['max_tokens']}",
+        "low_alnum_ratio": f"({alnum_ratio}) < {t['min_alnum_ratio']}",
+        "mean_token_len": (
+            f"(({mean_token_len}) < {t['min_mean_token_len']} OR "
+            f"({mean_token_len}) > {t['max_mean_token_len']})"
+        ),
+        "few_stopwords": f"({stop_hits}) < {t['min_stopword_hits']}",
+        "dup_tokens": f"({rep['dup_token_frac']}) > {t['max_dup_token_frac']}",
+        "dup_2grams": f"({rep['dup_2gram_frac']}) > {t['max_dup_2gram_frac']}",
+    }
+    arms = " ".join(
+        f"WHEN {conds[name]} THEN '{name}'" for name in _QUALITY_RULE_ORDER
+    )
+    return (
+        f"SELECT {select_cols}, reason, "
+        f"CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS INT) AS keep "
+        f"FROM (SELECT {select_cols}, CASE {arms} ELSE 'ok' END AS reason "
+        f"FROM {table}) t"
+    )

@@ -546,3 +546,35 @@ def test_near_dup_keep_best_rule(spark):
     # cluster x: tie at 5 -> 'x'
     assert rows["x"] == ("x", 1) and rows["y"] == ("x", 0)
     assert rows["solo"] == ("solo", 1)
+
+
+def test_quality_filter_rule_order_and_plan(spark, docs):
+    """First-violated-rule semantics on hand-built docs + a zero-shuffle
+    plan; the sf corpus must split non-trivially (several reasons present)."""
+    from simhash_spark.operators.textops import quality_filter
+
+    rows = [
+        # violates too_few_tokens AND few_stopwords -> earliest rule wins
+        (1, "xx yy"),
+        # 25 distinct alnum-poor tokens -> low_alnum_ratio fires first
+        (2, " ".join(f"!!{i}!!" for i in range(25))),
+        # long word repeated heavily (alnum/stopword rules stay green:
+        # 9-char tokens keep alnum_ratio ~0.89, 'the'/'and' give stop hits)
+        # -> dup_tokens
+        (3, "the cat and " + "somewhat " * 19 + "somewhat"),
+        # healthy sentence padded to >= 20 tokens
+        (4, "the quick brown fox jumps over a lazy dog and then it "
+            "runs far away to the old mill by the river bank"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(df).collect()}
+    assert got[1] == (0, "too_few_tokens")
+    assert got[2] == (0, "low_alnum_ratio")
+    assert got[3] == (0, "dup_tokens")
+    assert got[4] == (1, "ok")
+
+    out = quality_filter(docs, "text").select("doc_id", "keep", "reason")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection, pipelines in the scan
+    reasons = {r["reason"] for r in out.collect()}
+    assert "ok" in reasons and len(reasons) >= 3, reasons
