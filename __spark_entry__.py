@@ -418,6 +418,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["quality_filter_docs"] = quality_filter_docs
 
+    def pii_scrub_docs(spark, sf):
+        # PII redaction + audit counts. The synthetic corpus carries no PII,
+        # so the query plants deterministic emails/IPs/phones derived from
+        # doc_id (same expression mirrored in the oracle SQL) — the operator
+        # then has real extraction/replacement work on every row.
+        from simhash_spark.operators.curation import pii_scrub
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        did = F.col("doc_id")
+        aug = d.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example.com or +1555"),
+                F.lpad(F.pmod(did, 10000).cast("string"), 4, "0"),
+                F.lit(" at 10.0."),
+                F.pmod(did, 256).cast("string"),
+                F.lit(".7"),
+            ),
+        )
+        return pii_scrub(aug, "text").select(
+            "doc_id", "n_email", "n_ipv4", "n_phone", "clean_text"
+        )
+
+    q["pii_scrub_docs"] = pii_scrub_docs
+
     def decontaminate_overlap(spark, sf):
         # benchmark decontamination: corpus docs sharing >= 1 word-5-gram
         # with the (deterministic) benchmark slice doc_id % 7 == 3; the
@@ -1015,6 +1043,18 @@ def oracle_sql() -> dict[str, str]:
     from simhash_spark.operators.textops import quality_filter_oracle_sql
 
     o["quality_filter_docs"] = quality_filter_oracle_sql("text")
+
+    from simhash_spark.operators.curation import pii_scrub_oracle_sql
+
+    _aug_text = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@mail.example.com or +1555'"
+        " || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+    )
+    o["pii_scrub_docs"] = pii_scrub_oracle_sql(
+        f"({_aug_text})", select_cols="doc_id", table="documents"
+    )
 
     from simhash_spark.operators.curation import (
         contaminated_spans_oracle_sql,

@@ -627,3 +627,63 @@ def budget_sample_oracle_sql(
         )
         WHERE _budget IS NULL OR _cum <= _budget
     """
+
+
+# ------------------------------------------------------------- PII scrubbing
+
+# FROZEN scrub order + patterns: replacement is applied sequentially in this
+# order (email first so an IPv4-shaped mail domain is consumed by <EMAIL>
+# before the ipv4 pass sees it); counts are over the ORIGINAL text, per
+# pattern independently. Patterns restricted to syntax with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): explicit classes, \d,
+# \b, bounded quantifiers — no lookaround, no backrefs, no capture groups
+# (extract-all group index is pinned to 0 on both sides).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,14}", "<PHONE>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 literals, E.164-ish phone
+    numbers) and count each — the scrub+audit pass a training-data pipeline
+    runs before anything ships (cf. C4/Dolma PII handling). Adds
+    ``n_email``/``n_ipv4``/``n_phone`` (int) and ``clean_text``.
+
+    Zero-shuffle native projection (JVM regex inside codegen, no UDF);
+    pipelines inside the scan at any corpus size. Engine-portable: the
+    DuckDB mirror (pii_scrub_oracle_sql) uses the same frozen patterns and
+    order, and the pattern syntax is chosen for identical Java/RE2
+    semantics.
+    """
+    c = F.col(text_col)
+    out = df
+    for name, pat, _ in PII_RULES:
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("int"),
+        )
+    clean = c
+    for _, pat, token in PII_RULES:
+        clean = F.regexp_replace(clean, pat, token)
+    return out.withColumn("clean_text", clean)
+
+
+def pii_scrub_oracle_sql(
+    text_expr: str = "text",
+    select_cols: str = "doc_id",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of pii_scrub: same patterns, same order, global
+    replacement ('g'), extract-all group 0."""
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all({text_expr}, '{pat}', 0)) AS INT) AS n_{name}"
+        for name, pat, _ in PII_RULES
+    )
+    clean = text_expr
+    for _, pat, token in PII_RULES:
+        clean = f"regexp_replace({clean}, '{pat}', '{token}', 'g')"
+    return (
+        f"SELECT {select_cols}, {counts}, {clean} AS clean_text FROM {table}"
+    )

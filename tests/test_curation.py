@@ -519,3 +519,49 @@ def test_dedup_report_vs_python(spark, docs):
         assert (row.n_docs, row.n_dup_docs, row.n_kept) == (n_docs, n_dup, n_kept), row
         assert row.dup_ratio == n_dup / n_docs
     assert set(out["group"]) == set(agg)
+
+
+# --------------------------------------------------------------- PII scrubbing
+
+
+def test_pii_scrub_rules_and_duckdb_lockstep(spark):
+    """Hostile PII shapes: multiple hits per doc, an IPv4-shaped mail domain
+    (consumed by the email pass first — the frozen order), phone length
+    bounds, and no-op on clean text; Spark and DuckDB agree on counts AND
+    the scrubbed text byte-for-byte."""
+    from simhash_spark.operators.curation import pii_scrub, pii_scrub_oracle_sql
+
+    rows = [
+        (1, "mail a@b.co and c.d+x@sub.example.org now"),
+        (2, "host 10.0.0.1 and 255.255.255.255 up"),
+        (3, "call +15551234567 or +1234567 but not +123456"),
+        (4, "weird bob@10.0.0.99.net stays one email"),
+        (5, "nothing to scrub here"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = (
+        pii_scrub(df, "text")
+        .select("doc_id", "n_email", "n_ipv4", "n_phone", "clean_text")
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert got.loc[0, ["n_email", "n_ipv4", "n_phone"]].tolist() == [2, 0, 0]
+    assert got.loc[0, "clean_text"] == "mail <EMAIL> and <EMAIL> now"
+    assert got.loc[1, ["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 2, 0]
+    assert got.loc[2, ["n_email", "n_ipv4", "n_phone"]].tolist() == [0, 0, 2]
+    assert got.loc[2, "clean_text"] == "call <PHONE> or <PHONE> but not +123456"
+    # email pass consumes the IPv4-shaped domain before the ipv4 pass runs,
+    # but the ipv4 COUNT (over original text) still sees it — frozen rule
+    assert got.loc[3, "clean_text"] == "weird <EMAIL> stays one email"
+    assert got.loc[3, "n_email"] == 1 and got.loc[3, "n_ipv4"] == 1
+    assert got.loc[4, "clean_text"] == "nothing to scrub here"
+    assert got.loc[5, "clean_text"] == ""
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    ora = (
+        con.sql(pii_scrub_oracle_sql("text"))
+        .df().sort_values("doc_id").reset_index(drop=True)
+    )
+    for col in ("n_email", "n_ipv4", "n_phone", "clean_text"):
+        assert got[col].tolist() == ora[col].tolist(), col
