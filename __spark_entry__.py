@@ -580,6 +580,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_cosine_range"] = ann_cosine_range
 
+    def ann_srp_range(spark, sf):
+        # the SRP-LSH scale path for range search (probe-vs-corpus, the
+        # embedding-decontamination shape); oracle = the frozen numpy
+        # mirror's bucket-collision + cosine-filter pair set
+        from simhash_spark.operators.ann import srp_range
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return srp_range(
+            emb, queries_df, threshold=0.3, n_planes=8, n_tables=8
+        ).select("query_id", "neighbor_id")
+
+    q["ann_srp_range"] = ann_srp_range
+
     def frame_sample(spark, sf):
         from simhash_spark.operators.multimodal import sample_frame_offsets
 
@@ -1241,6 +1255,10 @@ def oracle_sql() -> dict[str, str]:
             "zero_cross_per_sec": "INT",
             "error": "VARCHAR",
         },
+    )
+    o["ann_srp_range"] = _expected_values_sql(
+        "srp_range_pairs.parquet",
+        {"query_id": "BIGINT", "neighbor_id": "BIGINT"},
     )
     o["srp_topk"] = _expected_values_sql(
         "srp_topk.parquet",

@@ -105,6 +105,53 @@ def cosine_range(
     )
 
 
+def srp_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """SRP-LSH scale path for cosine_range — probe-vs-corpus range search
+    when the corpus is too large to stream every query over it (the
+    embedding-decontamination shape: "which training vectors sit within tau
+    of ANY eval vector").
+
+    Corpus keys = raw per-table signatures; query keys = signatures plus all
+    one-bit flips (one-sided multi-probe, identical collision rule to
+    srp_topk/embedding_near_dup: signature Hamming <= 1 in some table).
+    Precision is exact (cosine filter); recall is the standard
+    1-(1-q)^L bucket-collision bound, measured in tests against
+    cosine_range. The candidate stage moves BARE (query_id, neighbor_id)
+    pairs through the bucket join and pair-dedup exchange; vectors re-attach
+    after the dedup (queries broadcast, corpus vectors move at most once) —
+    the engine-wide no-vectors-through-dedup pattern, tripwire-tested.
+    """
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = srp_keys(
+        c_vecs, "cvec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=False
+    ).select("neighbor_id", "key")
+    q = srp_keys(
+        q_vecs, "qvec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=True
+    ).select("query_id", "key")
+    pairs = (
+        c.join(q, "key")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return (
+        pairs.join(F.broadcast(q_vecs), "query_id")
+        .join(c_vecs, "neighbor_id")
+        .withColumn("cosine", cosine_col(F.col("qvec"), F.col("cvec")))
+        .where(F.col("cosine") >= F.lit(float(threshold)))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 # --------------------------------------------------------------- SRP LSH
 
 

@@ -343,6 +343,30 @@ def main() -> None:
     )
     print(f"srp_topk: {len(srp_df)} rows")
 
+    # ann_srp_range: SAME candidate sets as srp_topk (8 planes x 8 tables,
+    # one-sided multi-probe), but keep EVERY candidate with cosine >= 0.3
+    # instead of top-k (mirrors operators/ann.py::srp_range). The 0.3
+    # boundary has a measured 1.2e-3 margin over all query-corpus pairs at
+    # this sf, so the kept set is engine-portable.
+    range_rows = []
+    for qi, cands in srp_cand.items():
+        for ci in cands:
+            cos = vecs64[ci] @ vecs64[qi] / (norms[ci] * norms[qi])
+            if cos >= 0.3:
+                range_rows.append((int(vids[qi]), int(vids[ci])))
+    range_rows.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": np.array([a for a, _ in range_rows], np.int64),
+                "neighbor_id": np.array([b for _, b in range_rows], np.int64),
+            },
+            schema=pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())]),
+        ),
+        OUT / "srp_range_pairs.parquet",
+    )
+    print(f"ann_srp_range: {len(range_rows)} pairs")
+
     # ann_ivf_topk: centroids from the shared numpy core, assignment mirrors
     # make_ivf_assign_udf (normalize -> matmul -> argpartition)
     cent = ivf_fit_core(vecs64, n_centroids=16, n_iter=8, seed=7)

@@ -139,12 +139,12 @@ def test_embedding_lsh_dedup_exchange_carries_no_vectors(spark):
     assert not offenders, f"vectors ride a hash exchange: {offenders}"
 
 
-@pytest.mark.parametrize("query", ["srp_topk", "ann_ivf_topk"])
+@pytest.mark.parametrize("query", ["srp_topk", "ann_ivf_topk", "ann_srp_range"])
 def test_ann_topk_dedup_exchanges_carry_no_vectors(spark, query):
     """r4 extension of the no-vectors tripwire to the two ANN top-k operators
-    (the r3 verdict's last plan anti-pattern): the bucket join and the
-    (query_id, neighbor_id) pair-dedup exchange must move bare ids; qvec is
-    re-attached by broadcast and cvec by one post-dedup equi-join."""
+    (the r3 verdict's last plan anti-pattern) plus srp_range: the bucket join
+    and the (query_id, neighbor_id) pair-dedup exchange must move bare ids;
+    qvec is re-attached by broadcast and cvec by one post-dedup equi-join."""
     df = entrymod.queries()[query](spark, SF)
     offenders = _vector_carrying_hash_exchanges(spark, df)
     assert not offenders, f"{query}: vectors ride a hash exchange: {offenders}"

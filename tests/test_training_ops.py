@@ -578,3 +578,28 @@ def test_quality_filter_rule_order_and_plan(spark, docs):
     assert "Exchange" not in plan  # pure projection, pipelines in the scan
     reasons = {r["reason"] for r in out.collect()}
     assert "ok" in reasons and len(reasons) >= 3, reasons
+
+
+def test_srp_range_subset_and_recall(spark, emb_with_dups):
+    """srp_range precision is exact (approx pairs are a subset of the exact
+    range result) and recall on genuine near-dups (cosine >= 0.95) with the
+    8x8 multi-probe config is near-total — the same collision bound the
+    near-dup LSH recall test derives (~0.9998 per pair at p ~ 0.9)."""
+    from simhash_spark.operators.ann import cosine_range, srp_range
+
+    thr = 0.95
+    queries = emb_with_dups.where(F.col("vec_id") < 40)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_range(emb_with_dups, queries, threshold=thr).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in srp_range(
+            emb_with_dups, queries, threshold=thr, n_planes=8, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact
+    recall = len(approx & exact) / max(1, len(exact))
+    assert recall >= 0.9, f"srp_range recall {recall:.3f}"
+    assert len(exact) >= 35  # the planted near-dups are in range
