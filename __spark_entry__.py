@@ -852,6 +852,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_features"] = image_features
 
+    def phash_reverse_search(spark, sf):
+        # reverse image search: all corpus images within phash-Hamming<=3 of
+        # each probe, via the pigeonhole block index (corpus scanned once,
+        # probe keys broadcast). Exact by the pigeonhole guarantee, so the
+        # oracle is an independent numpy brute force over the same fixture.
+        from simhash_spark.operators.search import phash_search
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+        pdf = make_images_pdf(500, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        probes = src.where(F.col("image_id") < "img000000050").select(
+            F.col("image_id").alias("probe_id"), "phash"
+        )
+        return phash_search(src, probes, radius=CFG.phash_radius, n_blocks=CFG.n_blocks)
+
+    q["phash_reverse_search"] = phash_reverse_search
+
+    def image_quality_filter(spark, sf):
+        # DataComp-style image+caption keep/drop (first-violated-rule
+        # reason, frozen order); zero-shuffle native projection — bytes
+        # never read (with_bytes=False fixture doubles as the pruning proof)
+        from simhash_spark.operators.search import image_quality_filter as op
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+        pdf = make_images_pdf(500, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        return op(src).select("image_id", "keep", "reason")
+
+    q["image_quality_filter"] = image_quality_filter
+
+    def dedup_truth_eval(spark, sf):
+        # the BASELINE recall>=0.99 gate as a driver-visible operator: run
+        # the FULL pipeline (simhash + phash + substring stages) on the
+        # fixture and score its clusters against the brute-force numpy
+        # truth. The pipeline is exact here (pigeonhole + winnowing
+        # completeness), so the oracle expects recall_bp = 10000; precision
+        # < 10000 only because predicted pairs are the transitive closure
+        # while the truth table holds direct edges.
+        from simhash_spark.operators.dedup import dedup_eval
+        from simhash_spark.plans.pipeline import (
+            candidate_job,
+            cluster_job,
+            fingerprint_job,
+            substring_job,
+            verify_job,
+        )
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            compute_truth,
+            make_images_pdf,
+        )
+
+        pdf = make_images_pdf(300, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        fp = fingerprint_job(spark, src, CFG).cache()
+        cand = candidate_job(fp, CFG)
+        all_cand = (
+            cand.unionByName(substring_job(src, CFG))
+            .groupBy("a", "b")
+            .agg(F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src"))
+        )
+        clusters = cluster_job(verify_job(all_cand, fp, CFG), fp, CFG)
+        truth_pairs, _ = compute_truth(pdf)
+        truth = spark.createDataFrame(truth_pairs[["a", "b"]], schema="a string, b string")
+        return dedup_eval(clusters, truth)
+
+    q["dedup_truth_eval"] = dedup_truth_eval
+
     return q
 
 
@@ -1259,6 +1327,24 @@ def oracle_sql() -> dict[str, str]:
     o["ann_srp_range"] = _expected_values_sql(
         "srp_range_pairs.parquet",
         {"query_id": "BIGINT", "neighbor_id": "BIGINT"},
+    )
+    o["phash_reverse_search"] = _expected_values_sql(
+        "phash_search_pairs.parquet",
+        {"probe_id": "VARCHAR", "image_id": "VARCHAR", "dist": "INT"},
+    )
+    o["image_quality_filter"] = _expected_values_sql(
+        "image_quality.parquet",
+        {"image_id": "VARCHAR", "keep": "INT", "reason": "VARCHAR"},
+    )
+    o["dedup_truth_eval"] = _expected_values_sql(
+        "dedup_eval.parquet",
+        {
+            "n_truth": "BIGINT",
+            "n_pred": "BIGINT",
+            "n_hit": "BIGINT",
+            "recall_bp": "BIGINT",
+            "precision_bp": "BIGINT",
+        },
     )
     o["srp_topk"] = _expected_values_sql(
         "srp_topk.parquet",

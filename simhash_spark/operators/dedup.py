@@ -357,3 +357,62 @@ def embedding_near_dup(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ----------------------------------------------------------- dedup eval
+
+
+def dedup_eval(
+    clusters: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "image_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Dup-pair recall/precision of a cluster assignment against an
+    independent ground-truth pair table — BASELINE.json's recall >= 0.99
+    gate as a first-class, monitorable operator (the number a production
+    run reports per batch, not just a test assertion).
+
+    Predicted pairs = all same-cluster pairs (a < b): the north rule
+    compares CLUSTER assignments, so transitive-closure pairs count as
+    predicted even when no single index proposed them. Output is ONE row:
+    n_truth, n_pred, n_hit (bigint) and recall_bp / precision_bp (basis
+    points, floor integer division — exact integer arithmetic end to end,
+    so the row is bit-equal across engines; 9900 bp == the 0.99 gate).
+
+    Scale: the self-join on cluster_col materializes exactly sum_C(size,2)
+    rows — the metric's own cardinality, concentrated on the largest
+    clusters. That is inherent to pair-recall (the truth table it joins
+    is the same size class); for corpora with giant components, evaluate
+    on a cluster-capped sample upstream. Both join exchanges carry bare
+    (id, cluster_id) / (a, b) rows; the final agg is a single map-combined
+    global sum.
+    """
+    lab = clusters.select(F.col(cluster_col).alias("_c"), F.col(id_col).alias("_id"))
+    pred = (
+        lab.select(F.col("_c"), F.col("_id").alias("a"))
+        .join(lab.select(F.col("_c"), F.col("_id").alias("b")), "_c")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    ta, tb = F.least("a", "b"), F.greatest("a", "b")
+    truth = truth_pairs.select(ta.alias("a"), tb.alias("b")).dropDuplicates(["a", "b"])
+    j = pred.withColumn("_p", F.lit(1)).join(
+        truth.withColumn("_t", F.lit(1)), ["a", "b"], "full_outer"
+    )
+    agg = j.agg(
+        F.sum("_p").alias("n_pred"),
+        F.sum("_t").alias("n_truth"),
+        F.sum(F.col("_p") * F.col("_t")).alias("n_hit"),
+    )
+    return agg.select(
+        F.coalesce("n_truth", F.lit(0)).alias("n_truth"),
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        F.expr("CASE WHEN n_truth > 0 THEN (10000 * n_hit) DIV n_truth ELSE 10000 END").alias(
+            "recall_bp"
+        ),
+        F.expr("CASE WHEN n_pred > 0 THEN (10000 * n_hit) DIV n_pred ELSE 10000 END").alias(
+            "precision_bp"
+        ),
+    )

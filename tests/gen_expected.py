@@ -237,6 +237,101 @@ def main() -> None:
     )
     print(f"image features: {len(feat)} rows")
 
+    # phash_reverse_search: numpy brute force over the 500-row fixture —
+    # probes are the first 50 images, matches = hamming(phash) <= 3. The
+    # operator's pigeonhole index is EXACT at radius <= n_blocks-1, so the
+    # brute-force ball is the whole answer, not a recall bound.
+    img5 = make_images_pdf(500, seed=42, with_bytes=False)
+    ph_u = spec.i64_to_u64(img5["phash"].to_numpy(np.int64))
+    ids5 = img5["image_id"].to_numpy(dtype=object)
+    d = spec.popcount64(ph_u[:50, None] ^ ph_u[None, :])
+    pi, ci = np.nonzero(d <= 3)
+    order = np.lexsort((ci, pi))
+    pq.write_table(
+        pa.table(
+            {
+                "probe_id": [str(ids5[i]) for i in pi[order]],
+                "image_id": [str(ids5[j]) for j in ci[order]],
+                "dist": d[pi[order], ci[order]].astype(np.int32),
+            },
+            schema=pa.schema(
+                [("probe_id", pa.string()), ("image_id", pa.string()), ("dist", pa.int32())]
+            ),
+        ),
+        OUT / "phash_search_pairs.parquet",
+    )
+    nself = int((pi[order] == ci[order]).sum())
+    print(f"phash search: {len(pi)} pairs ({len(pi) - nself} non-self)")
+
+    # image_quality_filter: pandas mirror of the frozen rule order/thresholds
+    # (operators/search.py::IMAGE_QUALITY_RULE_ORDER) — integer arithmetic
+    # only, so the keep decision is bit-equal by construction
+    import re as _re
+
+    def _iq_reason(w: int, h: int, cap: str) -> str:
+        cap = cap or ""
+        toks = [t for t in _re.split(r"\s+", cap.strip()) if t]
+        nonspace = _re.sub(r"\s", "", cap)
+        alnum = sum(ch.isalnum() for ch in nonspace)
+        if w * h < 1536:
+            return "too_small"
+        if 2 * max(w, h) > 3 * min(w, h):
+            return "extreme_aspect"
+        if len(toks) < 10:
+            return "caption_too_short"
+        if len(toks) > 50:
+            return "caption_too_long"
+        if len(nonspace) > 0 and 100 * alnum < 50 * len(nonspace):
+            return "caption_not_text"
+        return "ok"
+
+    iq_reasons = [
+        _iq_reason(int(w), int(h), c)
+        for w, h, c in zip(img5["w"], img5["h"], img5["caption"])
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": ids5,
+                "keep": np.array([int(r == "ok") for r in iq_reasons], np.int32),
+                "reason": iq_reasons,
+            },
+            schema=pa.schema(
+                [("image_id", pa.string()), ("keep", pa.int32()), ("reason", pa.string())]
+            ),
+        ),
+        OUT / "image_quality.parquet",
+    )
+    from collections import Counter
+
+    print(f"image quality: {dict(Counter(iq_reasons))}")
+
+    # dedup_truth_eval: score the pipeline's clusters against the truth
+    # pairs entirely in numpy. The full pipeline (simhash+phash+substring)
+    # is EXACT on this fixture (test_pipeline_e2e asserts cluster equality
+    # with truth), so expected clusters = truth clusters; predicted pairs =
+    # within-cluster closure, hits = every truth edge.
+    from simhash_spark.sources.fixtures import compute_truth
+
+    t_pairs, t_clusters = compute_truth(img)
+    n_truth = len(t_pairs)
+    sizes = t_clusters.groupby("cluster_id").size()
+    n_pred = int((sizes * (sizes - 1) // 2).sum())
+    n_hit = n_truth  # every direct truth edge is within a truth cluster
+    pq.write_table(
+        pa.table(
+            {
+                "n_truth": np.array([n_truth], np.int64),
+                "n_pred": np.array([n_pred], np.int64),
+                "n_hit": np.array([n_hit], np.int64),
+                "recall_bp": np.array([(10000 * n_hit) // max(1, n_truth)], np.int64),
+                "precision_bp": np.array([(10000 * n_hit) // max(1, n_pred)], np.int64),
+            }
+        ),
+        OUT / "dedup_eval.parquet",
+    )
+    print(f"dedup eval: truth={n_truth} pred={n_pred} hit={n_hit}")
+
     # audio_features: the SAME per-clip helper the operator runs
     # (multimodal.audio_clip_features — one implementation, no drift), here
     # executed outside Spark on the deterministic fixture. Fields computed
