@@ -30,6 +30,14 @@ except ImportError:  # plain `python jobs/run_pipeline.py` from a checkout
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def _quality_hist(spark, ckpt: str) -> dict:
+    """Per-reason drop counts from the 00_quality stage checkpoint."""
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    rows = CheckpointCatalog(spark, ckpt).read("00_quality").collect()
+    return {r["reason"]: r["n"] for r in rows if r["reason"] != "ok"}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description="simhash_spark near-duplicate pipeline")
     ap.add_argument("--input", required=True, help="images parquet path")
@@ -44,6 +52,13 @@ def main(argv: list[str] | None = None) -> int:
         default=0,
         help="write a fault-tolerant catalog checkpoint of the CC edge set "
         "every k rounds (0 = localCheckpoint only)",
+    )
+    ap.add_argument(
+        "--quality-filter",
+        action="store_true",
+        help="drop low-quality rows (DataComp-style resolution/aspect/caption "
+        "rules, operators/search.py) BEFORE fingerprinting; the per-reason "
+        "histogram lands in the 00_quality stage manifest",
     )
     ap.add_argument(
         "--n-blocks",
@@ -77,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
         enable_substring=not args.no_substring,
         include_phash=not args.no_phash,
         cc_ckpt_every=args.cc_ckpt_every,
+        quality_filter=args.quality_filter,
     )
     from simhash_spark.operators.dedup import near_dup_keep_list
 
@@ -89,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
     keep.write.mode("overwrite").parquet(str(out / "keep_list"))
     stats = {
         "rows": res.fingerprints.count(),
+        **(
+            {"quality_dropped": _quality_hist(spark, ckpt)} if args.quality_filter else {}
+        ),
         "candidates": res.candidates.count(),
         "verified": res.verified.count(),
         "clusters": res.clusters.select("cluster_id").distinct().count(),

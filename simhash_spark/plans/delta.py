@@ -241,6 +241,9 @@ def chain_run_metadata(spark: SparkSession, ckpt_path: str | pathlib.Path) -> di
         "config": root["config"],
         "enable_substring": root["enable_substring"],
         "include_phash": root["include_phash"],
+        # pre-quality-filter chains have no key -> False (additive upgrade)
+        "quality_filter": root.get("quality_filter", False),
+        "quality_overrides": root.get("quality_overrides", {}),
         "input_paths": paths,
     }
 
@@ -287,6 +290,8 @@ def run_delta(
         )
     enable_substring = meta["enable_substring"]
     include_phash = meta["include_phash"]
+    quality_filter = meta["quality_filter"]
+    quality_overrides = meta["quality_overrides"]
 
     cat = CheckpointCatalog(spark, checkpoint_path)
     ptr = pathlib.Path(checkpoint_path) / DELTA_POINTER
@@ -306,9 +311,21 @@ def run_delta(
     in_fp = (
         f"{base01['input_fingerprint']}+{input_fingerprint_of(increment_path)}"
         f"-{config_fingerprint(cfg)}-ss{int(enable_substring)}-ph{int(include_phash)}"
+        + ("-qf1" if quality_filter else "")
     )
 
     src_new = spark.read.parquet(increment_path)
+    if quality_filter:
+        # the increment must pass the SAME keep/drop rules as the base —
+        # otherwise dropped-quality rows would enter the index only for
+        # rows that happened to arrive late (delta-equality violation)
+        from simhash_spark.operators.search import image_quality_filter
+
+        src_new = (
+            image_quality_filter(src_new, **quality_overrides)
+            .where(F.col("keep") == 1)
+            .drop("keep", "reason")
+        )
     fp_new = cat.run_stage(
         "01_fingerprints_delta",
         in_fp,
@@ -317,6 +334,8 @@ def run_delta(
             "config": asdict(cfg),
             "enable_substring": enable_substring,
             "include_phash": include_phash,
+            "quality_filter": quality_filter,
+            "quality_overrides": quality_overrides,
             "input_path": increment_path,
         },
     )
@@ -418,6 +437,8 @@ def compact_chain(
             "config": asdict(cfg),
             "enable_substring": enable_substring,
             "include_phash": meta["include_phash"],
+            "quality_filter": meta["quality_filter"],
+            "quality_overrides": meta["quality_overrides"],
             "input_path": meta["input_paths"],
             "compacted_from": chain,
         },

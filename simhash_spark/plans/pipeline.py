@@ -99,17 +99,35 @@ def cluster_job(
 
 
 def stage_fingerprint(
-    input_path: str, cfg: PipelineConfig, enable_substring: bool, include_phash: bool
+    input_path: str,
+    cfg: PipelineConfig,
+    enable_substring: bool,
+    include_phash: bool,
+    quality_filter: bool = False,
+    quality_overrides: dict | None = None,
 ) -> str:
     """Stage checkpoint identity = input content + full config + pipeline
     flags: a rerun with a different index config (e.g. --n-blocks 8) or
     stage set must recompute, never silently resume stages computed under
-    the old configuration."""
+    the old configuration. The quality-filter flag joins the identity only
+    when enabled (``-qf1``) so pre-existing unfiltered checkpoints keep
+    resuming under their original fingerprints."""
     from simhash_spark.config import config_fingerprint
 
+    qf = ""
+    if quality_filter:
+        qf = "-qf1"
+        if quality_overrides:
+            # non-default thresholds change the kept set -> new identity
+            import hashlib
+            import json
+
+            qf += hashlib.md5(
+                json.dumps(quality_overrides, sort_keys=True).encode()
+            ).hexdigest()[:8]
     return (
         f"{input_fingerprint_of(input_path)}-{config_fingerprint(cfg)}"
-        f"-ss{int(enable_substring)}-ph{int(include_phash)}"
+        f"-ss{int(enable_substring)}-ph{int(include_phash)}{qf}"
     )
 
 
@@ -130,6 +148,8 @@ def run_pipeline(
     include_phash: bool = True,
     cc_ckpt_every: int = 0,
     bucket_fingerprints: bool = True,
+    quality_filter: bool = False,
+    quality_overrides: dict | None = None,
 ) -> PipelineResult:
     """The resumable end-to-end run: every stage lands in the catalog with a
     manifest; rerunning after a crash skips complete stages (T5).
@@ -142,8 +162,29 @@ def run_pipeline(
     largest intermediate. Bucket count follows the session's shuffle
     parallelism (a real deployment sets both to ~2-3x total cores)."""
     cat = CheckpointCatalog(spark, checkpoint_path)
-    in_fp = stage_fingerprint(input_path, cfg, enable_substring, include_phash)
+    in_fp = stage_fingerprint(
+        input_path, cfg, enable_substring, include_phash, quality_filter, quality_overrides
+    )
     src = spark.read.parquet(input_path)
+
+    if quality_filter:
+        # E0: DataComp-style keep/drop BEFORE the expensive fingerprint UDF —
+        # at 100 TB the filter is a zero-shuffle projection fused into the
+        # scan, so pruning here saves the dropped fraction of every
+        # downstream stage. The stage CHECKPOINT holds only the per-reason
+        # histogram (the monitorable artifact + resume marker); the kept
+        # rows themselves are recomputed on read — re-running one codegen'd
+        # predicate is far cheaper than writing a near-copy of the corpus.
+        from simhash_spark.operators.search import image_quality_filter
+
+        flt = image_quality_filter(src, **(quality_overrides or {}))
+        cat.run_stage(
+            "00_quality",
+            in_fp,
+            lambda: flt.groupBy("reason").agg(F.count("*").alias("n")),
+            extra_metrics=lambda: {"quality_overrides": quality_overrides or {}},
+        )
+        src = flt.where(F.col("keep") == 1).drop("keep", "reason")
 
     fp_buckets = (
         (int(spark.conf.get("spark.sql.shuffle.partitions")), ["image_id"])
@@ -161,6 +202,8 @@ def run_pipeline(
             "config": asdict(cfg),
             "enable_substring": enable_substring,
             "include_phash": include_phash,
+            "quality_filter": quality_filter,
+            "quality_overrides": quality_overrides or {},
             "input_path": input_path,
         }
 

@@ -197,3 +197,43 @@ def test_disjoint_increment_keeps_base_labels_verbatim(spark):
     )
     assert res.verified_new.count() == 0
     assert _rows(res.clusters) == [("a1", "a1"), ("a2", "a1"), ("z9", "z9")]
+
+
+def test_delta_inherits_quality_filter(spark, tmp_path):
+    """A base built with quality_filter=True must make every chained delta
+    apply the SAME keep/drop rules to its increment (restored from chain
+    metadata like the config): base+delta == one full filtered run, and
+    dropped-quality increment rows never enter the index."""
+    from simhash_spark.operators.search import image_quality_filter
+    from simhash_spark.plans.delta import chain_run_metadata, run_delta
+    from simhash_spark.plans.pipeline import run_pipeline
+    from simhash_spark.sources.fixtures import write_images_fixture
+
+    fx = tmp_path / "fx"
+    write_images_fixture(fx, n_rows=800, seed=9, with_bytes=False, with_truth=False)
+    full_df = spark.read.parquet(str(fx / "images.parquet"))
+    part = F.pmod(F.xxhash64("image_id"), F.lit(2))
+    paths = []
+    for i, pred in enumerate([part == 0, part == 1]):
+        p = tmp_path / f"part{i}"
+        full_df.where(pred).coalesce(1).write.parquet(str(p))
+        paths.append(str(p))
+
+    full = run_pipeline(
+        spark, str(fx / "images.parquet"), str(tmp_path / "ck_full"), CFG,
+        quality_filter=True,
+    )
+    run_pipeline(spark, paths[0], str(tmp_path / "ck_base"), CFG, quality_filter=True)
+    meta = chain_run_metadata(spark, str(tmp_path / "ck_base"))
+    assert meta["quality_filter"] is True
+    d1 = run_delta(spark, str(tmp_path / "ck_base"), paths[1], str(tmp_path / "ck_d1"))
+    assert _rows(d1.clusters) == _rows(full.clusters)
+
+    inc = spark.read.parquet(paths[1])
+    dropped = {
+        r["image_id"]
+        for r in image_quality_filter(inc).where("keep = 0").collect()
+    }
+    assert dropped  # the fixture must exercise the drop path
+    labeled = {r["image_id"] for r in d1.clusters.collect()}
+    assert not (dropped & labeled)

@@ -175,3 +175,46 @@ def test_iceberg_backend_gate_raises_without_runtime_jar(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="[Ii]ceberg"):
         CheckpointCatalog(spark, tmp_path / "ice", backend="iceberg")
+
+
+def test_pipeline_quality_filter_stage(spark, fixture_dir, tmp_path):
+    """E0 quality filter: (1) the filtered pipeline's clusters are IDENTICAL
+    to an unfiltered run over a pre-filtered copy of the input (the stage is
+    pure row pruning, no semantic coupling); (2) dropped rows never reach
+    the fingerprint table; (3) the 00_quality checkpoint holds the
+    per-reason histogram; (4) toggling the flag changes the stage identity
+    (no stale resume)."""
+    from simhash_spark.operators.search import image_quality_filter
+    from simhash_spark.plans.pipeline import stage_fingerprint
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    inp = str(fixture_dir / "images.parquet")
+    res = run_pipeline(spark, inp, str(tmp_path / "ck_qf"), CFG, quality_filter=True)
+
+    src = spark.read.parquet(inp)
+    flt = image_quality_filter(src)
+    kept = flt.where("keep = 1").drop("keep", "reason")
+    n_kept, n_all = kept.count(), src.count()
+    assert 0 < n_kept < n_all  # the fixture exercises both outcomes
+    assert res.fingerprints.count() == n_kept
+    pre = str(tmp_path / "prefiltered.parquet")
+    kept.write.parquet(pre)
+    res2 = run_pipeline(spark, pre, str(tmp_path / "ck_pre"), CFG)
+    got = {(r["image_id"], r["cluster_id"]) for r in res.clusters.collect()}
+    want = {(r["image_id"], r["cluster_id"]) for r in res2.clusters.collect()}
+    assert got == want
+
+    cat = CheckpointCatalog(spark, str(tmp_path / "ck_qf"))
+    hist = {r["reason"]: r["n"] for r in cat.read("00_quality").collect()}
+    truth_hist = {
+        r["reason"]: r["n"]
+        for r in flt.groupBy("reason").agg(F.count("*").alias("n")).collect()
+    }
+    assert hist == truth_hist and hist.get("ok") == n_kept
+
+    fp_off = stage_fingerprint(inp, CFG, True, True)
+    fp_on = stage_fingerprint(inp, CFG, True, True, quality_filter=True)
+    fp_on2 = stage_fingerprint(
+        inp, CFG, True, True, quality_filter=True, quality_overrides={"min_pixels": 9999}
+    )
+    assert len({fp_off, fp_on, fp_on2}) == 3
