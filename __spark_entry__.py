@@ -920,6 +920,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_truth_eval"] = dedup_truth_eval
 
+    def dup_kind_report(spark, sf):
+        # per-criterion dup-mass split of the verified pairs (simhash >
+        # phash > substr first-match priority). The pipeline is exact on
+        # the fixture, so the report equals the truth-kind histogram —
+        # which is the oracle (computed by the independent numpy brute
+        # force, not the engine).
+        from simhash_spark.operators.verify import dup_kind_report as op
+        from simhash_spark.plans.pipeline import (
+            candidate_job,
+            fingerprint_job,
+            substring_job,
+            verify_job,
+        )
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+        pdf = make_images_pdf(300, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        fp = fingerprint_job(spark, src, CFG).cache()
+        all_cand = (
+            candidate_job(fp, CFG)
+            .unionByName(substring_job(src, CFG))
+            .groupBy("a", "b")
+            .agg(F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src"))
+        )
+        return op(verify_job(all_cand, fp, CFG), fp, CFG)
+
+    q["dup_kind_report"] = dup_kind_report
+
     return q
 
 
@@ -1335,6 +1363,10 @@ def oracle_sql() -> dict[str, str]:
     o["image_quality_filter"] = _expected_values_sql(
         "image_quality.parquet",
         {"image_id": "VARCHAR", "keep": "INT", "reason": "VARCHAR"},
+    )
+    o["dup_kind_report"] = _expected_values_sql(
+        "dup_kind_report.parquet",
+        {"kind": "VARCHAR", "n_pairs": "BIGINT"},
     )
     o["dedup_truth_eval"] = _expected_values_sql(
         "dedup_eval.parquet",

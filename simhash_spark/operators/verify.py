@@ -72,3 +72,41 @@ def verify_pairs(
         .where(caption_ok | phash_ok | substr_ok)
         .select("a", "b", "hamming_caption", "hamming_phash", "src")
     )
+
+
+def dup_kind_report(
+    verified: DataFrame,
+    fp: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Monitoring: verified dup pairs broken down by the FIRST criterion
+    that establishes them — 'simhash' > 'phash' > 'substr', the same
+    priority fixtures.compute_truth uses to label truth pairs (so at an
+    exact-pipeline corpus the report equals the truth-kind histogram).
+
+    The per-source dup-mass split is the number a curation run watches to
+    decide where to spend index budget (caption-heavy vs pixel-heavy dup
+    populations want different n_blocks/radius trade-offs). One pair-table
+    scan + two id equi-joins for the shingle counts + a 3-row agg; the big
+    fingerprint side ships only (id, n_shingles).
+    """
+    na = fp.select(F.col(id_col).alias("a"), F.col("n_shingles").alias("_na"))
+    nb = fp.select(F.col(id_col).alias("b"), F.col("n_shingles").alias("_nb"))
+    j = verified.join(na, "a").join(nb, "b")
+    caption_ok = (
+        (F.col("hamming_caption") <= cfg.hamming_radius)
+        & (F.col("_na") > 0)
+        & (F.col("_nb") > 0)
+    )
+    phash_ok = (F.col("hamming_phash") >= 0) & (
+        F.col("hamming_phash") <= cfg.phash_radius
+    )
+    kind = F.when(caption_ok, F.lit("simhash")).when(phash_ok, F.lit("phash")).otherwise(
+        F.lit("substr")
+    )
+    return (
+        j.groupBy(kind.alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("kind")
+    )

@@ -332,6 +332,23 @@ def main() -> None:
     )
     print(f"dedup eval: truth={n_truth} pred={n_pred} hit={n_hit}")
 
+    # dup_kind_report: the truth pairs' first-match kind histogram
+    # (simhash > phash > substr — the same priority compute_truth assigns
+    # and operators/verify.dup_kind_report re-derives from verified pairs;
+    # the pipeline is exact on this fixture, so verified == truth edges)
+    kind_counts = t_pairs["kind"].value_counts().sort_index()
+    pq.write_table(
+        pa.table(
+            {
+                "kind": list(kind_counts.index),
+                "n_pairs": kind_counts.to_numpy(np.int64),
+            },
+            schema=pa.schema([("kind", pa.string()), ("n_pairs", pa.int64())]),
+        ),
+        OUT / "dup_kind_report.parquet",
+    )
+    print(f"dup kinds: {dict(kind_counts)}")
+
     # audio_features: the SAME per-clip helper the operator runs
     # (multimodal.audio_clip_features — one implementation, no drift), here
     # executed outside Spark on the deterministic fixture. Fields computed
