@@ -72,6 +72,8 @@ def start_stream_near_dup(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     include_phash: bool = True,
     trigger_once: bool = True,
+    quality_filter: bool = False,
+    quality_overrides: dict | None = None,
 ):
     """NEAR-dup on ingest — the streaming face of the full candidate+verify
     pipeline. Per micro-batch:
@@ -109,6 +111,17 @@ def start_stream_near_dup(
     from simhash_spark.operators.candidates import bucket_pairs_packed, explode_all_keys
     from simhash_spark.operators.verify import verify_pairs
 
+    if quality_filter:
+        # the same E0 keep rules run_pipeline(quality_filter=True) applies —
+        # stateless projection, so it composes with the stream unchanged and
+        # dropped rows never enter the accumulated fingerprint table
+        from simhash_spark.operators.search import image_quality_filter
+
+        stream_df = (
+            image_quality_filter(stream_df, **(quality_overrides or {}))
+            .where(F.col("keep") == 1)
+            .drop("keep", "reason")
+        )
     fp_stream = stream_fingerprints(stream_df, cfg)
 
     def process_batch(batch_fp: DataFrame, batch_id: int) -> None:

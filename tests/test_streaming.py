@@ -235,3 +235,63 @@ def test_stream_first_seen_suppresses_cross_batch_duplicates(spark, tmp_path):
     got2 = run_once("fs_run2")
     # "d" duplicates cap_x from run 1 -> suppressed by persisted state
     assert got2 == {"e"}
+
+
+def test_stream_near_dup_quality_filter_matches_batch(spark, tmp_path):
+    """Streaming ingest with quality_filter=True == batch pipeline over the
+    pre-filtered corpus: dropped rows never enter the fingerprint table or
+    any emitted pair (the same E0 rules guard both doors)."""
+    from simhash_spark.operators.search import image_quality_filter
+    from simhash_spark.plans.pipeline import candidate_job, fingerprint_job, verify_job
+    from simhash_spark.sources.fixtures import make_images_pdf
+    from simhash_spark.streaming.incremental import start_stream_near_dup
+
+    pdf = make_images_pdf(300, seed=13, with_bytes=False)
+    src_dir = tmp_path / "qf_src"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:150], preserve_index=False), src_dir / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[150:], preserve_index=False), src_dir / "b.parquet")
+
+    batch_src = spark.read.parquet(str(src_dir))
+    stream_src = spark.readStream.schema(batch_src.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir))
+
+    q = start_stream_near_dup(
+        stream_src,
+        str(tmp_path / "qf_fp"),
+        str(tmp_path / "qf_matches"),
+        str(tmp_path / "qf_ckpt"),
+        CFG,
+        quality_filter=True,
+    )
+    q.awaitTermination(timeout=180)
+    q.stop()
+
+    got = {
+        (r["a"], r["b"])
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "qf_matches"))
+        .collect()
+    }
+    kept_src = image_quality_filter(batch_src).where("keep = 1").drop("keep", "reason")
+    dropped = {
+        r["image_id"]
+        for r in image_quality_filter(batch_src).where("keep = 0").collect()
+    }
+    assert dropped  # fixture exercises the drop path
+    fp = fingerprint_job(spark, kept_src, CFG)
+    want = {
+        (r["a"], r["b"])
+        for r in verify_job(candidate_job(fp, CFG), fp, CFG).collect()
+    }
+    assert got == want and len(want) > 0
+    assert not {i for p in got for i in p} & dropped
+    fp_ids = {
+        r["image_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "qf_fp"))
+        .select("image_id")
+        .collect()
+    }
+    assert not fp_ids & dropped
