@@ -368,6 +368,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def ngram_containment(spark, sf):
+        from simhash_spark.operators.dedup import ngram_containment_pairs
+
+        # same no-cap rationale as ngram_jaccard (the oracle models no cap);
+        # ratio column dropped like ngram_jaccard — the filter decision and
+        # contained_id carry the semantics in exact integers
+        return ngram_containment_pairs(
+            spark.read.parquet(_t(sf, "documents")),
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.5,
+            shingle_doc_cap=2**31,
+        ).select("a", "b", "n_shared", "n_a", "n_b", "contained_id")
+
+    q["ngram_containment"] = ngram_containment
+
     def text_stats(spark, sf):
         from simhash_spark.operators.textops import with_text_stats
 
@@ -1123,6 +1140,34 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b
         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.03
+    """
+
+    o["ngram_containment"] = """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                        ELSE array_to_string(t, ' ') END AS shingle
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+            WHERE length(array_to_string(t, ' ')) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
+        shared AS (
+            SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+            FROM grams x JOIN grams y USING (shingle)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT a, b, n_shared, sa.n_sh AS n_a, sb.n_sh AS n_b,
+               CASE WHEN sa.n_sh <= sb.n_sh THEN a ELSE b END AS contained_id
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = a
+        JOIN sizes sb ON sb.doc_id = b
+        WHERE CAST(n_shared AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
     """
 
     count_bpeish = f"len(regexp_extract_all(lower(text), '{BPE_ISH_RE}'))"

@@ -114,28 +114,27 @@ def ngram_array_col(text_col: str, n: int) -> F.Column:
     return F.filter(grams, lambda g: F.length(g) > 0)
 
 
-def ngram_jaccard_pairs(
+def _ngram_shared_counts(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = 3,
-    threshold: float = 0.5,
-    shingle_doc_cap: int = 1000,
+    n: int,
+    shingle_doc_cap: int,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle,
-    filtered to jaccard >= threshold. Returns (a, b, n_shared, n_a, n_b,
-    jaccard), a < b.
+    """(a, b, n_shared, n_a, n_b) for every doc pair sharing >= 1 n-gram
+    shingle, a < b — the shared core of ngram_jaccard_pairs and
+    ngram_containment_pairs (one pair-count plan, two similarity algebras).
 
     Plan: distinct (id, shingle) -> per-doc sizes (broadcastable rollup) ->
     per-shingle doc-id lists (ONE shuffle; memory bounded by the cap) ->
-    native C(s,2) pair expansion -> per-pair shared count -> join sizes ->
-    jaccard = shared/(|a|+|b|-shared). No self-join of the shingle table.
+    native C(s,2) pair expansion -> per-pair shared count -> join sizes.
+    No self-join of the shingle table.
 
     ``shingle_doc_cap``: shingles present in more than this many docs are
     dropped before the join (a stop-shingle: at web scale "click here to"
     appears in 10^9 docs and would emit 10^18 pairs). Dropping can only
-    LOWER jaccard estimates for pairs that share such mega-shingles; the cap
-    is recorded by the caller's manifest, never silent.
+    LOWER the similarity estimates for pairs that share such mega-shingles;
+    the cap is recorded by the caller's manifest, never silent.
     """
     from pyspark.sql import Window
 
@@ -178,16 +177,68 @@ def ngram_jaccard_pairs(
     sizes = with_df.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sizes.select(F.col("id").alias("a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("b"), F.col("n_sh").alias("n_b"))
+    return shared.join(sa, "a").join(sb, "b").select("a", "b", "n_shared", "n_a", "n_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_doc_cap: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >= 1 shingle,
+    filtered to jaccard >= threshold. Returns (a, b, n_shared, n_a, n_b,
+    jaccard), a < b; jaccard = shared/(|a|+|b|-shared), one int division
+    (engine-portable). Plan/cap semantics: _ngram_shared_counts.
+    """
+    counts = _ngram_shared_counts(df, id_col, text_col, n, shingle_doc_cap)
     return (
-        shared.join(sa, "a")
-        .join(sb, "b")
-        .withColumn(
+        counts.withColumn(
             "jaccard",
             F.col("n_shared").cast("double")
             / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
         )
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", "n_shared", "n_a", "n_b", "jaccard")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    shingle_doc_cap: int = 1000,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT (Broder'97 §2): shared / min(|a|, |b|) —
+    the asymmetric near-dup measure Jaccard under-scores. A short doc
+    quoted verbatim inside a much longer one has containment ~1 but
+    jaccard ~|short|/|long| (arbitrarily small), so boilerplate extraction
+    and quote/inclusion detection filter on containment, not Jaccard
+    (Lee'22 §4 discusses exactly this failure mode of symmetric measures).
+
+    Returns (a, b, n_shared, n_a, n_b, containment, contained_id), a < b;
+    ``contained_id`` = the smaller-shingle-set side (ties -> a, frozen) —
+    the doc a keep-rule would drop if the pair is treated as an inclusion.
+    One int division; same one-exchange plan and stop-shingle cap as
+    ngram_jaccard_pairs (_ngram_shared_counts).
+    """
+    counts = _ngram_shared_counts(df, id_col, text_col, n, shingle_doc_cap)
+    return (
+        counts.withColumn(
+            "containment",
+            F.col("n_shared").cast("double")
+            / F.least("n_a", "n_b").cast("double"),
+        )
+        .where(F.col("containment") >= threshold)
+        .withColumn(
+            "contained_id",
+            F.when(F.col("n_a") <= F.col("n_b"), F.col("a")).otherwise(F.col("b")),
+        )
+        .select("a", "b", "n_shared", "n_a", "n_b", "containment", "contained_id")
     )
 
 

@@ -150,22 +150,24 @@ def test_ann_topk_dedup_exchanges_carry_no_vectors(spark, query):
     assert not offenders, f"{query}: vectors ride a hash exchange: {offenders}"
 
 
-def test_ngram_jaccard_single_shingle_exchange(spark):
-    """ngram_jaccard's docstring claims ONE exchange of the shingle table,
-    with the per-doc sizes branch reusing the pair branch's window exchange
-    via AQE stage reuse (both branches read identical shingle-clustered
-    rows). Assert it: exactly one materialized shingle-keyed exchange in the
+@pytest.mark.parametrize("op_name", ["ngram_jaccard_pairs", "ngram_containment_pairs"])
+def test_ngram_jaccard_single_shingle_exchange(spark, op_name):
+    """_ngram_shared_counts' docstring claims ONE exchange of the shingle
+    table, with the per-doc sizes branch reusing the pair branch's window
+    exchange via AQE stage reuse (both branches read identical shingle-
+    clustered rows). Assert it for both similarity algebras built on the
+    shared core: exactly one materialized shingle-keyed exchange in the
     finalized adaptive plan, plus a ReusedExchange/stage reuse marker."""
     import re
 
-    from simhash_spark.operators.dedup import ngram_jaccard_pairs
+    from simhash_spark.operators import dedup
 
     docs = spark.createDataFrame(
         [(i, f"w{i % 9} w{(i + 1) % 9} w{(i + 2) % 9} w{i % 4} w{(i + 3) % 7}")
          for i in range(300)],
         "doc_id long, text string",
     )
-    df = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.1)
+    df = getattr(dedup, op_name)(docs, "doc_id", "text", n=3, threshold=0.1)
     df.collect()  # finalize the adaptive plan
     final = _plan(df).split("== Initial Plan ==")[0]
     materialized = re.findall(r"\+- Exchange hashpartitioning\(shingle#\d+L", final)

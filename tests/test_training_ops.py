@@ -739,3 +739,23 @@ def test_dedup_eval_full_pipeline_meets_recall_gate(spark):
     assert row["recall_bp"] == 10000, row
     assert row["n_hit"] == row["n_truth"] > 0
     assert row["n_pred"] >= row["n_hit"]
+
+
+def test_ngram_containment_catches_inclusion_jaccard_misses(spark):
+    """A short doc quoted verbatim inside a much longer one: containment = 1
+    but jaccard is tiny — the asymmetric pair only the containment measure
+    surfaces; contained_id points at the smaller side."""
+    from simhash_spark.operators.dedup import ngram_containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"x{i}" for i in range(200))
+    rows = [(1, short), (2, f"{filler} {short} {filler}"), (3, "totally unrelated words here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cont = {
+        (r["a"], r["b"]): r
+        for r in ngram_containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)]["contained_id"] == 1
+    assert cont[(1, 2)]["n_shared"] == cont[(1, 2)]["n_a"]  # full inclusion
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
+    assert not jac  # jaccard ~ 4/400 — invisible at any sane threshold
