@@ -1,0 +1,159 @@
+"""spark-submit entry point for the end-to-end TEXT curation pipeline.
+
+One call composes the engine's curation operators in the frozen production
+order a training-data run applies (each stage only ever shrinks or rewrites
+rows, so the order is load-bearing and recorded in the stats output):
+
+    1. quality filter   (Gopher-style keep/drop, textops.quality_filter)
+    2. PII scrub        (redact emails/IPv4/phones, curation.pii_scrub)
+    3. exact dedup      (md5 groups, keep min id — on the SCRUBBED text,
+                         so rows differing only in redacted PII collapse)
+    4. near-dup dedup   (SimHash+MinHash-LSH clusters -> keep min id;
+                         --substring adds the winnowing substring stage)
+    5. stratified sample (optional --sample-rate, deterministic md5
+                         threshold — reproducible at any parallelism)
+
+Usage:
+
+    spark-submit --py-files engine.zip jobs/run_curation.py \
+        --input /path/to/documents_parquet --output /path/to/out \
+        [--parallelism 32] [--substring] [--sample-rate 0.5] \
+        [--stratum-col lang] [--no-quality] [--no-pii]
+
+Prints ONE JSON line of per-stage counts (rows in/out per stage + quality
+reason histogram + PII totals + cluster count) — the run manifest a
+monitoring system ingests. Output parquet keeps the input schema plus
+``clean_text`` (the shipped text) and the PII audit counts.
+
+Scale shape: stages 1-2 are zero-shuffle projections fused into the scan;
+stage 3 is one map-combined hash agg; stage 4 is the audited one-exchange
+candidate plan + CC; stage 5 is a pure projection. Nothing here collects
+unbounded data to the driver.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+try:  # under spark-submit --py-files the engine zip is already importable
+    import simhash_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description="simhash_spark text curation pipeline")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="output dir for cleaned parquet")
+    ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--substring", action="store_true",
+                    help="add the winnowing substring stage to near-dup")
+    ap.add_argument("--no-quality", action="store_true")
+    ap.add_argument("--no-pii", action="store_true")
+    ap.add_argument("--no-near-dup", action="store_true")
+    ap.add_argument("--sample-rate", type=float, default=None,
+                    help="deterministic uniform keep rate applied last")
+    ap.add_argument("--sample-rates", default=None,
+                    help='JSON stratum->rate map, e.g. \'{"en":0.5,"de":0.2}\' '
+                    "(requires --stratum-col; strata not listed keep "
+                    "--sample-rate, default 1.0)")
+    ap.add_argument("--stratum-col", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from simhash_spark.config import DEFAULT_CONFIG
+    from simhash_spark.operators.curation import pii_scrub, stratified_sample
+    from simhash_spark.operators.dedup import near_dup_keep_list
+    from simhash_spark.operators.textops import quality_filter
+    from simhash_spark.plans.text_dedup import text_near_dup_clusters
+    from simhash_spark.session import get_spark
+
+    spark = get_spark(parallelism=args.parallelism, app_name="simhash-curation")
+    t0 = time.time()
+    df = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    stats: dict = {"rows_in": df.count(), "stages": []}
+
+    if not args.no_quality:
+        q = quality_filter(df, text_col)
+        hist = {r["reason"]: r["n"] for r in
+                q.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+        df = q.where(F.col("keep") == 1).drop("keep", "reason")
+        stats["stages"].append({"stage": "quality_filter",
+                                "rows_out": hist.get("ok", 0),
+                                "dropped": {k: v for k, v in hist.items() if k != "ok"}})
+
+    if not args.no_pii:
+        df = pii_scrub(df, text_col)
+        pii = df.agg(F.sum("n_email").alias("e"), F.sum("n_ipv4").alias("i"),
+                     F.sum("n_phone").alias("p")).collect()[0]
+        # downstream dedup runs on the SCRUBBED text (rows differing only in
+        # redacted PII are duplicates of the shipped artifact)
+        df = df.drop(text_col).withColumnRenamed("clean_text", text_col)
+        stats["stages"].append({"stage": "pii_scrub",
+                                "redacted": {"email": pii["e"] or 0,
+                                             "ipv4": pii["i"] or 0,
+                                             "phone": pii["p"] or 0}})
+
+    # exact dedup: md5 groups, keep the minimum id (frozen rule). Inline
+    # rather than exact_dedup() so the kept row RETAINS all audit columns.
+    w_hash = F.md5(F.col(text_col))
+    from pyspark.sql import Window
+
+    df = (
+        df.withColumn("_h", w_hash)
+        .withColumn("_keep", F.min(F.col(id_col)).over(Window.partitionBy("_h")))
+        .where(F.col(id_col) == F.col("_keep"))
+        .drop("_h", "_keep")
+    )
+    n_exact = df.count()
+    stats["stages"].append({"stage": "exact_dedup", "rows_out": n_exact})
+
+    if not args.no_near_dup:
+        clusters = text_near_dup_clusters(
+            df, id_col, text_col, DEFAULT_CONFIG, enable_substring=args.substring
+        )
+        keep = near_dup_keep_list(clusters, id_col=id_col).where("is_kept = 1")
+        # cluster ids ride as strings; cast back to the input id type to join
+        df = df.join(
+            keep.select(F.col(id_col).cast(df.schema[id_col].dataType).alias(id_col)),
+            id_col,
+        )
+        n_nd = df.count()
+        stats["stages"].append({
+            "stage": "near_dup",
+            "rows_out": n_nd,
+            "clusters": clusters.select("cluster_id").distinct().count(),
+            "substring_stage": bool(args.substring),
+        })
+
+    if args.sample_rate is not None or args.sample_rates:
+        default_rate = 1.0 if args.sample_rate is None else args.sample_rate
+        rates = json.loads(args.sample_rates) if args.sample_rates else {}
+        if rates and not args.stratum_col:
+            raise SystemExit("--sample-rates requires --stratum-col")
+        df = stratified_sample(
+            df, id_col, stratum_col=args.stratum_col or id_col,
+            rates=rates, default_rate=default_rate,
+        )
+        stats["stages"].append({"stage": "sample", "rows_out": df.count(),
+                                "default_rate": default_rate, "rates": rates})
+
+    df.write.mode("overwrite").parquet(str(pathlib.Path(args.output) / "documents"))
+    stats["rows_out"] = spark.read.parquet(
+        str(pathlib.Path(args.output) / "documents")
+    ).count()
+    stats["wall_s"] = round(time.time() - t0, 2)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -565,3 +565,48 @@ def test_pii_scrub_rules_and_duckdb_lockstep(spark):
     )
     for col in ("n_email", "n_ipv4", "n_phone", "clean_text"):
         assert got[col].tolist() == ora[col].tolist(), col
+
+
+def test_run_curation_cli_stage_accounting(spark, tmp_path, capsys):
+    """The one-call curation CLI: stages run in the frozen order, every
+    stage's row accounting is exact (verified against operators run
+    directly), sampling is deterministic, and the output parquet carries
+    the scrubbed text + audit columns."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from jobs.run_curation import main as curation_main
+    from simhash_spark.operators.curation import pii_scrub, stratified_sample
+    from simhash_spark.operators.textops import quality_filter
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    rc = curation_main(
+        ["--input", src, "--output", str(tmp_path / "out"),
+         "--substring", "--sample-rate", "0.8"]
+    )
+    assert rc == 0
+    stats = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    docs = spark.read.parquet(src)
+    assert stats["rows_in"] == docs.count()
+
+    by_stage = {s["stage"]: s for s in stats["stages"]}
+    q = quality_filter(docs, "text")
+    n_ok = q.where("keep = 1").count()
+    assert by_stage["quality_filter"]["rows_out"] == n_ok
+    assert sum(by_stage["quality_filter"]["dropped"].values()) == docs.count() - n_ok
+
+    kept_q = q.where("keep = 1").drop("keep", "reason")
+    scrubbed = pii_scrub(kept_q, "text")
+    want_email = scrubbed.agg(F.sum("n_email")).collect()[0][0] or 0
+    assert by_stage["pii_scrub"]["redacted"]["email"] == want_email
+
+    out = spark.read.parquet(str(tmp_path / "out" / "documents"))
+    assert stats["rows_out"] == out.count() == by_stage["sample"]["rows_out"]
+    assert {"n_email", "n_ipv4", "n_phone"} <= set(out.columns)
+    # sampling is the deterministic md5 rule over the near-dup survivors
+    nd_rows = by_stage["near_dup"]["rows_out"]
+    assert 0 < stats["rows_out"] < nd_rows
+    pre_sample_ids = {r["doc_id"] for r in out.collect()}
+    resample = stratified_sample(out, "doc_id", "doc_id", {}, default_rate=0.8)
+    assert {r["doc_id"] for r in resample.collect()} == pre_sample_ids  # idempotent
