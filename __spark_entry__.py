@@ -707,6 +707,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["near_dup_keep_list"] = near_dup_keep_list
 
+    def near_dup_sample_weights(spark, sf):
+        # the keep-ALL-but-downweight curation policy: each cluster's rows
+        # share ~one document of sampling mass (weight_bp = 10000 div size)
+        from simhash_spark.operators.dedup import near_dup_sample_weights as op
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+        clusters = text_near_dup_clusters(
+            spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG
+        )
+        return op(clusters)
+
+    q["near_dup_sample_weights"] = near_dup_sample_weights
+
     def near_dup_keep_best(spark, sf):
         # quality-aware dedup decision: keep each cluster's longest doc
         # (n_chars as the quality score; ties -> min id) instead of min id
@@ -1308,6 +1321,14 @@ def oracle_sql() -> dict[str, str]:
     o["doc_fingerprints"] = _expected_values_sql(
         "doc_fp.parquet", {"doc_id": "VARCHAR", "doc_fp": "BIGINT"}
     )
+    o["near_dup_sample_weights"] = f"""
+        WITH c AS ({clusters_values}),
+             s AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
+        SELECT doc_id,
+               CAST(cluster_size AS BIGINT) AS cluster_size,
+               CAST(10000 // cluster_size AS BIGINT) AS weight_bp
+        FROM c JOIN s USING (cluster_id)
+    """
     o["near_dup_keep_list"] = f"""
         WITH c AS ({clusters_values})
         SELECT doc_id,

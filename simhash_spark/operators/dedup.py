@@ -467,3 +467,24 @@ def dedup_eval(
             "precision_bp"
         ),
     )
+
+
+def near_dup_sample_weights(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-aware sampling weights: every row of a near-dup cluster
+    gets weight_bp = floor(10000 / cluster_size), so a cluster's total
+    sampling mass stays ~one document. The keep-ONE-representative rule
+    (near_dup_keep_list) deletes duplicate signal; weighting instead keeps
+    all copies but downweights them — the alternative curation policy when
+    near-dups carry complementary context (boilerplate-framed articles).
+
+    Exact integer arithmetic (engine-portable); one cluster_id window
+    exchange, the same single-exchange shape as dedup_report/keep_best
+    (count-over-window, not a groupBy + re-join of the labels table).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return clusters.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    ).withColumn("weight_bp", F.expr("10000 div cluster_size"))
