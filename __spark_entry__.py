@@ -792,6 +792,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
+    def ann_ivf_range(spark, sf):
+        # IVF range search (completes the ANN matrix: top-k and range for
+        # brute/SRP/IVF); oracle = the numpy mirror's probed-list candidate
+        # sets filtered at the same 0.3 cosine boundary
+        from simhash_spark.operators.ann import ivf_fit, ivf_range
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return ivf_range(emb, queries_df, cent, threshold=0.3, nprobe=4).select(
+            "query_id", "neighbor_id"
+        )
+
+    q["ann_ivf_range"] = ann_ivf_range
+
     def srp_topk(spark, sf):
         # third ANN variant (SRP-LSH, L tables + multi-probe): rows-only here;
         # recall vs the exact oracle is asserted in tests/test_training_ops.py
@@ -1420,6 +1435,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["ann_srp_range"] = _expected_values_sql(
         "srp_range_pairs.parquet",
+        {"query_id": "BIGINT", "neighbor_id": "BIGINT"},
+    )
+    o["ann_ivf_range"] = _expected_values_sql(
+        "ivf_range_pairs.parquet",
         {"query_id": "BIGINT", "neighbor_id": "BIGINT"},
     )
     o["phash_reverse_search"] = _expected_values_sql(

@@ -143,6 +143,16 @@ def srp_range(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    return _filter_range(pairs, q_vecs, c_vecs, threshold)
+
+
+def _filter_range(
+    pairs: DataFrame, q_vecs: DataFrame, c_vecs: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared exact-cosine tail of the LSH/IVF range-search operators:
+    bare-id candidate pairs -> re-attach vectors (queries broadcast, corpus
+    vectors move at most once) -> keep cosine >= threshold. The range-search
+    sibling of _rerank_topk."""
     return (
         pairs.join(F.broadcast(q_vecs), "query_id")
         .join(c_vecs, "neighbor_id")
@@ -371,6 +381,44 @@ def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int):
         return pd.Series(list(top.astype(np.int32)))
 
     return assign
+
+
+def ivf_range(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF range search: all corpus vectors with cosine >= threshold of any
+    query, restricted to the queries' nprobe probed inverted lists —
+    completing the ANN matrix (top-k: brute/SRP/IVF; range: brute/SRP/IVF).
+    Precision is exact (cosine filter); recall is bounded by list probing,
+    measured in tests against cosine_range (same regime as ivf_topk).
+
+    Identical candidate shape to ivf_topk (single-list corpus assignment,
+    nprobe-exploded query probes, bare-id pair dedup) with the range tail
+    (_filter_range) instead of the per-query top-k window — like
+    cosine_range vs cosine_topk, range search needs no window at all.
+    """
+    c_assign = make_ivf_assign_udf(centroids, 1)
+    q_assign = make_ivf_assign_udf(centroids, nprobe)
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = c_vecs.withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1)).select(
+        "neighbor_id", "list_id"
+    )
+    q = q_vecs.withColumn("list_id", F.explode(q_assign(F.col("qvec")))).select(
+        "query_id", "list_id"
+    )
+    pairs = (
+        c.join(q, "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    return _filter_range(pairs, q_vecs, c_vecs, threshold)
 
 
 def ivf_topk(

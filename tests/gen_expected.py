@@ -506,6 +506,28 @@ def main() -> None:
     )
     print(f"ann_ivf_topk: {len(ivf_df)} rows")
 
+    # ann_ivf_range: SAME probed-list candidate sets as ivf_topk, but keep
+    # every candidate with cosine >= 0.3 instead of top-k (mirrors
+    # operators/ann.py::ivf_range; same 0.3-margin argument as srp_range)
+    ivf_range_rows = []
+    for qi, cands in ivf_cand.items():
+        for ci in cands:
+            cos = vecs64[ci] @ vecs64[qi] / (norms[ci] * norms[qi])
+            if cos >= 0.3:
+                ivf_range_rows.append((int(vids[qi]), int(vids[ci])))
+    ivf_range_rows.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": np.array([a for a, _ in ivf_range_rows], np.int64),
+                "neighbor_id": np.array([b for _, b in ivf_range_rows], np.int64),
+            },
+            schema=pa.schema([("query_id", pa.int64()), ("neighbor_id", pa.int64())]),
+        ),
+        OUT / "ivf_range_pairs.parquet",
+    )
+    print(f"ann_ivf_range: {len(ivf_range_rows)} pairs")
+
     # embedding_near_dup_lsh: 4 tables, 8 planes, ONE-SIDED multi-probe
     # (r3 plan fix): raw-signature buckets on one side, signature + all
     # one-bit flips probed on the other — a pair collides iff its signatures

@@ -139,7 +139,9 @@ def test_embedding_lsh_dedup_exchange_carries_no_vectors(spark):
     assert not offenders, f"vectors ride a hash exchange: {offenders}"
 
 
-@pytest.mark.parametrize("query", ["srp_topk", "ann_ivf_topk", "ann_srp_range"])
+@pytest.mark.parametrize(
+    "query", ["srp_topk", "ann_ivf_topk", "ann_srp_range", "ann_ivf_range"]
+)
 def test_ann_topk_dedup_exchanges_carry_no_vectors(spark, query):
     """r4 extension of the no-vectors tripwire to the two ANN top-k operators
     (the r3 verdict's last plan anti-pattern) plus srp_range: the bucket join

@@ -759,3 +759,26 @@ def test_ngram_containment_catches_inclusion_jaccard_misses(spark):
     assert cont[(1, 2)]["n_shared"] == cont[(1, 2)]["n_a"]  # full inclusion
     jac = ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5).collect()
     assert not jac  # jaccard ~ 4/400 — invisible at any sane threshold
+
+
+def test_ivf_range_subset_and_recall(spark, emb_with_dups):
+    """ivf_range precision is exact (subset of the exact range result) and
+    recall on genuine near-dups (cosine >= 0.95) is high at nprobe=4/16:
+    a vector's near-identical copy nearly always shares its top probed
+    lists (same argument the ivf_topk recall test makes)."""
+    from simhash_spark.operators.ann import cosine_range, ivf_fit, ivf_range
+
+    thr = 0.95
+    cent = ivf_fit(emb_with_dups, n_centroids=16, n_iter=8)
+    queries = emb_with_dups.where(F.col("vec_id") < 40)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_range(emb_with_dups, queries, threshold=thr).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_range(emb_with_dups, queries, cent, threshold=thr, nprobe=4).collect()
+    }
+    assert approx <= exact
+    recall = len(approx & exact) / max(1, len(exact))
+    assert recall >= 0.9, f"ivf_range recall {recall:.3f}"
