@@ -102,17 +102,11 @@ def main(argv: list[str] | None = None) -> int:
                                              "ipv4": pii["i"] or 0,
                                              "phone": pii["p"] or 0}})
 
-    # exact dedup: md5 groups, keep the minimum id (frozen rule). Inline
-    # rather than exact_dedup() so the kept row RETAINS all audit columns.
-    w_hash = F.md5(F.col(text_col))
-    from pyspark.sql import Window
+    # exact dedup: md5 groups, keep the minimum id (frozen rule); the
+    # semi-join form keeps every audit column on the surviving row
+    from simhash_spark.operators.dedup import exact_dedup
 
-    df = (
-        df.withColumn("_h", w_hash)
-        .withColumn("_keep", F.min(F.col(id_col)).over(Window.partitionBy("_h")))
-        .where(F.col(id_col) == F.col("_keep"))
-        .drop("_h", "_keep")
-    )
+    df = exact_dedup(df, id_col, text_col)
     n_exact = df.count()
     stats["stages"].append({"stage": "exact_dedup", "rows_out": n_exact})
 
