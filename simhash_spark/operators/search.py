@@ -21,6 +21,15 @@ phash rides the explode (8 bytes/row) instead of being re-joined after the
 dedup: the no-vectors-through-exchange rule exists for ~KB embedding
 payloads; for one int64 a second corpus scan+shuffle would cost more than
 it saves.
+
+Index-width cost model (measured, BENCH/INDEX_SCALING.md): candidate volume
+here is (probe keys) x (avg bucket size) — NOT the dedup index's
+C(bucket, 2) — so with a bounded probe set the random-collision term stays
+linear in corpus size and the NARROW 4-block config's 14x smaller key
+volume wins until ~10^9-10^10 corpus rows at 1k probes (800k-row
+measurement: 4 blocks 2.0 s vs 8 blocks 13.5 s, identical exact result).
+``n_blocks`` is therefore a caller parameter, deliberately not tied to
+config.index_config_for's all-pairs thresholds.
 """
 
 from __future__ import annotations
