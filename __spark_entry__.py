@@ -780,6 +780,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_pairs_docs"] = substring_pairs_docs
 
+    def substring_run_report(spark, sf):
+        # the pair set refined with the EXACT longest-shared-run length
+        # (binary search over the rolling-hash verify); oracle = the numpy
+        # mirror's literal window-set computation of the same definition
+        from simhash_spark.operators.substring import substring_run_report as op
+
+        d = spark.read.parquet(_t(sf, "documents")).select(
+            F.col("doc_id").cast("string").alias("image_id"),
+            F.col("text").alias("caption"),
+        )
+        return op(d, CFG)
+
+    q["substring_run_report"] = substring_run_report
+
     def ann_ivf_topk(spark, sf):
         from simhash_spark.operators.ann import ivf_fit, ivf_topk
 
@@ -1436,6 +1450,10 @@ def oracle_sql() -> dict[str, str]:
     o["ann_srp_range"] = _expected_values_sql(
         "srp_range_pairs.parquet",
         {"query_id": "BIGINT", "neighbor_id": "BIGINT"},
+    )
+    o["substring_run_report"] = _expected_values_sql(
+        "substr_runs.parquet",
+        {"a": "VARCHAR", "b": "VARCHAR", "run_len": "INT"},
     )
     o["ann_ivf_range"] = _expected_values_sql(
         "ivf_range_pairs.parquet",

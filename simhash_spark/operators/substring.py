@@ -257,19 +257,16 @@ def pairs_from_anchor_table(anchors: DataFrame, cfg: PipelineConfig) -> DataFram
     ).distinct()
 
 
-def verify_substring_pairs(
-    cand: DataFrame,
-    df: DataFrame,
-    cfg: PipelineConfig,
-    id_col: str = "image_id",
-    caption_col: str = "caption",
+def _normed_pairs(
+    cand: DataFrame, df: DataFrame, id_col: str, caption_col: str
 ) -> DataFrame:
-    """Exact shared-run >= L verification of candidate (a, b) pairs against
-    the docs table; returns the surviving (a, b) rows."""
-    # normalize ONLY docs that appear in candidate pairs: at web scale the
-    # pair set touches a small fraction of the corpus, and without this
-    # pre-filter the NFKC UDF would run over every doc TWICE (once per join
-    # side). The semi-join is on the id key both sides already shuffle on.
+    """Candidate (a, b) pairs with both sides' NORMALIZED text attached
+    (_na/_nb) — the shared join plumbing of verify_substring_pairs and
+    substring_run_report. Normalizes ONLY docs that appear in candidate
+    pairs: at web scale the pair set touches a small fraction of the
+    corpus, and without this pre-filter the NFKC UDF would run over every
+    doc TWICE (once per join side). The semi-join is on the id key both
+    sides already shuffle on."""
     ids_in_pairs = (
         cand.select(F.col("a").alias("id"))
         .unionByName(cand.select(F.col("b").alias("id")))
@@ -280,10 +277,22 @@ def verify_substring_pairs(
         .join(ids_in_pairs, "id", "left_semi")
         .select("id", _normalize_col("_cap").alias("norm"))
     )
-    joined = (
+    return (
         cand.join(norm_df.select(F.col("id").alias("a"), F.col("norm").alias("_na")), "a")
         .join(norm_df.select(F.col("id").alias("b"), F.col("norm").alias("_nb")), "b")
     )
+
+
+def verify_substring_pairs(
+    cand: DataFrame,
+    df: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Exact shared-run >= L verification of candidate (a, b) pairs against
+    the docs table; returns the surviving (a, b) rows."""
+    joined = _normed_pairs(cand, df, id_col, caption_col)
 
     min_len = cfg.substr_min_len
 
@@ -335,3 +344,69 @@ def _normalize_col(caption_col: str):
     from simhash_spark.functions.udfs import normalize_substring_udf
 
     return normalize_substring_udf(F.col(caption_col))
+
+
+# ------------------------------------------------------- shared-run report
+
+
+def _shares_at(na: str, nb: str, length: int) -> bool:
+    """Exact 'do na and nb share a run of exactly >= length chars' via the
+    same hash-index + string-confirm machinery as the fixed-L verify."""
+    return _pair_shares_run(
+        na, nb, _window_hash_index(na, length), _window_hash_index(nb, length), length
+    )
+
+
+def _longest_shared_run(na: str, nb: str, min_len: int) -> int:
+    """EXACT length of the longest shared substring of na/nb, or 0 when it
+    is shorter than min_len. Binary search over the run length — sharing a
+    run of length L implies sharing every shorter length, so the predicate
+    is monotone; each probe is one O(n+m) vectorized hash pass with exact
+    string confirmation (no false positives survive)."""
+    hi = min(len(na), len(nb))
+    lo = min_len
+    if hi < lo or not _shares_at(na, nb, lo):
+        return 0
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if _shares_at(na, nb, mid):
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
+
+
+def substring_run_report(
+    df: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """(a, b, run_len): every substring pair with the EXACT length of the
+    longest shared normalized run — the "how much is actually duplicated"
+    number behind the boolean pair (what a curation analyst reads to split
+    quoted-fragment pairs from wholesale mirrors, and the input to an
+    excision policy keyed on duplicated mass rather than pair existence).
+
+    Same anchor-candidate shape as substring_pairs; verification upgrades
+    the fixed-L predicate to a binary search over the run length — an
+    O((n+m) log n) exact computation per pair, reusing the rolling-hash
+    window index + string-confirm kernel (so run_len >= substr_min_len
+    rows here are EXACTLY the substring_pairs rows: the report is a
+    strict refinement, differentially tested)."""
+    anchors = winnow_anchor_table(df, cfg, id_col, caption_col)
+    cand = pairs_from_anchor_table(anchors, cfg)
+    joined = _normed_pairs(cand, df, id_col, caption_col)
+    min_len = cfg.substr_min_len
+
+    def report(batches):
+        for pdf in batches:
+            lens = [
+                _longest_shared_run(na, nb, min_len)
+                for na, nb in zip(pdf["_na"], pdf["_nb"])
+            ]
+            out = pdf.loc[:, ["a", "b"]]
+            out["run_len"] = np.array(lens, dtype=np.int32)
+            yield out.loc[out["run_len"] > 0]
+
+    return joined.mapInPandas(report, schema="a string, b string, run_len int")

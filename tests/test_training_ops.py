@@ -782,3 +782,38 @@ def test_ivf_range_subset_and_recall(spark, emb_with_dups):
     assert approx <= exact
     recall = len(approx & exact) / max(1, len(exact))
     assert recall >= 0.9, f"ivf_range recall {recall:.3f}"
+
+
+def test_substring_run_report_exact_lengths(spark):
+    """Constructed docs with a planted shared run of KNOWN length: the
+    report returns exactly that length (normalization is lowercase+NFKC —
+    the planted run is ascii-lowercase so lengths carry through); pairs
+    below min_len don't appear; the report is a strict refinement of
+    substring_pairs."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.substring import substring_pairs, substring_run_report
+
+    L = CFG.substr_min_len
+    run = "q" + "xyzab" * ((L + 14) // 5)   # length >= L+10, exact known len
+    run = run[: L + 10]
+    filler1 = " ".join(f"mm{i}nn" for i in range(40))
+    filler2 = " ".join(f"pp{i}qq" for i in range(40))
+    # the shared run includes the single spaces flanking the planted text
+    # (normalization keeps them), so "below threshold" must account for +2
+    short_run = "r" * (L - 10)              # " r..r " = L-8 < L
+    rows = [
+        ("d1", f"{filler1} {run} {filler1}"),
+        ("d2", f"{filler2} {run} {filler2}"),
+        ("d3", f"nope {short_run} nope"),
+        ("d4", f"also {short_run} also"),
+    ]
+    df = spark.createDataFrame(rows, "image_id string, caption string")
+    rep = {(r["a"], r["b"]): r["run_len"] for r in substring_run_report(df, CFG).collect()}
+    pairs = {(r["a"], r["b"]) for r in substring_pairs(df, CFG).collect()}
+    assert set(rep) == pairs  # strict refinement: same pair set
+    assert ("d1", "d2") in rep
+    # the shared run includes the spaces around `run` on both sides? No —
+    # fillers differ, so the maximal shared run is exactly " run " padded by
+    # the single spaces common to both templates
+    assert rep[("d1", "d2")] == len(run) + 2
+    assert ("d3", "d4") not in rep
