@@ -129,10 +129,16 @@ def image_quality_filter(src: DataFrame, **overrides) -> DataFrame:
     n_tokens = F.size(F.split(F.trim(cap), r"\s+")) - (F.trim(cap) == "").cast("int")
     nonspace = F.length(F.regexp_replace(cap, r"\s", ""))
     alnum = F.length(F.regexp_replace(cap, r"[^\p{L}\p{N}]", ""))
+    # null dims coalesce to 0: a three-valued-logic null condition is FALSE
+    # inside when(), so without this a null-w/h row would silently PASS
+    # every geometry rule — the conservative reading of missing metadata is
+    # "fails the resolution floor"
+    w0 = F.coalesce(F.col("w"), F.lit(0))
+    h0 = F.coalesce(F.col("h"), F.lit(0))
     conds = {
-        "too_small": (F.col("w") * F.col("h")) < F.lit(int(t["min_pixels"])),
-        "extreme_aspect": (F.lit(2) * F.greatest("w", "h"))
-        > (F.lit(int(t["max_aspect_x2"])) * F.least("w", "h")),
+        "too_small": (w0 * h0) < F.lit(int(t["min_pixels"])),
+        "extreme_aspect": (F.lit(2) * F.greatest(w0, h0))
+        > (F.lit(int(t["max_aspect_x2"])) * F.least(w0, h0)),
         "caption_too_short": n_tokens < F.lit(int(t["min_caption_tokens"])),
         "caption_too_long": n_tokens > F.lit(int(t["max_caption_tokens"])),
         "caption_not_text": (nonspace > 0)

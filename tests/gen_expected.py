@@ -325,6 +325,7 @@ def main() -> None:
 
     def _iq_reason(w: int, h: int, cap: str) -> str:
         cap = cap or ""
+        w, h = w or 0, h or 0  # null dims fail the resolution floor
         toks = [t for t in _re.split(r"\s+", cap.strip()) if t]
         nonspace = _re.sub(r"\s", "", cap)
         alnum = sum(ch.isalnum() for ch in nonspace)

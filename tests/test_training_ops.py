@@ -817,3 +817,36 @@ def test_substring_run_report_exact_lengths(spark):
     # the single spaces common to both templates
     assert rep[("d1", "d2")] == len(run) + 2
     assert ("d3", "d4") not in rep
+
+
+def test_image_quality_filter_null_dims_fail_closed(spark):
+    """A row with null w/h must FAIL the resolution floor, not silently pass
+    every geometry rule (a null condition is false inside when(), so without
+    the coalesce a metadata-less row would sail through)."""
+    from simhash_spark.operators.search import image_quality_filter
+
+    src = spark.createDataFrame(
+        [("nullw", None, 64, " ".join(f"t{i}" for i in range(20)), None),
+         ("nullh", 64, None, " ".join(f"t{i}" for i in range(20)), None),
+         ("fine", 64, 64, " ".join(f"t{i}" for i in range(20)), None)],
+        "image_id string, w int, h int, caption string, phash long",
+    )
+    got = {r["image_id"]: r["reason"] for r in image_quality_filter(src).collect()}
+    assert got == {"nullw": "too_small", "nullh": "too_small", "fine": "ok"}
+
+
+def test_containment_dominates_jaccard_everywhere(spark, docs):
+    """Algebraic invariant over the real corpus: for every co-shingled pair,
+    jaccard <= containment <= 1 and n_shared <= min(n_a, n_b) — containment
+    uses the smaller denominator, so any pair surviving a jaccard threshold
+    survives the same containment threshold."""
+    from simhash_spark.operators.dedup import _ngram_shared_counts
+
+    rows = _ngram_shared_counts(docs, "doc_id", "text", 3, 2**31).collect()
+    assert rows
+    for r in rows:
+        mn = min(r["n_a"], r["n_b"])
+        assert 0 < r["n_shared"] <= mn
+        jac = r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])
+        con = r["n_shared"] / mn
+        assert jac <= con <= 1.0
