@@ -251,6 +251,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly_agg"] = events_hourly_agg
 
+    def events_sessionize(spark, sf):
+        # gap-based session reconstruction (lag + running-sum window -> one
+        # agg, all inside a single user_id exchange) — the trajectory
+        # grouping an interaction-log training pipeline runs first
+        from simhash_spark.operators.curation import sessionize
+
+        return sessionize(spark.read.parquet(_t(sf, "events")), gap_s=1800)
+
+    q["events_sessionize"] = events_sessionize
+
     def json_fns(spark, sf):
         # map/json surface: extract props.k, bucket it, aggregate
         e = spark.read.parquet(_t(sf, "events"))
@@ -1097,6 +1107,35 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n_events,
                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY 1, 2
+    """
+
+    o["events_sessionize"] = """
+        WITH e AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) // 1000000 AS sec
+            FROM events
+        ),
+        m AS (
+            SELECT user_id, event_id, sec,
+                   CASE WHEN lag(sec) OVER w IS NULL
+                             OR sec - lag(sec) OVER w > 1800
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ),
+        s AS (
+            SELECT user_id, sec,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+            FROM m
+        )
+        SELECT user_id,
+               CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               CAST(min(sec) AS BIGINT) AS start_s,
+               CAST(max(sec) AS BIGINT) AS end_s,
+               CAST(max(sec) - min(sec) AS BIGINT) AS duration_s
+        FROM s GROUP BY 1, 2
     """
 
     o["json_fns"] = """

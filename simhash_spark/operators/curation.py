@@ -687,3 +687,57 @@ def pii_scrub_oracle_sql(
     return (
         f"SELECT {select_cols}, {counts}, {clean} AS clean_text FROM {table}"
     )
+
+
+# --------------------------------------------------------- sessionization
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session reconstruction over an event stream — the grouping
+    step interaction/agent-log training pipelines run before turning raw
+    events into documents (a session = one trajectory). FROZEN RULE: events
+    of a user sort by (ts, tiebreak); a new session starts when the gap to
+    the previous event EXCEEDS ``gap_s`` whole seconds (timestamps compare
+    at floor-second resolution, engine-portable integer arithmetic).
+
+    Returns (user_id, session_idx 1-based, n_events, start_s, end_s,
+    duration_s) — all exact ints. Plan: ONE exchange total. The lag +
+    running-sum windows partition by user; the per-session agg groups by
+    (user, session_idx), and hash-partitioning on user already co-locates
+    every such group, so Catalyst satisfies the agg's distribution without
+    a second shuffle. Per-user data passes through one sort — the window's —
+    which is the floor for order-dependent sessionization.
+    """
+    from pyspark.sql import Window
+
+    # NTZ timestamps don't cast to long directly (Spark 4); the ltz hop is
+    # an identity under the engine's pinned UTC session timezone and ltz ->
+    # long = floor epoch seconds, matching the oracle's epoch_us // 1e6
+    sec = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    # order by the SAME floor-second key the gap rule compares (plus the
+    # tiebreak), so the frozen definition is one total order in both engines
+    w = Window.partitionBy(user_col).orderBy(sec, F.col(tiebreak_col))
+    new_s = (
+        F.lag(sec).over(w).isNull() | (sec - F.lag(sec).over(w) > F.lit(int(gap_s)))
+    ).cast("int")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = events.select(
+        F.col(user_col),
+        sec.alias("_sec"),
+        F.sum(new_s).over(wsum).alias("session_idx"),
+    )
+    return (
+        sess.groupBy(user_col, "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_sec").alias("start_s"),
+            F.max("_sec").alias("end_s"),
+        )
+        .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
+    )

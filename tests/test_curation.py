@@ -610,3 +610,44 @@ def test_run_curation_cli_stage_accounting(spark, tmp_path, capsys):
     pre_sample_ids = {r["doc_id"] for r in out.collect()}
     resample = stratified_sample(out, "doc_id", "doc_id", {}, default_rate=0.8)
     assert {r["doc_id"] for r in resample.collect()} == pre_sample_ids  # idempotent
+
+
+def test_sessionize_semantics_and_single_exchange(spark):
+    """Constructed gaps: events 0s,10s,1810s/…  split exactly at gaps > 1800;
+    boundary gap == 1800 does NOT split (frozen rule: strictly greater).
+    Plan: ONE exchange — the user window's hashpartitioning(user_id) already
+    co-locates every (user_id, session_idx) group, so the per-session agg
+    adds no second shuffle."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from simhash_spark.operators.curation import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: [0, 10] | [1811, 1900] — split once (gap 1801 > 1800)
+    for i, off in enumerate([0, 10, 1811, 1900]):
+        rows.append((i, t0 + dt.timedelta(seconds=off), 1, "e", 0.0, "{}"))
+    # user 2: [0, 1800] — exactly-1800 gap does NOT split
+    rows.append((10, t0, 2, "e", 0.0, "{}"))
+    rows.append((11, t0 + dt.timedelta(seconds=1800), 2, "e", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    )
+    out = sessionize(df, gap_s=1800)
+    got = {
+        (r["user_id"], r["session_idx"]): (r["n_events"], r["start_s"], r["end_s"], r["duration_s"])
+        for r in out.collect()
+    }
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == {
+        (1, 1): (2, base, base + 10, 10),
+        (1, 2): (2, base + 1811, base + 1900, 89),
+        (2, 1): (2, base, base + 1800, 1800),
+    }
+    # the finalized adaptive plan only (toString repeats exchanges in the
+    # "== Initial Plan ==" section after an action has run)
+    plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"expected 1 exchange, saw {n_ex}:\n{plan}"
