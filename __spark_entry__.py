@@ -719,7 +719,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def near_dup_sample_weights(spark, sf):
         # the keep-ALL-but-downweight curation policy: each cluster's rows
-        # share ~one document of sampling mass (weight_bp = 10000 div size)
+        # share ~one document of sampling mass (weight_bp = 10000 div size,
+        # floored at 1 so mega-clusters keep nonzero mass)
         from simhash_spark.operators.dedup import near_dup_sample_weights as op
         from simhash_spark.plans.text_dedup import text_near_dup_clusters
 
@@ -1443,7 +1444,7 @@ def oracle_sql() -> dict[str, str]:
              s AS (SELECT cluster_id, count(*) AS cluster_size FROM c GROUP BY 1)
         SELECT doc_id,
                CAST(cluster_size AS BIGINT) AS cluster_size,
-               CAST(10000 // cluster_size AS BIGINT) AS weight_bp
+               CAST(greatest(1, 10000 // cluster_size) AS BIGINT) AS weight_bp
         FROM c JOIN s USING (cluster_id)
     """
     o["near_dup_keep_list"] = f"""

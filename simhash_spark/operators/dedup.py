@@ -418,6 +418,8 @@ def dedup_eval(
     truth_pairs: DataFrame,
     id_col: str = "image_id",
     cluster_col: str = "cluster_id",
+    max_cluster_size: int | None = 10_000,
+    sample_oversized: bool = False,
 ) -> DataFrame:
     """Dup-pair recall/precision of a cluster assignment against an
     independent ground-truth pair table — BASELINE.json's recall >= 0.99
@@ -434,12 +436,55 @@ def dedup_eval(
     Scale: the self-join on cluster_col materializes exactly sum_C(size,2)
     rows — the metric's own cardinality, concentrated on the largest
     clusters. That is inherent to pair-recall (the truth table it joins
-    is the same size class); for corpora with giant components, evaluate
-    on a cluster-capped sample upstream. Both join exchanges carry bare
-    (id, cluster_id) / (a, b) rows; the final agg is a single map-combined
-    global sum.
+    is the same size class), so the operator ENFORCES a bound instead of
+    documenting one: any cluster larger than ``max_cluster_size`` raises
+    (loud failure, checked with a bounded limit-1 probe on a map-combined
+    size agg) unless ``sample_oversized=True``, which deterministically
+    downsamples each oversized cluster's MEMBERS to ~max_cluster_size with
+    the md5 keep rule (hash(cluster_id|id) % size < cap) before pairing —
+    pair counts for those clusters then measure the sampled subgraph, and
+    the output is still deterministic across runs/engines. Pass
+    ``max_cluster_size=None`` to disable the guard entirely. Both join
+    exchanges carry bare (id, cluster_id) / (a, b) rows; the final agg is
+    a single map-combined global sum.
     """
     lab = clusters.select(F.col(cluster_col).alias("_c"), F.col(id_col).alias("_id"))
+    if max_cluster_size is not None:
+        sizes = lab.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+        if sample_oversized:
+            # md5 member rule: ~max_cluster_size survivors per oversized
+            # cluster, deterministic in (cluster_id, id) only.
+            lab = (
+                lab.join(sizes, "_c")
+                .where(
+                    (F.col("_n") <= max_cluster_size)
+                    | (
+                        F.pmod(
+                            F.conv(
+                                F.md5(F.concat_ws("|", "_c", "_id")).substr(1, 8), 16, 10
+                            ).cast("bigint"),
+                            F.col("_n"),
+                        )
+                        < F.lit(max_cluster_size)
+                    )
+                )
+                .select("_c", "_id")
+            )
+        else:
+            over = (
+                sizes.where(F.col("_n") > max_cluster_size)
+                .orderBy(F.col("_n").desc())
+                .limit(1)
+                .collect()
+            )
+            if over:
+                raise ValueError(
+                    f"dedup_eval: cluster {over[0]['_c']!r} has {over[0]['_n']} members "
+                    f"(> max_cluster_size={max_cluster_size}); its pair self-join alone "
+                    f"would materialize ~{over[0]['_n'] * (over[0]['_n'] - 1) // 2} rows. "
+                    "Pass sample_oversized=True for a deterministic member sample, or "
+                    "raise/disable max_cluster_size explicitly."
+                )
     pred = (
         lab.select(F.col("_c"), F.col("_id").alias("a"))
         .join(lab.select(F.col("_c"), F.col("_id").alias("b")), "_c")
@@ -471,8 +516,11 @@ def dedup_eval(
 
 def near_dup_sample_weights(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Duplicate-aware sampling weights: every row of a near-dup cluster
-    gets weight_bp = floor(10000 / cluster_size), so a cluster's total
-    sampling mass stays ~one document. The keep-ONE-representative rule
+    gets weight_bp = floor(10000 / cluster_size) floored at 1, so a
+    cluster's total sampling mass stays ~one document (for mega-clusters
+    past 10,000 members the floor keeps every row minimally sampleable —
+    mass grows to size/10000 "documents" rather than silently zeroing the
+    whole cluster out of the corpus). The keep-ONE-representative rule
     (near_dup_keep_list) deletes duplicate signal; weighting instead keeps
     all copies but downweights them — the alternative curation policy when
     near-dups carry complementary context (boilerplate-framed articles).
@@ -487,4 +535,4 @@ def near_dup_sample_weights(clusters: DataFrame, id_col: str = "doc_id") -> Data
     return clusters.select(
         F.col(id_col),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
-    ).withColumn("weight_bp", F.expr("10000 div cluster_size"))
+    ).withColumn("weight_bp", F.expr("greatest(1, 10000 div cluster_size)"))
