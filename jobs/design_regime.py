@@ -157,17 +157,27 @@ def main() -> None:
     results: dict[str, dict] = {}
 
     if docs_path is not None:
-        from simhash_spark.operators.substring import substring_pairs
+        from simhash_spark.operators.substring import (
+            pairs_from_anchor_table,
+            substring_degree_metrics,
+            substring_pairs,
+            winnow_anchor_table,
+        )
 
         docs = spark.read.parquet(str(docs_path)).select("image_id", "caption")
         t0 = time.time()
         n_pairs = substring_pairs(docs, CFG).count()
         wall = time.time() - t0
+        # pair-degree / amplification revisit trigger AT the design regime —
+        # the same numbers run_pipeline lands in the 02b_substr manifest
+        cand = pairs_from_anchor_table(winnow_anchor_table(docs, CFG), CFG)
+        degree = substring_degree_metrics(cand, docs)
         results["substring_pairs"] = {
             "rows": args.docs,
             "wall_s": round(wall, 1),
             "pairs": n_pairs,
             "docs_per_sec": round(args.docs / wall, 1),
+            **degree,
         }
         print(json.dumps({"stage": "substring_pairs", **results["substring_pairs"]}), flush=True)
 

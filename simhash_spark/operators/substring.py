@@ -283,6 +283,79 @@ def _normed_pairs(
     )
 
 
+def substring_degree_metrics(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> dict:
+    """Monitorable form of the substring stage's accepted 2.73x text
+    amplification (BENCH/SUBSTRING_AMPLIFICATION.md): the pair join ships
+    each doc's text once PER PAIR it appears in, which is fine while pair
+    degree stays small and constant — the documented revisit trigger is
+    "degree grows with corpus size". This emits that trigger as stage
+    manifest metrics instead of a doc sentence (r4 verdict #3):
+
+      n_pairs / n_docs_in_pairs  — candidate pair set size
+      mean_degree_x100, p99_degree, max_degree — pair degree distribution
+      shipped_text_chars — sum over pair slots of the doc's caption length
+                           (what the pair join materializes, raw-char proxy
+                           for the normalized text actually shipped)
+      ideal_text_chars   — each pair-participating doc's length ONCE (the
+                           ship-once lower bound)
+      amplification_x100 — shipped/ideal, the number to watch across runs
+
+    Exact integer arithmetic except percentile_approx (deterministic for
+    the small degree cardinalities this summarizes). One degree agg + one
+    slim length join + a single-row collect — bounded at any corpus size.
+    """
+    deg = (
+        cand.select(F.col("a").alias("id"))
+        .unionByName(cand.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    lens = df.select(
+        F.col(id_col).alias("id"), F.length(caption_col).cast("bigint").alias("len")
+    )
+    row = (
+        deg.join(lens, "id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("degree").alias("sum_degree"),
+            F.max("degree").alias("max_degree"),
+            F.percentile_approx("degree", 0.99).alias("p99_degree"),
+            F.sum(F.col("degree") * F.col("len")).alias("shipped"),
+            F.sum("len").alias("ideal"),
+        )
+        .collect()[0]
+    )
+    n_docs = row["n_docs"] or 0
+    if n_docs == 0:
+        return {
+            "n_pairs": 0,
+            "n_docs_in_pairs": 0,
+            "mean_degree_x100": 0,
+            "p99_degree": 0,
+            "max_degree": 0,
+            "shipped_text_chars": 0,
+            "ideal_text_chars": 0,
+            "amplification_x100": 0,
+        }
+    return {
+        "n_pairs": int(row["sum_degree"]) // 2,
+        "n_docs_in_pairs": int(n_docs),
+        "mean_degree_x100": 100 * int(row["sum_degree"]) // int(n_docs),
+        "p99_degree": int(row["p99_degree"]),
+        "max_degree": int(row["max_degree"]),
+        "shipped_text_chars": int(row["shipped"]),
+        "ideal_text_chars": int(row["ideal"]),
+        "amplification_x100": (
+            100 * int(row["shipped"]) // int(row["ideal"]) if row["ideal"] else 0
+        ),
+    }
+
+
 def verify_substring_pairs(
     cand: DataFrame,
     df: DataFrame,

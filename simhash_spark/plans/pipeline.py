@@ -29,6 +29,7 @@ from simhash_spark.operators.candidates import bucket_stats_packed, explode_all_
 from simhash_spark.operators.connected_components import connected_components
 from simhash_spark.operators.substring import (
     pairs_from_anchor_table,
+    substring_degree_metrics,
     substring_pairs,
     verify_substring_pairs,
     winnow_anchor_table,
@@ -244,12 +245,18 @@ def run_pipeline(
             in_fp,
             lambda: winnow_anchor_table(src.select("image_id", "caption"), cfg),
         )
+        def _substr_metrics() -> dict:
+            # the accepted 2.73x pair-join text amplification's revisit
+            # trigger ("degree grows with corpus size") as manifest numbers
+            return substring_degree_metrics(pairs_from_anchor_table(anch, cfg), src)
+
         sub = cat.run_stage(
             "02b_substr",
             in_fp,
             lambda: verify_substring_pairs(
                 pairs_from_anchor_table(anch, cfg), src, cfg
             ).withColumn("src", F.lit("substr")),
+            extra_metrics=_substr_metrics,
         )
         all_cand = cand.unionByName(sub).groupBy("a", "b").agg(
             F.array_join(F.array_sort(F.flatten(F.collect_set(F.split("src", ",")))), ",").alias("src")

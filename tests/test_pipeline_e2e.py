@@ -111,6 +111,26 @@ def test_resume_skips_complete_stages(spark, fixture_dir, tmp_path):
     assert "bucket_stats" in cm and "minhash_lsh" in cm["bucket_stats"]
     assert cm["bucket_cap"] > 0 and "indexes_with_hot_buckets" in cm
 
+    # substring stage records its pair-degree / amplification revisit
+    # trigger (r4 verdict #3: a monitorable metric, not a doc sentence)
+    sm = cat.manifest("02b_substr")
+    for k in (
+        "n_pairs",
+        "n_docs_in_pairs",
+        "mean_degree_x100",
+        "p99_degree",
+        "max_degree",
+        "shipped_text_chars",
+        "ideal_text_chars",
+        "amplification_x100",
+    ):
+        assert k in sm, k
+    assert sm["n_pairs"] > 0 and sm["n_docs_in_pairs"] > 0
+    # shipped >= ideal by construction (degree >= 1 for every doc in pairs)
+    assert sm["shipped_text_chars"] >= sm["ideal_text_chars"] > 0
+    assert sm["amplification_x100"] >= 100 and sm["mean_degree_x100"] >= 100
+    assert sm["max_degree"] >= sm["p99_degree"] >= 1
+
     # second run must not recompute: poison compute to prove it is skipped
     boom = lambda: (_ for _ in ()).throw(AssertionError("stage recomputed"))
     out = cat.run_stage("04_clusters", in_fp, boom)
