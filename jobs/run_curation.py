@@ -20,10 +20,17 @@ Usage:
         [--parallelism 32] [--substring] [--sample-rate 0.5] \
         [--stratum-col lang] [--no-quality] [--no-pii]
 
-Prints ONE JSON line of per-stage counts (rows in/out per stage + quality
-reason histogram + PII totals + cluster count) — the run manifest a
-monitoring system ingests. Output parquet keeps the input schema plus
-``clean_text`` (the shipped text) and the PII audit counts.
+Prints ONE JSON line of per-stage counts and wall seconds (rows in/out per
+stage + quality reason histogram + PII totals + cluster count) — the run
+manifest a monitoring system ingests. In the output parquet the text column
+holds the SCRUBBED text (the shipped artifact — the pre-scrub original is
+dropped, not retained), next to the PII audit counts and the rest of the
+input schema.
+
+Per-stage ``wall_s`` caveat: Spark is lazy and the pipeline recomputes
+narrow upstream projections per action, so each stage's wall includes its
+(cheap, zero-shuffle) upstream lineage — the numbers are for monitoring
+drift run-over-run, not for isolating stage cost.
 
 Scale shape: stages 1-2 are zero-shuffle projections fused into the scan;
 stage 3 is one map-combined hash agg; stage 4 is the audited one-exchange
@@ -43,6 +50,112 @@ try:  # under spark-submit --py-files the engine zip is already importable
     import simhash_spark  # noqa: F401
 except ImportError:
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run_curation(
+    spark,
+    input_path: str,
+    output_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    substring: bool = False,
+    quality: bool = True,
+    pii: bool = True,
+    near_dup: bool = True,
+    sample_rate: float | None = None,
+    sample_rates: dict | None = None,
+    stratum_col: str | None = None,
+) -> dict:
+    """The composed 5-stage curation run on an existing session; returns the
+    stats manifest (per-stage rows out + wall seconds). bench.py calls this
+    directly so the frozen composition is regression-benchmarked, not just
+    smoke-run (r4 verdict #4)."""
+    from pyspark.sql import functions as F
+
+    from simhash_spark.config import DEFAULT_CONFIG
+    from simhash_spark.operators.curation import pii_scrub, stratified_sample
+    from simhash_spark.operators.dedup import exact_dedup, near_dup_keep_list
+    from simhash_spark.operators.textops import quality_filter
+    from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+    t0 = time.time()
+    df = spark.read.parquet(input_path)
+    stats: dict = {"rows_in": df.count(), "stages": []}
+
+    if quality:
+        ts = time.time()
+        q = quality_filter(df, text_col)
+        hist = {r["reason"]: r["n"] for r in
+                q.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()}
+        df = q.where(F.col("keep") == 1).drop("keep", "reason")
+        stats["stages"].append({"stage": "quality_filter",
+                                "rows_out": hist.get("ok", 0),
+                                "dropped": {k: v for k, v in hist.items() if k != "ok"},
+                                "wall_s": round(time.time() - ts, 2)})
+
+    if pii:
+        ts = time.time()
+        df = pii_scrub(df, text_col)
+        tot = df.agg(F.sum("n_email").alias("e"), F.sum("n_ipv4").alias("i"),
+                     F.sum("n_phone").alias("p")).collect()[0]
+        # downstream dedup runs on the SCRUBBED text (rows differing only in
+        # redacted PII are duplicates of the shipped artifact)
+        df = df.drop(text_col).withColumnRenamed("clean_text", text_col)
+        stats["stages"].append({"stage": "pii_scrub",
+                                "redacted": {"email": tot["e"] or 0,
+                                             "ipv4": tot["i"] or 0,
+                                             "phone": tot["p"] or 0},
+                                "wall_s": round(time.time() - ts, 2)})
+
+    # exact dedup: md5 groups, keep the minimum id (frozen rule); the
+    # semi-join form keeps every audit column on the surviving row
+    ts = time.time()
+    df = exact_dedup(df, id_col, text_col)
+    stats["stages"].append({"stage": "exact_dedup", "rows_out": df.count(),
+                            "wall_s": round(time.time() - ts, 2)})
+
+    if near_dup:
+        ts = time.time()
+        clusters = text_near_dup_clusters(
+            df, id_col, text_col, DEFAULT_CONFIG, enable_substring=substring
+        )
+        keep = near_dup_keep_list(clusters, id_col=id_col).where("is_kept = 1")
+        # cluster ids ride as strings; cast back to the input id type to join
+        df = df.join(
+            keep.select(F.col(id_col).cast(df.schema[id_col].dataType).alias(id_col)),
+            id_col,
+        )
+        stats["stages"].append({
+            "stage": "near_dup",
+            "rows_out": df.count(),
+            "clusters": clusters.select("cluster_id").distinct().count(),
+            "substring_stage": bool(substring),
+            "wall_s": round(time.time() - ts, 2),
+        })
+
+    if sample_rate is not None or sample_rates:
+        ts = time.time()
+        default_rate = 1.0 if sample_rate is None else sample_rate
+        rates = sample_rates or {}
+        if rates and not stratum_col:
+            raise ValueError("sample_rates requires stratum_col")
+        df = stratified_sample(
+            df, id_col, stratum_col=stratum_col or id_col,
+            rates=rates, default_rate=default_rate,
+        )
+        stats["stages"].append({"stage": "sample", "rows_out": df.count(),
+                                "default_rate": default_rate, "rates": rates,
+                                "wall_s": round(time.time() - ts, 2)})
+
+    ts = time.time()
+    df.write.mode("overwrite").parquet(str(pathlib.Path(output_path) / "documents"))
+    stats["rows_out"] = spark.read.parquet(
+        str(pathlib.Path(output_path) / "documents")
+    ).count()
+    stats["stages"].append({"stage": "write", "rows_out": stats["rows_out"],
+                            "wall_s": round(time.time() - ts, 2)})
+    stats["wall_s"] = round(time.time() - t0, 2)
+    return stats
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -66,85 +179,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stratum-col", default=None)
     args = ap.parse_args(argv)
 
-    from pyspark.sql import functions as F
-
-    from simhash_spark.config import DEFAULT_CONFIG
-    from simhash_spark.operators.curation import pii_scrub, stratified_sample
-    from simhash_spark.operators.dedup import near_dup_keep_list
-    from simhash_spark.operators.textops import quality_filter
-    from simhash_spark.plans.text_dedup import text_near_dup_clusters
     from simhash_spark.session import get_spark
 
     spark = get_spark(parallelism=args.parallelism, app_name="simhash-curation")
-    t0 = time.time()
-    df = spark.read.parquet(args.input)
-    id_col, text_col = args.id_col, args.text_col
-    stats: dict = {"rows_in": df.count(), "stages": []}
-
-    if not args.no_quality:
-        q = quality_filter(df, text_col)
-        hist = {r["reason"]: r["n"] for r in
-                q.groupBy("reason").agg(F.count(F.lit(1)).alias("n")).collect()}
-        df = q.where(F.col("keep") == 1).drop("keep", "reason")
-        stats["stages"].append({"stage": "quality_filter",
-                                "rows_out": hist.get("ok", 0),
-                                "dropped": {k: v for k, v in hist.items() if k != "ok"}})
-
-    if not args.no_pii:
-        df = pii_scrub(df, text_col)
-        pii = df.agg(F.sum("n_email").alias("e"), F.sum("n_ipv4").alias("i"),
-                     F.sum("n_phone").alias("p")).collect()[0]
-        # downstream dedup runs on the SCRUBBED text (rows differing only in
-        # redacted PII are duplicates of the shipped artifact)
-        df = df.drop(text_col).withColumnRenamed("clean_text", text_col)
-        stats["stages"].append({"stage": "pii_scrub",
-                                "redacted": {"email": pii["e"] or 0,
-                                             "ipv4": pii["i"] or 0,
-                                             "phone": pii["p"] or 0}})
-
-    # exact dedup: md5 groups, keep the minimum id (frozen rule); the
-    # semi-join form keeps every audit column on the surviving row
-    from simhash_spark.operators.dedup import exact_dedup
-
-    df = exact_dedup(df, id_col, text_col)
-    n_exact = df.count()
-    stats["stages"].append({"stage": "exact_dedup", "rows_out": n_exact})
-
-    if not args.no_near_dup:
-        clusters = text_near_dup_clusters(
-            df, id_col, text_col, DEFAULT_CONFIG, enable_substring=args.substring
-        )
-        keep = near_dup_keep_list(clusters, id_col=id_col).where("is_kept = 1")
-        # cluster ids ride as strings; cast back to the input id type to join
-        df = df.join(
-            keep.select(F.col(id_col).cast(df.schema[id_col].dataType).alias(id_col)),
-            id_col,
-        )
-        n_nd = df.count()
-        stats["stages"].append({
-            "stage": "near_dup",
-            "rows_out": n_nd,
-            "clusters": clusters.select("cluster_id").distinct().count(),
-            "substring_stage": bool(args.substring),
-        })
-
-    if args.sample_rate is not None or args.sample_rates:
-        default_rate = 1.0 if args.sample_rate is None else args.sample_rate
-        rates = json.loads(args.sample_rates) if args.sample_rates else {}
-        if rates and not args.stratum_col:
-            raise SystemExit("--sample-rates requires --stratum-col")
-        df = stratified_sample(
-            df, id_col, stratum_col=args.stratum_col or id_col,
-            rates=rates, default_rate=default_rate,
-        )
-        stats["stages"].append({"stage": "sample", "rows_out": df.count(),
-                                "default_rate": default_rate, "rates": rates})
-
-    df.write.mode("overwrite").parquet(str(pathlib.Path(args.output) / "documents"))
-    stats["rows_out"] = spark.read.parquet(
-        str(pathlib.Path(args.output) / "documents")
-    ).count()
-    stats["wall_s"] = round(time.time() - t0, 2)
+    stats = run_curation(
+        spark,
+        args.input,
+        args.output,
+        id_col=args.id_col,
+        text_col=args.text_col,
+        substring=args.substring,
+        quality=not args.no_quality,
+        pii=not args.no_pii,
+        near_dup=not args.no_near_dup,
+        sample_rate=args.sample_rate,
+        sample_rates=json.loads(args.sample_rates) if args.sample_rates else None,
+        stratum_col=args.stratum_col,
+    )
     print(json.dumps(stats))
     return 0
 

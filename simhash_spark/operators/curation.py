@@ -247,6 +247,14 @@ def excise_spans(
     contaminated_spans range. Deterministic and engine-portable; the oracle
     mirrors it exactly.
 
+    Consequence callers must know (also flagged in jobs docs): EVERY doc —
+    including fully clean ones — is rewritten to that lowercased,
+    whitespace-collapsed token join; original casing/punctuation/formatting
+    do NOT survive this operator, unlike Lee'22/Dolma's raw-text span
+    removal. If original-text fidelity matters, slice the raw text by
+    character offsets instead (derive offsets from contaminated_spans'
+    token ranges) and keep this frozen form for the oracle-checked artifact.
+
     Scale shape: contaminated_spans' plan (benchmark broadcast, one id
     exchange over contaminated rows only) + one broadcast-or-shuffle left
     join of the per-doc span list back to the corpus — the span table has
@@ -650,6 +658,16 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     numbers) and count each — the scrub+audit pass a training-data pipeline
     runs before anything ships (cf. C4/Dolma PII handling). Adds
     ``n_email``/``n_ipv4``/``n_phone`` (int) and ``clean_text``.
+
+    Count semantics (frozen): each ``n_*`` counts MATCHES OF ITS PATTERN IN
+    THE ORIGINAL TEXT, independently per pattern — NOT replacements
+    performed. Replacement is sequential (email, ipv4, phone), so counts
+    can exceed actual redactions: an IPv4-shaped email domain counts in
+    ``n_ipv4`` but is consumed by ``<EMAIL>`` first, and a 15+-digit ``+``
+    run counts once in ``n_phone`` while the 7-14-digit rule replaces only
+    its prefix. The counts are a detection audit (how much PII-shaped text
+    arrived), deliberately decoupled from the rewrite so both stay
+    single-pass, order-independent, and bit-equal with the DuckDB mirror.
 
     Zero-shuffle native projection (JVM regex inside codegen, no UDF);
     pipelines inside the scan at any corpus size. Engine-portable: the
