@@ -263,3 +263,127 @@ def stream_windowed_dup_stats(
             "min_image_id",
         )
     )
+
+
+def stream_curation_gate(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    quality: bool = True,
+    pii: bool = True,
+    quality_overrides: dict | None = None,
+) -> DataFrame:
+    """Streaming face of the curation door (run_curation stages 1-2):
+    Gopher-style quality keep/drop, then PII scrub — per-record IDENTICAL to
+    the batch operators because it IS the batch operators: both are
+    zero-shuffle native projections, so they compose with a readStream
+    source unchanged (no state, no watermark). Dropped rows never leave the
+    gate; surviving rows carry the scrubbed text in ``text_col`` plus the
+    ``n_email``/``n_ipv4``/``n_phone`` audit counts, exactly the schema the
+    batch CLI ships. Differential-tested vs batch quality_filter+pii_scrub
+    (tests/test_streaming.py)."""
+    from simhash_spark.operators.curation import pii_scrub
+    from simhash_spark.operators.textops import quality_filter
+
+    out = stream_df
+    if quality:
+        out = (
+            quality_filter(out, text_col, **(quality_overrides or {}))
+            .where(F.col("keep") == 1)
+            .drop("keep", "reason")
+        )
+    if pii:
+        out = (
+            pii_scrub(out, text_col)
+            .drop(text_col)
+            .withColumnRenamed("clean_text", text_col)
+        )
+    return out
+
+
+def start_curated_ingest(
+    stream_df: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    quality: bool = True,
+    pii: bool = True,
+    quality_overrides: dict | None = None,
+    trigger_once: bool = True,
+):
+    """writeStream for the curation gate: each micro-batch's surviving
+    scrubbed rows land in a per-batch subdirectory with mode=overwrite —
+    the same replay-safe exactly-once-OUTPUT discipline as
+    start_stream_near_dup (an at-least-once foreachBatch redelivery
+    overwrites its own directory instead of duplicating rows)."""
+    gated = stream_curation_gate(
+        stream_df, text_col, quality=quality, pii=pii, quality_overrides=quality_overrides
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch={batch_id}")
+
+    writer = gated.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_sessionize(
+    stream_df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap sessionization — the micro-batch face of the batch
+    ``sessionize`` operator, via Spark's NATIVE session windows (state-store
+    backed, merging across micro-batches) rather than a hand-rolled
+    stateful UDF.
+
+    FROZEN-RULE parity with batch sessionize: that operator splits when the
+    floor-second gap STRICTLY EXCEEDS ``gap_s``. Spark's session_window
+    merges windows whose start touches the previous window's end
+    INCLUSIVELY (verified by the boundary test: gap == gapDuration merges),
+    i.e. it also splits iff gap > gapDuration — so feeding floor-second
+    timestamps with gapDuration = gap_s reproduces the frozen rule exactly,
+    and the emitted (user, n_events, start_s, end_s,
+    duration_s) rows equal the batch operator's on the same events —
+    differential-tested in tests/test_streaming.py. The batch output's
+    ``session_idx`` (a per-user ordinal over ALL sessions) is inherently a
+    batch notion and is not emitted here; assign it downstream if needed.
+
+    Append-mode semantics: a session row emits once the event-time
+    watermark (``watermark_delay`` behind max event time) passes its close;
+    state is bounded by the watermark. Sessions still open when a bounded
+    test stream drains stay in state — flush with a sentinel event past the
+    delay (standard Structured Streaming practice).
+    """
+    sec = F.col(ts_col).cast("timestamp_ltz").cast("long")
+    ev = stream_df.select(
+        F.col(user_col),
+        F.timestamp_seconds(sec).alias("_ts"),
+        sec.alias("_sec"),
+    )
+    return (
+        ev.withWatermark("_ts", watermark_delay)
+        .groupBy(
+            F.session_window("_ts", f"{int(gap_s)} seconds").alias("_w"),
+            user_col,
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_sec").alias("start_s"),
+            F.max("_sec").alias("end_s"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            "start_s",
+            "end_s",
+            (F.col("end_s") - F.col("start_s")).alias("duration_s"),
+        )
+    )

@@ -295,3 +295,151 @@ def test_stream_near_dup_quality_filter_matches_batch(spark, tmp_path):
         .collect()
     }
     assert not fp_ids & dropped
+
+
+def test_stream_curation_gate_matches_batch(spark, tmp_path):
+    """Streaming curation door (quality filter + PII scrub via foreachBatch)
+    differential vs the batch operators on the same rows (r4 verdict #6):
+    identical surviving ids, identical scrubbed text, identical audit
+    counts — and replaying a micro-batch directory overwrites instead of
+    duplicating."""
+    import pandas as pd
+
+    from simhash_spark.operators.curation import pii_scrub
+    from simhash_spark.operators.textops import quality_filter
+    from simhash_spark.streaming.incremental import start_curated_ingest
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant PII rows that PASS the quality gate (the sf table's natural PII
+    # rows mostly fail it, which would leave the scrub path unexercised)
+    pii_text = (
+        "the quick brown fox jumps over the lazy dog and writes to "
+        "alice@example.com from 10.1.2.3 while calling +12025550147 about "
+        "the seventeen distinct ordinary words this sentence now contains "
+        "for the stopword and repetition rules to accept it as real text."
+    )
+    planted = pd.DataFrame(
+        [
+            {"doc_id": 900001 + i, "text": pii_text + f" variant {i}",
+             "lang": "en", "source": "planted", "n_chars": len(pii_text)}
+            for i in range(3)
+        ]
+    )
+    docs = pd.concat([docs, planted], ignore_index=True)
+    src_dir = tmp_path / "docs_src"
+    src_dir.mkdir()
+    half = len(docs) // 2
+    pq.write_table(pa.Table.from_pandas(docs.iloc[:half], preserve_index=False), src_dir / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(docs.iloc[half:], preserve_index=False), src_dir / "b.parquet")
+
+    batch_src = spark.read.parquet(str(src_dir))
+    stream_src = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(str(src_dir))
+    )
+
+    out = tmp_path / "curated"
+    q = start_curated_ingest(stream_src, str(out), str(tmp_path / "cur_ckpt"))
+    q.awaitTermination(timeout=120)
+
+    got_df = spark.read.option("recursiveFileLookup", "true").parquet(str(out))
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in got_df.collect()
+    }
+
+    kept = quality_filter(batch_src, "text").where("keep = 1").drop("keep", "reason")
+    scrubbed = (
+        pii_scrub(kept, "text").drop("text").withColumnRenamed("clean_text", "text")
+    )
+    expect = {
+        r["doc_id"]: (r["text"], r["n_email"], r["n_ipv4"], r["n_phone"])
+        for r in scrubbed.collect()
+    }
+    assert got == expect
+    assert 0 < len(got) < batch_src.count()  # the gate actually dropped rows
+    assert sum(v[1] + v[2] + v[3] for v in got.values()) > 0  # and scrubbed PII
+    # >=2 micro-batches ran, and each landed in its own overwrite-safe dir
+    assert got_df.select("_batch_id").distinct().count() >= 2
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """Native session windows over micro-batches equal batch sessionize on
+    the same events (r4 verdict #6, optional half): same frozen gap rule
+    (split iff gap > gap_s, == boundary merges), sessions merging ACROSS
+    micro-batch boundaries, late-session flush via watermark sentinel."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from simhash_spark.operators.curation import sessionize
+    from simhash_spark.streaming.incremental import stream_sessionize
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    # user 1: [0, 10] | [1811, 1900] — split once (gap 1801 > 1800)
+    for i, off in enumerate([0, 10, 1811, 1900]):
+        rows.append((i, t0 + dt.timedelta(seconds=off), 1))
+    # user 2: [0, 1800] — exactly-1800 gap must NOT split
+    rows.append((10, t0, 2))
+    rows.append((11, t0 + dt.timedelta(seconds=1800), 2))
+    # user 3: session straddles the micro-batch boundary (file split below)
+    rows.append((20, t0 + dt.timedelta(seconds=100), 3))
+    rows.append((21, t0 + dt.timedelta(seconds=200), 3))
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    # watermark-flush sentinel: far-future event for a throwaway user, in
+    # the LAST file, pushes the watermark past every real session's close
+    sentinel = pd.DataFrame(
+        [(999, t0 + dt.timedelta(days=2), 99)], columns=["event_id", "ts", "user_id"]
+    )
+    sentinel["ts"] = pd.to_datetime(sentinel["ts"]).astype("datetime64[us]")
+
+    src_dir = tmp_path / "ev_src"
+    src_dir.mkdir()
+    # split user 3's session across the two files (cross-batch state merge)
+    pq.write_table(
+        pa.Table.from_pandas(pdf.iloc[[0, 1, 4, 6]], preserve_index=False),
+        src_dir / "a.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.concat([pdf.iloc[[2, 3, 5, 7]], sentinel], ignore_index=True),
+            preserve_index=False,
+        ),
+        src_dir / "b.parquet",
+    )
+
+    batch_src = spark.read.parquet(str(src_dir))
+    stream_src = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = tmp_path / "sessions"
+    q = (
+        stream_sessionize(stream_src)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout=120)
+
+    got = {
+        (r["user_id"], r["start_s"]): (r["n_events"], r["end_s"], r["duration_s"])
+        for r in spark.read.parquet(str(out)).where("user_id != 99").collect()
+    }
+    expect = {
+        (r["user_id"], r["start_s"]): (r["n_events"], r["end_s"], r["duration_s"])
+        for r in sessionize(batch_src.where("user_id != 99")).collect()
+    }
+    assert got == expect and len(got) == 4
+    # the boundary case really merged and the straddling session really
+    # crossed micro-batches as ONE session
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got[(2, base)] == (2, base + 1800, 1800)
+    assert got[(3, base + 100)] == (2, base + 200, 100)
