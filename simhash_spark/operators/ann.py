@@ -174,7 +174,14 @@ def srp_planes_for(n_rows: int, n_tables: int = 2) -> int:
     b ~ log2(n) + log2(L*(b+1)) keeps that ~linear in n (~n/2 random pairs).
     Measured at the 10^6-row design point (BENCH/INDEX_SCALING.md): 24-bit
     signatures hold verification volume to ~1.5M candidates; 16-bit would be
-    ~400x worse. Clamped to [12, 28] so signature + table tag stays in int32.
+    ~400x worse.
+
+    Signatures pack into INT64 keys (r4 verdict #7 — previously int32 with
+    a 28-bit clamp, which silently re-entered the quadratic-collision
+    regime past ~10^8.5 rows: at 10^9 the formula wants ~36 bits, at 10^12
+    ~46). Clamp is now [12, 48]: 48 signature bits + up to 15 table-tag
+    bits stay inside the 63 usable bits of a signed long, and 2^48 buckets
+    covers any corpus this side of 10^13 rows at ~n/2 random pairs.
     """
     import math
 
@@ -182,7 +189,7 @@ def srp_planes_for(n_rows: int, n_tables: int = 2) -> int:
     b = 12
     for _ in range(4):  # fixpoint of b = log2(n * L * (b+1) / n) + log2-ish
         b = round(math.log2(n) + math.log2(n_tables * (b + 1)) - 1)
-    return max(12, min(28, b))
+    return max(12, min(48, b))
 
 
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -190,22 +197,24 @@ def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
 
 
 def make_srp_udf(n_planes: int, seed: int, n_tables: int = 1):
-    """pandas_udf: array<float> -> array<int> of per-table signatures.
+    """pandas_udf: array<float> -> array<long> of per-table signatures.
 
     One (batch x dim) @ (dim x planes*tables) matmul per Arrow batch; sign
     bits packed per table, table index tagged in the high bits so signatures
-    from different tables never collide. Planes are re-derived from the seed
-    per python worker (no broadcast)."""
+    from different tables never collide. int64 packing (supports the
+    adaptive widths srp_planes_for picks up to 48 bits; values for widths
+    <= 28 are numerically identical to the old int32 packing). Planes are
+    re-derived from the seed per python worker (no broadcast)."""
 
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    @F.pandas_udf(T.ArrayType(T.LongType()))
     def srp(vecs: pd.Series) -> pd.Series:
         mat = np.stack(vecs.to_numpy())  # (n, dim) — dense batch
         planes = _srp_plane_cache(mat.shape[1], n_planes * n_tables, seed)
         bits = (mat @ planes) > 0  # (n, tables*planes)
         bits = bits.reshape(len(mat), n_tables, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        sigs = bits @ weights + (np.arange(n_tables) << n_planes)[None, :]
-        return pd.Series(list(sigs.astype(np.int32)))
+        sigs = bits @ weights + (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
+        return pd.Series(list(sigs.astype(np.int64)))
 
     return srp
 
@@ -239,7 +248,8 @@ def srp_keys(
             F.transform(
                 F.col("sigs"),
                 lambda s: F.array(
-                    s, *[s.bitwiseXOR(F.lit(1 << j)).cast("int") for j in range(n_planes)]
+                    s,
+                    *[s.bitwiseXOR(F.lit(1 << j)).cast("long") for j in range(n_planes)],
                 ),
             )
         )

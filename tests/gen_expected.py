@@ -484,7 +484,9 @@ def main() -> None:
         bits = (vecs @ planes) > 0
         bits = bits.reshape(len(vecs), n_tables, n_planes)
         weights = (1 << np.arange(n_planes)).astype(np.int64)
-        return (bits @ weights + (np.arange(n_tables) << n_planes)[None, :]).astype(np.int32)
+        return (
+            bits @ weights + (np.arange(n_tables, dtype=np.int64) << n_planes)[None, :]
+        ).astype(np.int64)
 
     # srp_topk: corpus keys = raw signatures; query keys = sigs + 1-bit flips
     sigs88 = srp_sigs(8, 8, 7)
