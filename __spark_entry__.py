@@ -527,6 +527,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_excise"] = decontaminate_excise
 
+    def decontaminate_excise_raw(spark, sf):
+        # raw-text-fidelity excision: contaminated spans cut from the
+        # ORIGINAL text by char offsets (casing/punct/whitespace preserved
+        # in kept regions — Lee'22/Dolma behavior); only the contaminated
+        # slice runs the offset UDF, clean docs pass through anti-joined.
+        # Oracle: pure-python mirror (gen_expected), frozen island rule.
+        from simhash_spark.operators.curation import excise_spans_raw
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        bench = d.where(F.col("doc_id") % 7 == 3)
+        corpus = d.where(F.col("doc_id") % 7 != 3)
+        return excise_spans_raw(corpus, bench, n=5).select(
+            F.col("id").alias("doc_id"), "clean_text", "n_tokens_removed"
+        )
+
+    q["decontaminate_excise_raw"] = decontaminate_excise_raw
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -1029,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # order, demoting 11 long-stable cheap relational queries (green in BOTH r3
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
+    # never driver-checked (new in r5)
+    "decontaminate_excise_raw",
     # never driver-checked (added in r4, landed past the budget)
     "ann_ivf_range",
     "phash_reverse_search",
@@ -1057,6 +1077,7 @@ _CHECK_LAST = [
     "rollup_agg",
     "semi_join",
     "set_ops",
+    "string_fns",
 ]
 
 
@@ -1365,6 +1386,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, clean_text, n_tokens_removed
         FROM ({excise_spans_oracle_sql("doc_id % 7 = 3", n=5)})
     """
+
+    o["decontaminate_excise_raw"] = _expected_values_sql(
+        "excise_raw.parquet",
+        {"doc_id": "BIGINT", "clean_text": "VARCHAR", "n_tokens_removed": "BIGINT"},
+    )
 
     o["stratified_sample_docs"] = f"""
         SELECT doc_id, lang, source

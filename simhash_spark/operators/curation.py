@@ -291,6 +291,105 @@ def excise_spans(
     )
 
 
+def excise_spans_raw(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Raw-text-fidelity span excision (the r4 ADVICE alternative made a
+    first-class operator): remove contaminated token spans from the
+    ORIGINAL text by character offsets — the Lee'22 §4.1 / Dolma behavior —
+    preserving kept regions' casing/punctuation/whitespace byte-for-byte.
+    ``excise_spans`` remains the frozen, SQL-oracle-portable artifact; use
+    this variant when the shipped corpus must keep its original formatting.
+
+    FROZEN RULE: the k-th frozen token (1-based, whitespace split of the
+    trimmed text) is the k-th ``\\S+`` run of the raw text. A merged span
+    (s, e) excises raw chars [start(s), end(e)], extended through the
+    following whitespace run when a token follows (so mid-text excisions
+    leave single spacing), else through the preceding run (so trailing
+    excisions leave no dangling gap). The doc's outer whitespace is never
+    touched; a fully-contaminated doc keeps exactly its outer whitespace.
+    ``n_tokens_removed`` equals excise_spans' count (same span source).
+
+    Scale shape: contaminated_spans' audited plan -> per-doc span lists
+    (contaminated docs only) -> ONLY the contaminated slice runs through
+    one Arrow-batched pandas iterator (regex finditer for offsets; per-row
+    python bounded by the contamination mass, never the corpus); clean
+    docs pass through untouched via a left-anti join on the span table.
+    """
+    import re
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spans = contaminated_spans(corpus, benchmark, id_col, text_col, bench_text_col, n)
+    per_doc = spans.groupBy("id").agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("_spans")
+    )
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("n_tokens_removed", T.LongType()),
+        ]
+    )
+
+    def excise(batches):
+        tok_re = re.compile(r"\S+")
+        for pdf in batches:
+            out_ids, out_texts, out_counts = [], [], []
+            for rid, text, sps in zip(pdf["id"], pdf["_t"], pdf["_spans"]):
+                text = text or ""
+                toks = list(tok_re.finditer(text))
+                nt = len(toks)
+                removed: set[int] = set()
+                cuts = []
+                for sp in sorted((int(x["start_tok"]), int(x["end_tok"])) for x in sps):
+                    s, e = max(1, sp[0]), min(nt, sp[1])
+                    if s > e:
+                        continue
+                    removed.update(range(s, e + 1))
+                    start, end = toks[s - 1].start(), toks[e - 1].end()
+                    if e < nt:
+                        end = toks[e].start()
+                    elif s > 1:
+                        start = toks[s - 2].end()
+                    cuts.append((start, end))
+                pieces, pos = [], 0
+                for start, end in sorted(cuts):
+                    if start > pos:
+                        pieces.append(text[pos:start])
+                    pos = max(pos, end)
+                pieces.append(text[pos:])
+                out_ids.append(rid)
+                out_texts.append("".join(pieces))
+                out_counts.append(len(removed))
+            yield pd.DataFrame(
+                {"id": out_ids, "clean_text": out_texts, "n_tokens_removed": out_counts}
+            )
+
+    dirty = (
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(per_doc, "id")
+        .mapInPandas(excise, schema=out_schema)
+    )
+    clean = (
+        corpus.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+        .join(per_doc.select("id"), "id", "left_anti")
+        .select(
+            "id",
+            F.coalesce(F.col("_t"), F.lit("")).alias("clean_text"),
+            F.lit(0).cast("long").alias("n_tokens_removed"),
+        )
+    )
+    return dirty.unionByName(clean)
+
+
 def excise_spans_oracle_sql(
     bench_pred: str, n: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:

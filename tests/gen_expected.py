@@ -657,6 +657,91 @@ def main() -> None:
     n_clu = len({efind(int(v)) for v in vids})
     print(f"embedding_near_dup_clusters: {len(vids)} labels, {n_clu} clusters")
 
+    # ---- decontaminate_excise_raw: raw-char-offset span excision --------
+    # pure-python mirror of operators/curation.py::excise_spans_raw over the
+    # driver split (bench = doc_id % 7 == 3): contaminated_spans' FROZEN
+    # island rule on string grams, then the raw-slice whitespace rule.
+    import re as _re
+
+    n_gram = 5
+    is_bench = (docs["doc_id"] % 7 == 3).to_numpy()
+
+    def _toks(t: str) -> list[str]:
+        t = (t or "").strip().lower()
+        return t.split() if t else []
+
+    def _grams(toks: list[str], raw: str) -> list[str]:
+        if len(toks) >= n_gram:
+            return [" ".join(toks[i : i + n_gram]) for i in range(len(toks) - n_gram + 1)]
+        if (raw or "").strip():
+            return [" ".join(toks)]
+        return []
+
+    bench_grams: set[str] = set()
+    for t in docs.loc[is_bench, "text"]:
+        bench_grams.update(_grams(_toks(t), t))
+
+    raw_rows = []
+    tok_re = _re.compile(r"\S+")
+    for _, row in docs.loc[~is_bench].iterrows():
+        text = row["text"] or ""
+        toks = _toks(text)
+        nt = len(toks)
+        pos = [
+            p + 1 for p, g in enumerate(_grams(toks, text)) if g in bench_grams
+        ]
+        spans, cur = [], None
+        for p in pos:
+            if cur and p <= cur[1] + n_gram:
+                cur[1] = p
+            else:
+                if cur:
+                    spans.append((cur[0], min(cur[1] + n_gram - 1, nt)))
+                cur = [p, p]
+        if cur:
+            spans.append((cur[0], min(cur[1] + n_gram - 1, nt)))
+        raw_toks = list(tok_re.finditer(text))
+        removed: set[int] = set()
+        cuts = []
+        for s, e in spans:
+            s, e = max(1, s), min(nt, e)
+            if s > e:
+                continue
+            removed.update(range(s, e + 1))
+            start, end = raw_toks[s - 1].start(), raw_toks[e - 1].end()
+            if e < nt:
+                end = raw_toks[e].start()
+            elif s > 1:
+                start = raw_toks[s - 2].end()
+            cuts.append((start, end))
+        pieces, at = [], 0
+        for start, end in sorted(cuts):
+            if start > at:
+                pieces.append(text[at:start])
+            at = max(at, end)
+        pieces.append(text[at:])
+        raw_rows.append((int(row["doc_id"]), "".join(pieces), len(removed)))
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.array([r[0] for r in raw_rows], np.int64),
+                "clean_text": [r[1] for r in raw_rows],
+                "n_tokens_removed": np.array([r[2] for r in raw_rows], np.int64),
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("clean_text", pa.string()),
+                    ("n_tokens_removed", pa.int64()),
+                ]
+            ),
+        ),
+        OUT / "excise_raw.parquet",
+    )
+    n_dirty = sum(1 for r in raw_rows if r[2] > 0)
+    print(f"decontaminate_excise_raw: {len(raw_rows)} docs, {n_dirty} contaminated")
+
 
 if __name__ == "__main__":
     main()

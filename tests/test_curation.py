@@ -651,3 +651,43 @@ def test_sessionize_semantics_and_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
     n_ex = plan.count("Exchange hashpartitioning")
     assert n_ex == 1, f"expected 1 exchange, saw {n_ex}:\n{plan}"
+
+
+def test_excise_spans_raw_preserves_original_formatting(spark):
+    """Raw-text excision: kept regions keep casing/punctuation/whitespace
+    byte-for-byte; mid-text cuts leave single spacing; trailing cuts leave
+    no dangling gap; clean docs pass through untouched; n_tokens_removed
+    equals the frozen excise_spans count on the same input."""
+    from simhash_spark.operators.curation import excise_spans, excise_spans_raw
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            # mid-text contamination: the quoted benchmark run sits between
+            # formatted clean text on both sides
+            (1, "Hello, World!  alpha beta gamma delta epsilon  And MORE text here."),
+            # trailing contamination
+            (2, "Keep This Prefix; alpha beta gamma delta epsilon"),
+            # clean doc with odd formatting — must survive verbatim
+            (3, "  No   Contamination\tAT ALL — but SIX tokens at least!  "),
+            # fully contaminated doc -> outer whitespace only
+            (4, " alpha beta gamma delta epsilon "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["id"]: (r["clean_text"], r["n_tokens_removed"])
+        for r in excise_spans_raw(corpus, bench, n=5).collect()
+    }
+    assert got[1] == ("Hello, World!  And MORE text here.", 5)
+    assert got[2] == ("Keep This Prefix;", 5)
+    assert got[3] == ("  No   Contamination\tAT ALL — but SIX tokens at least!  ", 0)
+    assert got[4] == ("  ", 5)
+
+    frozen = {
+        r["id"]: r["n_tokens_removed"]
+        for r in excise_spans(corpus, bench, n=5).collect()
+    }
+    assert {k: v[1] for k, v in got.items()} == frozen
