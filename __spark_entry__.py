@@ -545,6 +545,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_excise_raw"] = decontaminate_excise_raw
 
+    def dedup_repeated_blocks(spark, sf):
+        # C4 SS2.2-style corpus-wide repeated-span removal on k-token
+        # blocks: every later occurrence of a block (across AND within
+        # docs) is excised, only the globally first survives; one
+        # block-text window + per-doc rebuild (operators/curation.py)
+        from simhash_spark.operators.curation import dedup_repeated_blocks
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        return dedup_repeated_blocks(d, "doc_id", "text", k=8).select(
+            F.col("id"), "clean_text", "n_blocks", "n_blocks_removed"
+        )
+
+    q["dedup_repeated_blocks"] = dedup_repeated_blocks
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -863,6 +878,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["srp_topk"] = srp_topk
 
+    def ann_recall_eval(spark, sf):
+        # recall@5 of the SRP-LSH path vs the exact brute-force baseline:
+        # the ANN family's dedup_truth_eval — approximate-search accuracy
+        # as driver-visible integer basis points (operators/ann.py). Oracle:
+        # exact side recomputed in SQL (ann_topk's query), approx side =
+        # srp_topk's frozen numpy expected table.
+        from simhash_spark.operators.ann import ann_recall_eval as op
+        from simhash_spark.operators.ann import cosine_topk
+        from simhash_spark.operators.ann import srp_topk as srp
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        queries_df = emb.where(F.col("vec_id") < 10)
+        return op(
+            cosine_topk(emb, queries_df, k=5), srp(emb, queries_df, k=5)
+        ).select("query_id", "n_exact", "n_hit", "recall_bp")
+
+    q["ann_recall_eval"] = ann_recall_eval
+
     def embedding_near_dup_lsh(spark, sf):
         from simhash_spark.operators.dedup import embedding_near_dup as op
 
@@ -1044,11 +1077,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # entries got no CORRECTNESS_r04 row (r4 verdict, "What's wrong" #1).
 # Reorder by verification priority: never-driver-checked queries first, then
 # the six whose last driver row is r3, then everything else in definition
-# order, demoting 11 long-stable cheap relational queries (green in BOTH r3
+# order, demoting 14 long-stable cheap relational queries (green in BOTH r3
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "decontaminate_excise_raw",
+    "dedup_repeated_blocks",
+    "ann_recall_eval",
     # never driver-checked (added in r4, landed past the budget)
     "ann_ivf_range",
     "phash_reverse_search",
@@ -1078,6 +1113,8 @@ _CHECK_LAST = [
     "semi_join",
     "set_ops",
     "string_fns",
+    "union_dedup",
+    "sort_limit",
 ]
 
 
@@ -1392,6 +1429,10 @@ def oracle_sql() -> dict[str, str]:
         {"doc_id": "BIGINT", "clean_text": "VARCHAR", "n_tokens_removed": "BIGINT"},
     )
 
+    from simhash_spark.operators.curation import repeated_blocks_oracle_sql
+
+    o["dedup_repeated_blocks"] = repeated_blocks_oracle_sql(k=8)
+
     o["stratified_sample_docs"] = f"""
         SELECT doc_id, lang, source
         FROM documents
@@ -1600,6 +1641,39 @@ def oracle_sql() -> dict[str, str]:
         "srp_topk.parquet",
         {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "INT"},
     )
+    # recall eval: exact side re-derived in SQL (same query as ann_topk's
+    # oracle, rank rule cos DESC / nid ASC), approx side = the srp_topk
+    # frozen expected table; recall_bp in integer basis points.
+    o["ann_recall_eval"] = f"""
+        WITH exact AS (
+            SELECT qid AS query_id, nid AS neighbor_id FROM (
+                SELECT qid, nid,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY cos DESC, nid ASC) AS rank
+                FROM (
+                    SELECT q.qid, c.nid,
+                           list_cosine_similarity(q.qv, c.cv) AS cos
+                    FROM (SELECT vec_id AS qid,
+                                 CAST(embedding AS DOUBLE[]) AS qv
+                          FROM embeddings WHERE vec_id < 10) q,
+                         (SELECT vec_id AS nid,
+                                 CAST(embedding AS DOUBLE[]) AS cv
+                          FROM embeddings) c
+                    WHERE q.qid != c.nid)
+            ) WHERE rank <= 5
+        ),
+        approx AS (
+            SELECT query_id, neighbor_id
+            FROM ({_expected_values_sql("srp_topk.parquet", {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "INT"})})
+        )
+        SELECT e.query_id AS query_id,
+               COUNT(*) AS n_exact,
+               COUNT(a.neighbor_id) AS n_hit,
+               10000 * COUNT(a.neighbor_id) // COUNT(*) AS recall_bp
+        FROM exact e LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """
     o["ann_ivf_topk"] = _expected_values_sql(
         "ivf_topk.parquet",
         {"query_id": "BIGINT", "neighbor_id": "BIGINT", "rank": "INT"},

@@ -468,3 +468,34 @@ def ivf_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     return _rerank_topk(pairs, q_vecs, c_vecs, k)
+
+
+def ann_recall_eval(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the exact
+    brute-force baseline — the ANN family's counterpart to dedup_eval
+    (BASELINE.json's recall gate made driver-visible for similarity search,
+    the same way dedup_truth_eval does for near-dup clustering).
+
+    Both inputs are (query_id, neighbor_id[, ...]) result sets — compose it
+    over any pairing: srp_topk vs cosine_topk, ivf_topk vs cosine_topk, or
+    a range variant pair. Output one row per query present in ``exact``:
+    (query_id, n_exact, n_hit, recall_bp) with recall_bp = 10000 * n_hit
+    div n_exact (integer basis points — bit-equal across engines, like
+    every ratio this repo ships).
+
+    Scale shape: both sides ride as BARE id pairs; the hit join keys on
+    (query_id, neighbor_id) — at most k rows per query per side — and the
+    per-query agg is map-combined. Nothing here touches vectors; cost is
+    dominated by whichever ANN operators produced the inputs.
+    """
+    ex = exact.select("query_id", "neighbor_id")
+    ap = approx.select("query_id", "neighbor_id").withColumn("_hit", F.lit(1))
+    return (
+        ex.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hit"),
+        )
+        .withColumn("recall_bp", F.expr("10000 * n_hit div n_exact"))
+    )

@@ -424,6 +424,141 @@ def excise_spans_oracle_sql(
     """
 
 
+def dedup_repeated_blocks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Corpus-wide repeated-span removal — C4's §2.2 rule ("we discard all
+    but one of any three-sentence span occurring more than once") re-frozen
+    on k-token blocks, since this corpus has no sentence/line structure.
+    Complements the family: exact_dedup drops whole duplicate DOCS,
+    excise_spans cuts text shared with a BENCHMARK; this removes text
+    repeated WITHIN the corpus itself (boilerplate headers, license blocks,
+    templated navigation) at sub-document granularity.
+
+    FROZEN RULE: tokens = whitespace split of trim(lower(text)) (the
+    engine's frozen tokenization; empty/NULL text -> no tokens); blocks =
+    consecutive non-overlapping k-token runs in order (the final partial
+    block counts); an occurrence of a block is KEPT iff it is the globally
+    FIRST occurrence of its exact text, ordered by (doc_id, block_id) —
+    all later occurrences (across docs AND within a doc) are removed.
+    Like excise_spans, clean_text is the space-join of kept blocks in
+    block order (lowercased, whitespace-collapsed — the frozen artifact
+    form; see excise_spans_raw for the fidelity-preserving alternative
+    pattern). Exact duplicate docs keep only their first copy's text.
+
+    Output: (id, clean_text, n_blocks, n_blocks_removed), one row per
+    input doc; docs with no tokens pass through as ('', 0, 0).
+
+    Scale shape: corpus-wide block counting inherently shuffles one unit
+    per BLOCK (not per token): the posexplode is narrow, and the
+    (id, block_id) groupBy's map-side partial collect_list assembles each
+    block fully locally (a doc's tokens never span partitions), so
+    exchange #1 carries ~n_tokens/k rows. The first-occurrence decision is
+    ONE row_number window keyed on the block text (bounded at k tokens —
+    never a document — per row), then the per-doc rebuild groupBy and a
+    final left join back to the id spine. Nothing n^2; at 10^12-block
+    scale the window key would ride as xxhash64(bt) with a collision
+    verify — kept as the exact string here so the DuckDB mirror is
+    bit-equal by construction.
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.length(F.trim(F.col(text_col))) > 0, toks)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("_t"),
+    )
+    tok = base.select("id", F.posexplode("_t").alias("pos", "tok"))
+    blocks = tok.groupBy("id", F.expr(f"pos div {k}").alias("block_id")).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("bt")
+    )
+    w = Window.partitionBy("bt").orderBy("id", "block_id")
+    ranked = blocks.withColumn("_rn", F.row_number().over(w))
+    rebuilt = ranked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(F.when(F.col("_rn") > 1, F.lit(1))).alias("n_blocks_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("_rn") == 1, F.struct("block_id", "bt"))
+                    )
+                ),
+                lambda s: s["bt"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_blocks", F.lit(0).cast("long")).alias("n_blocks"),
+            F.coalesce("n_blocks_removed", F.lit(0).cast("long")).alias(
+                "n_blocks_removed"
+            ),
+        )
+    )
+
+
+def repeated_blocks_oracle_sql(
+    k: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of dedup_repeated_blocks over the `documents` view —
+    identical frozen tokenization/block/first-occurrence rules; aggregates
+    skip NULLs in both engines, so the CASE-gated string_agg matches
+    collect_list of a NULL-bearing when()."""
+    toks = f"string_split_regex(trim(lower({text_col})), '\\s+')"
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   CASE WHEN length(trim({text_col})) > 0 THEN {toks}
+                        ELSE CAST([] AS VARCHAR[]) END AS toks
+            FROM documents
+        ),
+        tok AS (
+            SELECT id,
+                   unnest(list_transform(range(1, len(toks) + 1),
+                                         i -> struct_pack(p := i, t := toks[i]))) AS u
+            FROM base
+        ),
+        blocks AS (
+            SELECT id, (u.p - 1) // {k} AS block_id,
+                   string_agg(u.t, ' ' ORDER BY u.p) AS bt
+            FROM tok GROUP BY id, (u.p - 1) // {k}
+        ),
+        ranked AS (
+            SELECT id, block_id, bt,
+                   row_number() OVER (PARTITION BY bt ORDER BY id, block_id) AS rn
+            FROM blocks
+        ),
+        rebuilt AS (
+            SELECT id,
+                   COUNT(*) AS n_blocks,
+                   COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_blocks_removed,
+                   COALESCE(string_agg(CASE WHEN rn = 1 THEN bt END,
+                                       ' ' ORDER BY block_id), '') AS clean_text
+            FROM ranked GROUP BY id
+        )
+        SELECT d.{id_col} AS id,
+               COALESCE(r.clean_text, '') AS clean_text,
+               COALESCE(r.n_blocks, CAST(0 AS BIGINT)) AS n_blocks,
+               COALESCE(r.n_blocks_removed, CAST(0 AS BIGINT)) AS n_blocks_removed
+        FROM documents d LEFT JOIN rebuilt r ON r.id = d.{id_col}
+    """
+
+
 # ------------------------------------------------------- stratified sampling
 
 

@@ -691,3 +691,50 @@ def test_excise_spans_raw_preserves_original_formatting(spark):
         for r in excise_spans(corpus, bench, n=5).collect()
     }
     assert {k: v[1] for k, v in got.items()} == frozen
+
+
+def test_dedup_repeated_blocks_rules_and_duckdb_lockstep(spark):
+    """C4-style repeated-block removal: the globally first occurrence
+    (ordered by doc_id, block_id) of a block survives; later cross-doc AND
+    within-doc occurrences are excised; exact-dup docs keep one copy; empty
+    docs pass through. DuckDB runs the same frozen rule bit-exact."""
+    import duckdb as _dd
+
+    from simhash_spark.operators.curation import (
+        dedup_repeated_blocks,
+        repeated_blocks_oracle_sql,
+    )
+
+    rows = [
+        # doc 1: blocks [a b c] [d e f] [g] (k=3, partial tail)
+        (1, "A b c d e f g"),
+        # doc 2: repeats doc 1's first block, then its own, then doc 1's
+        # first block AGAIN (within-doc repeat of a removed block)
+        (2, "a b c x y z a b c"),
+        # doc 3: exact duplicate of doc 1 -> every block removed
+        (3, "a B c d e f g"),
+        # doc 4: within-doc-only repetition -> second occurrence removed
+        (4, "p q r p q r"),
+        # doc 5: empty / whitespace-only -> no blocks
+        (5, "   "),
+        (6, None),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_blocks"], r["n_blocks_removed"])
+        for r in dedup_repeated_blocks(corpus, k=3).collect()
+    }
+    assert got[1] == ("a b c d e f g", 3, 0)
+    assert got[2] == ("x y z", 3, 2)
+    assert got[3] == ("", 3, 3)
+    assert got[4] == ("p q r", 2, 1)
+    assert got[5] == ("", 0, 0)
+    assert got[6] == ("", 0, 0)
+
+    con = _dd.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = {
+        int(r[0]): (r[1], int(r[2]), int(r[3]))
+        for r in con.sql(repeated_blocks_oracle_sql(k=3)).fetchall()
+    }
+    assert oracle == got

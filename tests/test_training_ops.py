@@ -282,6 +282,29 @@ def test_srp_topk_recall_random_corpus(spark, emb):
     assert recall >= 0.5, f"SRP top-k recall {recall:.3f} too low"
 
 
+def test_ann_recall_eval_matches_python_set_math(spark, emb):
+    """ann_recall_eval's per-query (n_exact, n_hit, recall_bp) equals direct
+    set arithmetic over the two result sets; basis points are exact integer
+    division (the engine-portable ratio rule)."""
+    from simhash_spark.operators.ann import ann_recall_eval, cosine_topk, srp_topk
+
+    queries = emb.where(F.col("vec_id") < 10)
+    exact_df = cosine_topk(emb, queries, k=5)
+    approx_df = srp_topk(emb, queries, k=5)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in exact_df.collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_df.collect()}
+
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall_bp"])
+        for r in ann_recall_eval(exact_df, approx_df).collect()
+    }
+    assert set(got) == {q for q, _ in exact}
+    for q in got:
+        n_ex = sum(1 for p in exact if p[0] == q)
+        n_hit = sum(1 for p in exact if p[0] == q and p in approx)
+        assert got[q] == (n_ex, n_hit, 10000 * n_hit // n_ex)
+
+
 def test_srp_topk_finds_planted_neighbors(spark, emb_with_dups):
     """The realistic case: queries are the planted perturbed copies; their
     true nearest neighbor (the original, cosine ~0.9999) must be rank 1."""
