@@ -560,6 +560,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_repeated_blocks"] = dedup_repeated_blocks
 
+    def vocab_stats(spark, sf):
+        # corpus-wide vocabulary table (top-k tokens by total frequency +
+        # document frequency) — the vocab/BPE-construction and TF-IDF first
+        # pass; one token exchange, TakeOrdered top-k (textops.py)
+        from simhash_spark.operators.textops import vocab_stats as op
+
+        return op(spark.read.parquet(_t(sf, "documents")), top_k=100)
+
+    q["vocab_stats"] = vocab_stats
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -953,6 +963,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_near_dup_clusters"] = image_near_dup_clusters
 
+    def image_keep_best(spark, sf):
+        # the dedup DECISION on the image pipeline: keep each near-dup
+        # cluster's highest-RESOLUTION member (score = w*h, ties -> min
+        # image_id) — the image-payload analog of near_dup_keep_best and
+        # the keep rule a LAION-style curation run actually publishes.
+        # Reuses the generic operator (dedup.py) over the flagship
+        # pipeline's clusters; scores are a pure projection of the source
+        # (no bytes read), so the only new cost over the cluster job is
+        # one slim score join + one cluster_id window exchange.
+        from simhash_spark.operators.dedup import near_dup_keep_best
+        from simhash_spark.plans.pipeline import (
+            candidate_job,
+            cluster_job,
+            fingerprint_job,
+            verify_job,
+        )
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+        pdf = make_images_pdf(300, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        fp = fingerprint_job(spark, src, CFG).cache()
+        clusters = cluster_job(verify_job(candidate_job(fp, CFG), fp, CFG), fp, CFG)
+        scores = src.select(
+            "image_id", (F.col("w").cast("long") * F.col("h").cast("long")).alias("score")
+        )
+        return near_dup_keep_best(clusters, scores, id_col="image_id", score_col="score")
+
+    q["image_keep_best"] = image_keep_best
+
     def audio_features(spark, sf):
         from simhash_spark.operators.multimodal import audio_features as op
         from simhash_spark.sources.fixtures import AUDIO_HINT_SCHEMA, make_audio_pdf
@@ -1084,6 +1123,8 @@ _CHECK_FIRST = [
     "decontaminate_excise_raw",
     "dedup_repeated_blocks",
     "ann_recall_eval",
+    "vocab_stats",
+    "image_keep_best",
     # never driver-checked (added in r4, landed past the budget)
     "ann_ivf_range",
     "phash_reverse_search",
@@ -1115,6 +1156,11 @@ _CHECK_LAST = [
     "string_fns",
     "union_dedup",
     "sort_limit",
+    # demoted with the r5 additions: both driver-green in r3 AND r4, and
+    # hamming verification additionally rides every cluster query's
+    # hash-exact driver row
+    "bit_ops_hamming",
+    "events_hourly_agg",
 ]
 
 
@@ -1433,6 +1479,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["dedup_repeated_blocks"] = repeated_blocks_oracle_sql(k=8)
 
+    from simhash_spark.operators.textops import vocab_stats_oracle_sql
+
+    o["vocab_stats"] = vocab_stats_oracle_sql(top_k=100)
+
     o["stratified_sample_docs"] = f"""
         SELECT doc_id, lang, source
         FROM documents
@@ -1579,6 +1629,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["image_near_dup_clusters"] = _expected_values_sql(
         "image_clusters.parquet", {"image_id": "VARCHAR", "cluster_id": "VARCHAR"}
+    )
+    o["image_keep_best"] = _expected_values_sql(
+        "image_keep_best.parquet",
+        {"image_id": "VARCHAR", "keep_id": "VARCHAR", "is_kept": "INT"},
     )
     o["image_features"] = _expected_values_sql(
         "image_features.parquet",

@@ -361,3 +361,61 @@ def quality_filter_oracle_sql(
         f"FROM (SELECT {select_cols}, CASE {arms} ELSE 'ok' END AS reason "
         f"FROM {table}) t"
     )
+
+
+# ------------------------------------------------------------- corpus vocab
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-wide vocabulary statistics: the top-``top_k`` tokens by total
+    frequency with their document frequency — the first pass of vocabulary /
+    BPE-merge construction and of TF-IDF weighting over a training corpus.
+
+    FROZEN RULE: tokens are the lowercased whitespace splits of the trimmed
+    text (the exact ``_tokens_col`` rule the repetition/quality signals use;
+    blank text contributes nothing); ranking is (n_total DESC, token ASC) so
+    the top-k boundary is deterministic; ``n_docs`` counts distinct documents
+    containing the token at least once.
+
+    Plan shape for 100 TB (verified via explain): scan prunes to (id, text);
+    explode feeds a map-side partial count keyed (token, doc_id), so the
+    first exchange ships distinct per-doc tokens (bounded by docs x per-doc
+    vocab, far below corpus token count), then the distinct-agg rewrite's
+    second exchange keyed token ships only vocab-sized data. The top-k is
+    TakeOrderedAndProject (per-partition heap, k rows to the driver), never
+    a global sort.
+    """
+    toks = _tokens_col(F.col(text_col))
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    return (
+        exploded.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+
+
+def vocab_stats_oracle_sql(
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    top_k: int = 100,
+) -> str:
+    """DuckDB mirror of vocab_stats — same split rule (string_split_regex on
+    the trimmed lowered text, blank rows excluded), same deterministic
+    (n_total DESC, token ASC) top-k boundary. Counts are BIGINT on both
+    engines, so the driver value hash is bit-exact."""
+    return (
+        f"SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT {id_col}) AS n_docs "
+        f"FROM (SELECT {id_col}, unnest(string_split_regex(trim(lower({text_expr})), '\\s+')) AS token "
+        f"FROM {table} WHERE length(trim({text_expr})) > 0) t "
+        f"GROUP BY token ORDER BY n_total DESC, token ASC LIMIT {top_k}"
+    )

@@ -260,6 +260,43 @@ def main() -> None:
     )
     print(f"image clusters: {len({ifind(i) for i in img_ids})} over {m} images")
 
+    # image_keep_best: per-cluster keep rule over the SAME clusters — the
+    # member with maximum resolution w*h, ties broken by minimum image_id
+    # (the frozen near_dup_keep_best rule with score = w*h). Independent
+    # python recomputation, not the engine.
+    iwh = img["w"].to_numpy(np.int64) * img["h"].to_numpy(np.int64)
+    best: dict[str, tuple[int, str]] = {}
+    for i, iid in enumerate(img_ids):
+        c = ifind(iid)
+        # max score wins; at equal score the smaller id wins (so compare
+        # (score, -id) conceptually — ids are strings, so explicit branch)
+        cur = best.get(c)
+        if cur is None or iwh[i] > cur[0] or (iwh[i] == cur[0] and iid < cur[1]):
+            best[c] = (int(iwh[i]), iid)
+    keep_ids = [best[ifind(i)][1] for i in img_ids]
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": list(img_ids),
+                "keep_id": keep_ids,
+                "is_kept": np.array(
+                    [int(k == i) for k, i in zip(keep_ids, img_ids)], np.int32
+                ),
+            },
+            schema=pa.schema(
+                [
+                    ("image_id", pa.string()),
+                    ("keep_id", pa.string()),
+                    ("is_kept", pa.int32()),
+                ]
+            ),
+        ),
+        OUT / "image_keep_best.parquet",
+    )
+    print(
+        f"image keep best: {sum(int(k == i) for k, i in zip(keep_ids, img_ids))} kept of {m}"
+    )
+
     # image_features: decode/resize/ahash are pure numpy — run them outside
     # Spark on the same deterministic fixture
     feat = make_images_pdf(100, seed=42, with_bytes=True)
