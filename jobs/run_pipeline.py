@@ -61,6 +61,15 @@ def main(argv: list[str] | None = None) -> int:
         "histogram lands in the 00_quality stage manifest",
     )
     ap.add_argument(
+        "--keep-rule",
+        choices=["min-id", "best-resolution"],
+        default="min-id",
+        help="which cluster member survives in keep_list: 'min-id' (frozen "
+        "representative rule, pure projection) or 'best-resolution' (highest "
+        "w*h, ties min id — operators/dedup.near_dup_keep_best; one slim "
+        "(image_id,w,h) re-scan + one cluster_id window exchange)",
+    )
+    ap.add_argument(
         "--n-blocks",
         type=int,
         default=None,
@@ -94,14 +103,26 @@ def main(argv: list[str] | None = None) -> int:
         cc_ckpt_every=args.cc_ckpt_every,
         quality_filter=args.quality_filter,
     )
-    from simhash_spark.operators.dedup import near_dup_keep_list
+    from simhash_spark.operators.dedup import near_dup_keep_best, near_dup_keep_list
 
     out = pathlib.Path(args.output)
     res.clusters.write.mode("overwrite").parquet(str(out / "clusters"))
     res.verified.write.mode("overwrite").parquet(str(out / "verified_pairs"))
-    # the dedup DECISION (one min-id representative per cluster) — the
-    # artifact a downstream training job actually consumes
-    keep = near_dup_keep_list(res.clusters, id_col="image_id")
+    # the dedup DECISION (one representative per cluster) — the artifact a
+    # downstream training job actually consumes
+    if args.keep_rule == "best-resolution":
+        from pyspark.sql import functions as F
+
+        # column pruning keeps this re-scan to (image_id, w, h); with
+        # --quality-filter on, clusters hold a subset of the input ids and
+        # the inner join inside keep_best drops the filtered rows
+        scores = spark.read.parquet(args.input).select(
+            "image_id",
+            (F.col("w").cast("long") * F.col("h").cast("long")).alias("score"),
+        )
+        keep = near_dup_keep_best(res.clusters, scores, id_col="image_id", score_col="score")
+    else:
+        keep = near_dup_keep_list(res.clusters, id_col="image_id")
     keep.write.mode("overwrite").parquet(str(out / "keep_list"))
     stats = {
         "rows": res.fingerprints.count(),

@@ -238,3 +238,46 @@ def test_pipeline_quality_filter_stage(spark, fixture_dir, tmp_path):
         inp, CFG, True, True, quality_filter=True, quality_overrides={"min_pixels": 9999}
     )
     assert len({fp_off, fp_on, fp_on2}) == 3
+
+
+def test_cli_keep_rule_best_resolution(spark, fixture_dir, tmp_path):
+    """The spark-submit surface with --keep-rule best-resolution publishes a
+    keep_list whose survivor per cluster is the maximum-w*h member (ties ->
+    min image_id) and keeps exactly one member per cluster. Runs the real
+    CLI main() in-process (get_spark's getOrCreate reuses the session)."""
+    import pathlib
+    import sys
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "jobs"))
+    try:
+        import run_pipeline as cli
+    finally:
+        sys.path.pop(0)
+
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            "--input",
+            str(fixture_dir / "images.parquet"),
+            "--output",
+            str(out),
+            "--no-substring",
+            "--keep-rule",
+            "best-resolution",
+        ]
+    )
+    assert rc == 0
+
+    keep = pd.read_parquet(out / "keep_list")
+    src = pd.read_parquet(fixture_dir / "images.parquet", columns=["image_id", "w", "h"])
+    clusters = pd.read_parquet(out / "clusters")
+    assert set(keep["image_id"]) == set(clusters["image_id"])
+    df = keep.merge(clusters, on="image_id").merge(src, on="image_id")
+    df["score"] = df["w"].astype("int64") * df["h"].astype("int64")
+    for cid, grp in df.groupby("cluster_id"):
+        best_score = grp["score"].max()
+        expect = grp[grp["score"] == best_score]["image_id"].min()
+        assert (grp["keep_id"] == expect).all(), f"cluster {cid}: wrong keep_id"
+        kept = grp[grp["is_kept"] == 1]
+        assert list(kept["image_id"]) == [expect], f"cluster {cid}: wrong survivor"
