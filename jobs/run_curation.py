@@ -27,10 +27,16 @@ holds the SCRUBBED text (the shipped artifact — the pre-scrub original is
 dropped, not retained), next to the PII audit counts and the rest of the
 input schema.
 
-Per-stage ``wall_s`` caveat: Spark is lazy and the pipeline recomputes
-narrow upstream projections per action, so each stage's wall includes its
-(cheap, zero-shuffle) upstream lineage — the numbers are for monitoring
-drift run-over-run, not for isolating stage cost.
+Stage boundaries that feed 2+ downstream actions are MATERIALIZED to parquet
+under ``<output>/_stages/`` (the exact-dedup survivors and the slim cluster
+labels): Spark recomputes a lazy chain per action, and before the pins the
+fingerprint-UDF near-dup pipeline ran 3-4x per run (keep join, cluster
+count, final write) — measured 28 s -> ~8 s for the near-dup stage at
+sf0.1. The pins double as inspectable/resumable artifacts, exactly the
+CheckpointCatalog argument from the image pipeline. Stages 1-2 stay lazy
+(zero-shuffle scan projections; only the cheap audit collect re-runs them),
+so each stage's wall_s still includes its narrow upstream lineage — the
+numbers monitor drift run-over-run, not isolated stage cost.
 
 Scale shape: stages 1-2 are zero-shuffle projections fused into the scan;
 stage 3 is one map-combined hash agg; stage 4 is the audited one-exchange
@@ -107,17 +113,33 @@ def run_curation(
                                              "phone": tot["p"] or 0},
                                 "wall_s": round(time.time() - ts, 2)})
 
+    def _pin(d, name):
+        # materialize a stage boundary that feeds 2+ downstream actions:
+        # lazy recompute would otherwise re-run the whole upstream chain
+        # (incl. the fingerprint UDF) per action. Parquet, not persist() —
+        # MemoryStore contention at high parallelism (CLAUDE.md), and the
+        # file doubles as an inspectable artifact of the run.
+        p = str(pathlib.Path(output_path) / "_stages" / name)
+        d.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
     # exact dedup: md5 groups, keep the minimum id (frozen rule); the
-    # semi-join form keeps every audit column on the surviving row
+    # semi-join form keeps every audit column on the surviving row. Pinned:
+    # feeds the near-dup fingerprint UDF, the keep join, and the final write.
     ts = time.time()
-    df = exact_dedup(df, id_col, text_col)
+    df = _pin(exact_dedup(df, id_col, text_col), "03_exact")
     stats["stages"].append({"stage": "exact_dedup", "rows_out": df.count(),
                             "wall_s": round(time.time() - ts, 2)})
 
     if near_dup:
         ts = time.time()
-        clusters = text_near_dup_clusters(
-            df, id_col, text_col, DEFAULT_CONFIG, enable_substring=substring
+        # pinned: the slim (id, cluster_id) labels feed BOTH the keep join
+        # and the cluster count — one near-dup pipeline run, not two
+        clusters = _pin(
+            text_near_dup_clusters(
+                df, id_col, text_col, DEFAULT_CONFIG, enable_substring=substring
+            ),
+            "04_clusters",
         )
         keep = near_dup_keep_list(clusters, id_col=id_col).where("is_kept = 1")
         # cluster ids ride as strings; cast back to the input id type to join
