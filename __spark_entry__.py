@@ -697,6 +697,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_candidates"] = minhash_lsh_candidates
 
+    def dup_distance_histogram(spark, sf):
+        # radius-calibration surface: exact Hamming-distance histogram over
+        # ALL candidate pairs (accepted AND rejected) — the margin a curation
+        # run inspects before moving hamming_radius
+        from simhash_spark.operators.verify import pair_distance_histogram
+        from simhash_spark.plans.text_dedup import text_candidates, text_fingerprints
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        fp = text_fingerprints(d, "doc_id", "text", CFG)
+        return pair_distance_histogram(text_candidates(fp, CFG), fp, CFG)
+
+    q["dup_distance_histogram"] = dup_distance_histogram
+
     def text_near_dup_clusters(spark, sf):
         from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
 
@@ -789,6 +802,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return op(clusters, scores, score_col="quality")
 
     q["near_dup_keep_best"] = near_dup_keep_best
+
+    def leakage_safe_split(spark, sf):
+        # cluster-atomic train/val/test assignment (98/1/1): near-dups can
+        # never straddle a train/eval boundary because the whole CLUSTER is
+        # assigned by one md5(cluster_id) draw (decontamination enforced at
+        # split time). Zero-shuffle projection over the flagship's labels.
+        from simhash_spark.operators.curation import assign_splits
+        from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+        clusters = text_near_dup_clusters(
+            spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG
+        )
+        return assign_splits(clusters)
+
+    q["leakage_safe_split"] = leakage_safe_split
 
     def cross_source_pairs(spark, sf):
         # cross-shard / cross-source leakage report: which near-dup
@@ -1120,6 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "leakage_safe_split",
+    "dup_distance_histogram",
     "decontaminate_excise_raw",
     "dedup_repeated_blocks",
     "ann_recall_eval",
@@ -1161,6 +1191,11 @@ _CHECK_LAST = [
     # hash-exact driver row
     "bit_ops_hamming",
     "events_hourly_agg",
+    # demoted for leakage_safe_split + dup_distance_histogram: double-green
+    # trivial plans (broadcast anti-join; zero-shuffle native projection),
+    # both still bit-exact-checked every session by the local sweep
+    "stopword_anti_join",
+    "text_repetition_stats",
 ]
 
 
@@ -1587,9 +1622,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END AS INT) AS is_kept
         FROM k
     """
+    from simhash_spark.operators.curation import assign_splits_oracle_sql
+
+    o["leakage_safe_split"] = f"""
+        WITH c AS ({clusters_values})
+        SELECT doc_id, cluster_id, {assign_splits_oracle_sql()} AS split
+        FROM c
+    """
     candidates_values = _expected_values_sql(
         "candidates.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}
     )
+    fingerprints_values = _expected_values_sql(
+        "fingerprints.parquet",
+        {"doc_id": "VARCHAR", "simhash": "BIGINT", "n_shingles": "INT"},
+    )
+    # re-DERIVED oracle (not a second expected file): the histogram is
+    # recomputed in SQL from the expected candidate + fingerprint tables
+    # with DuckDB's own bit_count/xor — same device as bit_ops_hamming
+    o["dup_distance_histogram"] = f"""
+        WITH c AS ({candidates_values}),
+             f AS ({fingerprints_values}),
+             h AS (SELECT CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INT)
+                       AS hamming
+                   FROM c JOIN f fa ON c.a = fa.doc_id
+                          JOIN f fb ON c.b = fb.doc_id)
+        SELECT hamming, count(*) AS n_pairs,
+               CAST(CASE WHEN hamming <= {CFG.hamming_radius} THEN 1 ELSE 0 END
+                    AS INT) AS accepted
+        FROM h GROUP BY hamming
+    """
     o["cross_source_pairs"] = f"""
         WITH c AS ({candidates_values}),
              d AS (SELECT CAST(doc_id AS VARCHAR) AS id, source FROM documents)

@@ -715,6 +715,68 @@ def stratified_sample_oracle_sql(
     return f"substr(md5(CAST({key_col} AS VARCHAR)), 1, 4) < {thresh}"
 
 
+# --------------------------------------------------- leakage-safe splitting
+
+
+def assign_splits(
+    clusters: DataFrame,
+    fractions: dict[str, float] | None = None,
+    rest_name: str = "test",
+    key_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by near-dup CLUSTER, so
+    two near-duplicate documents can never land on opposite sides of a
+    train/eval boundary (the decontamination failure mode, but created at
+    split time instead of crawl time — cf. Lee'21 "Deduplicating Training
+    Data Makes Language Models Better" §6 on train/test overlap).
+
+    FROZEN RULE: the first 4 hex chars of ``md5(str(cluster_id))`` are
+    compared against the cumulative fraction thresholds (the same
+    content-stable device as ``stratified_sample`` — deterministic across
+    runs, engines, and partitionings); every member of a cluster shares the
+    cluster_id, hence the split. Default fractions 98/1/1.
+
+    Input: ``(doc_id, cluster_id)`` labels (singletons labeled by
+    themselves, as every cluster operator here emits). Output: the same
+    rows plus a ``split`` column. Pure zero-shuffle projection over the
+    labels table; the expected split SIZES are fraction-proportional in the
+    number of CLUSTERS (md5 uniformity), not documents — a mega-cluster
+    moves all its mass into one split, which is exactly the point.
+    """
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01}
+    if not fractions or sum(fractions.values()) > 1.0 + 1e-9:
+        raise ValueError(f"split fractions must be nonempty and sum <= 1: {fractions}")
+    h = F.substring(F.md5(F.col(key_col).cast("string")), 1, 4)
+    expr = None
+    cum = 0.0
+    # thresholds ascend, so the FIRST matching when() is the owning split
+    for name, frac in fractions.items():
+        cum += frac
+        cond = h < F.lit(_rate_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    return clusters.withColumn("split", expr.otherwise(F.lit(rest_name)))
+
+
+def assign_splits_oracle_sql(
+    fractions: dict[str, float] | None = None,
+    rest_name: str = "test",
+    key_col: str = "cluster_id",
+) -> str:
+    """DuckDB mirror of assign_splits' CASE expression (md5 hex is lowercase
+    in both engines; thresholds from the same _rate_threshold)."""
+    if fractions is None:
+        fractions = {"train": 0.98, "val": 0.01}
+    cum, whens = 0.0, []
+    for name, frac in fractions.items():
+        cum += frac
+        whens.append(
+            f"WHEN substr(md5(CAST({key_col} AS VARCHAR)), 1, 4) < "
+            f"'{_rate_threshold(cum)}' THEN {_sql_lit(name)}"
+        )
+    return f"CASE {' '.join(whens)} ELSE {_sql_lit(rest_name)} END"
+
+
 # ------------------------------------------------------ token-budget sampling
 
 

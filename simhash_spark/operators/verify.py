@@ -110,3 +110,40 @@ def dup_kind_report(
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("kind")
     )
+
+
+def pair_distance_histogram(
+    candidates: DataFrame,
+    fp: DataFrame,
+    cfg: PipelineConfig,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Threshold-tuning surface: the exact Hamming-distance histogram over
+    ALL candidate pairs (not just the accepted ones) -> one row per distance
+    value ``(hamming, n_pairs, accepted)``.
+
+    The accepted/rejected margin is what a curation run inspects before
+    moving ``hamming_radius``: mass piled just ABOVE the radius means the
+    index is surfacing near-misses a wider radius would admit; a clean gap
+    means the threshold sits in a natural valley. Same shape as the
+    reference's radius calibration sweep, but computed in one pass from the
+    candidate set the index already produced (no re-query per radius).
+
+    Plan: two slim ``(id, simhash)`` equi-joins (bytes/bands never enter),
+    ``bit_count(xor)`` in whole-stage codegen, then a map-side-combined
+    group agg whose key domain is <= 65 values — the exchange ships at most
+    65 rows per mapper regardless of corpus size. ``accepted`` is derived
+    from the grouped key, not re-checked per pair.
+    """
+    a = fp.select(F.col(id_col).alias("a"), F.col("simhash").alias("_sa"))
+    b = fp.select(F.col(id_col).alias("b"), F.col("simhash").alias("_sb"))
+    hc = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return (
+        candidates.join(a, "a")
+        .join(b, "b")
+        .groupBy(hc.alias("hamming"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn(
+            "accepted", (F.col("hamming") <= cfg.hamming_radius).cast("int")
+        )
+    )

@@ -954,3 +954,68 @@ def test_containment_dominates_jaccard_everywhere(spark, docs):
         jac = r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])
         con = r["n_shared"] / mn
         assert jac <= con <= 1.0
+
+
+def test_assign_splits_is_cluster_atomic_and_deterministic(spark, docs):
+    """Leakage-safe splitting: every cluster lands in exactly one split, so
+    no VERIFIED near-dup pair straddles a train/eval boundary; the rule is
+    content-stable (rerun-identical) and covers every doc."""
+    from simhash_spark.operators.curation import assign_splits
+    from simhash_spark.plans.text_dedup import text_near_dup_clusters, text_near_dup_pairs
+
+    clusters = text_near_dup_clusters(docs, "doc_id", "text").cache()
+    out = assign_splits(clusters).collect()
+    assert len(out) == docs.count()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    by_cluster: dict[str, set[str]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values()), "cluster straddles splits"
+    # zero leakage on the exact pair set the verifier accepted
+    for p in text_near_dup_pairs(docs, "doc_id", "text").collect():
+        assert split_of[p["a"]] == split_of[p["b"]], f"pair {p['a']},{p['b']} leaks"
+    rerun = {r["doc_id"]: r["split"] for r in assign_splits(clusters).collect()}
+    assert rerun == split_of
+    clusters.unpersist()
+
+
+def test_assign_splits_fractions_and_validation(spark):
+    """md5 uniformity: over many singleton clusters the split sizes track
+    the requested fractions (in clusters — the unit the rule draws on)."""
+    from simhash_spark.operators.curation import assign_splits
+
+    n = 5000
+    labels = spark.createDataFrame(
+        [(f"d{i}", f"d{i}") for i in range(n)], "doc_id string, cluster_id string"
+    )
+    got = assign_splits(labels, fractions={"train": 0.8, "val": 0.1}).groupBy(
+        "split"
+    ).count()
+    counts = {r["split"]: r["count"] for r in got.collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / n - 0.8) < 0.03
+    assert abs(counts["val"] / n - 0.1) < 0.02
+    with pytest.raises(ValueError):
+        assign_splits(labels, fractions={"train": 0.9, "val": 0.2})
+    with pytest.raises(ValueError):
+        assign_splits(labels, fractions={})
+
+
+def test_pair_distance_histogram_mass_accounting(spark, docs):
+    """The histogram partitions the candidate set: sum(n_pairs) == number of
+    candidate pairs, accepted mass == the verifier's accepted pair count,
+    and accepted == (hamming <= radius) row-wise."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.verify import pair_distance_histogram, verify_pairs
+    from simhash_spark.plans.text_dedup import text_candidates, text_fingerprints
+
+    fp = text_fingerprints(docs, "doc_id", "text").cache()
+    cand = text_candidates(fp, CFG).cache()
+    hist = pair_distance_histogram(cand, fp, CFG).collect()
+    assert sum(r["n_pairs"] for r in hist) == cand.count()
+    for r in hist:
+        assert r["accepted"] == int(r["hamming"] <= CFG.hamming_radius)
+    accepted_mass = sum(r["n_pairs"] for r in hist if r["accepted"])
+    assert accepted_mass == verify_pairs(cand, fp, CFG, use_phash=False).count()
+    cand.unpersist()
+    fp.unpersist()
