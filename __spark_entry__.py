@@ -710,6 +710,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_distance_histogram"] = dup_distance_histogram
 
+    def minhash_est_eval(spark, sf):
+        # signature-accuracy eval (the MinHash family's dedup_truth_eval):
+        # estimated vs exact Jaccard per candidate pair, integer basis points
+        from simhash_spark.operators.dedup import minhash_est_eval as op
+
+        return op(spark.read.parquet(_t(sf, "documents")), "doc_id", "text", CFG)
+
+    q["minhash_est_eval"] = minhash_est_eval
+
     def text_near_dup_clusters(spark, sf):
         from simhash_spark.plans.text_dedup import text_near_dup_clusters as op
 
@@ -1150,6 +1159,7 @@ _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "leakage_safe_split",
     "dup_distance_histogram",
+    "minhash_est_eval",
     "decontaminate_excise_raw",
     "dedup_repeated_blocks",
     "ann_recall_eval",
@@ -1196,6 +1206,9 @@ _CHECK_LAST = [
     # both still bit-exact-checked every session by the local sweep
     "stopword_anti_join",
     "text_repetition_stats",
+    # demoted for minhash_est_eval: double-green one-line FNV projection,
+    # vector-pinned by test_spec and the local sweep every session
+    "doc_fingerprints",
 ]
 
 
@@ -1569,6 +1582,18 @@ def oracle_sql() -> dict[str, str]:
     )
     o["minhash_lsh_candidates"] = _expected_values_sql(
         "candidates.parquet", {"a": "VARCHAR", "b": "VARCHAR", "src": "VARCHAR"}
+    )
+    # precomputed by the INDEPENDENT per-row spec path (caption_fingerprint,
+    # not the batched kernel) — tests/gen_expected.py
+    o["minhash_est_eval"] = _expected_values_sql(
+        "est_eval.parquet",
+        {
+            "a": "VARCHAR",
+            "b": "VARCHAR",
+            "est_bp": "BIGINT",
+            "exact_bp": "BIGINT",
+            "err_bp": "BIGINT",
+        },
     )
     o["text_near_dup_clusters"] = _expected_values_sql(
         "clusters.parquet", {"doc_id": "VARCHAR", "cluster_id": "VARCHAR"}

@@ -48,6 +48,15 @@ FINGERPRINT_SCHEMA_SLIM = T.StructType(
     [f for f in FINGERPRINT_SCHEMA.fields if f.name != "minhash"]
 )
 
+# eval variant: full schema + the DISTINCT shingle-hash set per row —
+# diagnostic runs only (minhash_est_eval compares signature estimates
+# against exact set Jaccard, which needs the sets). Never a pipeline path:
+# the set column is unbounded by design.
+FINGERPRINT_SCHEMA_EVAL = T.StructType(
+    FINGERPRINT_SCHEMA.fields
+    + [T.StructField("shingle_hashes", T.ArrayType(T.LongType()))]
+)
+
 
 def _flat_tokens(captions: pd.Series) -> tuple[np.ndarray, np.ndarray]:
     """captions -> (row_ids, tokens) flat arrays, stop words removed.
@@ -99,12 +108,19 @@ def _shingles(row_ids: np.ndarray, tokens: np.ndarray, k: int) -> tuple[np.ndarr
 
 
 def fingerprint_batch(
-    captions: pd.Series, cfg: PipelineConfig, emit_minhash: bool = True
+    captions: pd.Series,
+    cfg: PipelineConfig,
+    emit_minhash: bool = True,
+    emit_shingle_hashes: bool = False,
 ) -> pd.DataFrame:
     """The batch kernel behind the UDF — Spark-free, directly unit-testable.
 
     Returns DataFrame(simhash:int64, n_shingles:int32, [minhash:list[int64],]
-    bands:list[int64]) aligned with ``captions``.
+    bands:list[int64][, shingle_hashes:list[int64]]) aligned with
+    ``captions``. ``emit_shingle_hashes`` additionally emits each row's
+    DISTINCT shingle-hash set (the ``u_hashes`` this kernel already builds
+    for TF/minhash — zero extra hashing) for signature-accuracy evaluation;
+    output-preserving for every existing column.
     """
     n_rows = len(captions)
     row_ids, tokens = _flat_tokens(captions)
@@ -155,6 +171,13 @@ def fingerprint_batch(
     if emit_minhash:
         cols["minhash"] = pd.Series(list(spec.u64_to_i64(sig)))
     cols["bands"] = pd.Series(list(spec.u64_to_i64(bands)))
+    if emit_shingle_hashes:
+        # u_hashes is already per-(row, hash)-distinct and row-grouped;
+        # row_starts splits it into the per-row sets (ascending uint64
+        # within a row — order is irrelevant to the set semantics)
+        # np.split(x, []) yields [x] (1 element), so guard the empty batch
+        sets = np.split(spec.u64_to_i64(u_hashes), row_starts[1:-1]) if n_rows else []
+        cols["shingle_hashes"] = pd.Series(sets)
     return pd.DataFrame(cols)
 
 
@@ -168,28 +191,44 @@ def _minhash_coeffs(cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
     return _COEFF_CACHE[key]
 
 
-def make_fingerprint_udf(cfg: PipelineConfig, emit_minhash: bool = True):
+def make_fingerprint_udf(
+    cfg: PipelineConfig, emit_minhash: bool = True, emit_shingle_hashes: bool = False
+):
     """pandas_udf: caption string -> struct(simhash, n_shingles, [minhash,]
-    bands).
+    bands[, shingle_hashes]).
 
     The closure captures only the (small, frozen) config; the minhash
     coefficients are re-derived once per python worker from the seed, so no
     multi-MB broadcast rides along with every task.
     """
-    schema = FINGERPRINT_SCHEMA if emit_minhash else FINGERPRINT_SCHEMA_SLIM
+    if emit_shingle_hashes:
+        schema = FINGERPRINT_SCHEMA_EVAL
+    else:
+        schema = FINGERPRINT_SCHEMA if emit_minhash else FINGERPRINT_SCHEMA_SLIM
 
     @F.pandas_udf(schema)
     def fingerprint(captions: pd.Series) -> pd.DataFrame:
-        return fingerprint_batch(captions, cfg, emit_minhash=emit_minhash)
+        return fingerprint_batch(
+            captions,
+            cfg,
+            emit_minhash=emit_minhash or emit_shingle_hashes,
+            emit_shingle_hashes=emit_shingle_hashes,
+        )
 
     return fingerprint
 
 
 def with_fingerprints(
-    df, cfg: PipelineConfig, caption_col: str = "caption", emit_minhash: bool = True
+    df,
+    cfg: PipelineConfig,
+    caption_col: str = "caption",
+    emit_minhash: bool = True,
+    emit_shingle_hashes: bool = False,
 ):
     """Append fingerprint columns in one ArrowEvalPython pass."""
-    fp = make_fingerprint_udf(cfg, emit_minhash)(F.col(caption_col)).alias("_fp")
+    fp = make_fingerprint_udf(cfg, emit_minhash, emit_shingle_hashes)(
+        F.col(caption_col)
+    ).alias("_fp")
     return df.withColumn("_fp", fp).select("*", "_fp.*").drop("_fp")
 
 

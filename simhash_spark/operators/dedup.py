@@ -536,3 +536,94 @@ def near_dup_sample_weights(clusters: DataFrame, id_col: str = "doc_id") -> Data
         F.col(id_col),
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     ).withColumn("weight_bp", F.expr("greatest(1, 10000 div cluster_size)"))
+
+
+def minhash_est_eval(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg=None,
+) -> DataFrame:
+    """Signature-accuracy evaluation — the MinHash family's counterpart of
+    dedup_eval (clusters) and ann_recall_eval (ANN): per candidate pair, the
+    MinHash-ESTIMATED Jaccard (matching signature lanes / n_perm, the
+    Broder'97 estimator) against the EXACT Jaccard of the same shingle-hash
+    sets, both in integer basis points.
+
+        (a, b, est_bp, exact_bp, err_bp)
+
+    The gap this watches: LSH banding's s-curve is calibrated on the
+    ESTIMATE, so a drifting |est - exact| (short docs, tiny shingle sets,
+    skewed TF) silently moves the effective near-dup threshold. This makes
+    that drift a monitorable table instead of a trust assumption.
+
+    Plan: one eval-schema fingerprint pass (the kernel's existing per-row
+    distinct hash set rides out of the UDF — zero extra hashing), candidate
+    pairs from the audited one-exchange index plan over the SAME fingerprint
+    table, then two slim (id, minhash, shingle_hashes) equi-joins. Estimate =
+    native zip_with lane equality (lambda touches only its element args),
+    exact = native array_intersect on the distinct sets; integer DIV end to
+    end, so rows are engine-portable bit-for-bit. The payload table is
+    persisted (MEMORY_AND_DISK): it feeds the candidate branch and both join
+    sides, and the branches' column sets differ — without the pin each
+    branch re-runs the fingerprint UDF (the exchange-reuse trap documented
+    in candidates.py). Diagnostic-run sizing: the set column is unbounded by
+    design (FINGERPRINT_SCHEMA_EVAL note); production pipelines keep the
+    slim schema.
+    """
+    from pyspark import StorageLevel
+
+    from simhash_spark.config import DEFAULT_CONFIG
+    from simhash_spark.functions.udfs import with_fingerprints
+    from simhash_spark.session import spread_small_input
+
+    cfg = cfg or DEFAULT_CONFIG
+    slim = spread_small_input(
+        docs.select(
+            F.col(id_col).cast("string").alias("image_id"),
+            F.col(text_col).alias("caption"),
+        )
+    )
+    fpe = (
+        with_fingerprints(slim, cfg, emit_minhash=True, emit_shingle_hashes=True)
+        .drop("caption")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    from simhash_spark.plans.text_dedup import text_candidates
+
+    cand = text_candidates(fpe.drop("minhash", "shingle_hashes"), cfg)
+    pa = fpe.select(
+        F.col("image_id").alias("a"),
+        F.col("minhash").alias("_ma"),
+        F.col("shingle_hashes").alias("_sa"),
+    )
+    pb = fpe.select(
+        F.col("image_id").alias("b"),
+        F.col("minhash").alias("_mb"),
+        F.col("shingle_hashes").alias("_sb"),
+    )
+    eq = F.aggregate(
+        F.zip_with("_ma", "_mb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, el: acc + el,
+    )
+    n_shared = F.size(F.array_intersect("_sa", "_sb"))
+    return (
+        cand.select("a", "b")
+        .join(pa, "a")
+        .join(pb, "b")
+        .withColumn("_eq", eq)
+        .withColumn("_ns", n_shared)
+        .withColumn("_na", F.size("_sa"))
+        .withColumn("_nb", F.size("_sb"))
+        .select(
+            "a",
+            "b",
+            F.expr(f"(10000 * _eq) DIV {cfg.n_perm}").alias("est_bp"),
+            F.expr("(10000 * _ns) DIV (_na + _nb - _ns)").alias("exact_bp"),
+            F.expr(
+                f"abs((10000 * _eq) DIV {cfg.n_perm}"
+                " - (10000 * _ns) DIV (_na + _nb - _ns))"
+            ).alias("err_bp"),
+        )
+    )

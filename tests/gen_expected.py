@@ -122,6 +122,49 @@ def main() -> None:
         f"{len(set(m['clusters'].values()))} clusters"
     )
 
+    # ---- minhash_est_eval: estimated vs exact Jaccard per candidate pair --
+    # Independent per-row path: spec.caption_fingerprint (the canonical
+    # single-document pipeline, NOT the batched kernel the engine UDF runs)
+    # supplies both the 128-lane signature and the raw shingle hashes; exact
+    # Jaccard uses the distinct set, the estimate counts equal lanes
+    # (Broder'97). Integer bp arithmetic mirrors the operator's DIV exactly.
+    ma, mb = spec.minhash_params(CFG.n_perm, CFG.minhash_seed)
+    per_doc = {}
+    for d, t in zip(docs["doc_id"].astype(str), docs["text"].fillna("")):
+        cf = spec.caption_fingerprint(t, CFG.shingle_k, ma, mb, CFG.n_bands, CFG.band_rows)
+        per_doc[d] = (cf["minhash"], set(np.unique(cf["shingle_hashes"]).tolist()))
+    est_rows = []
+    for a, b in cand_rows:
+        sig_a, set_a = per_doc[a]
+        sig_b, set_b = per_doc[b]
+        eq = int((sig_a == sig_b).sum())
+        ns = len(set_a & set_b)
+        est_bp = (10000 * eq) // CFG.n_perm
+        exact_bp = (10000 * ns) // (len(set_a) + len(set_b) - ns)
+        est_rows.append((a, b, est_bp, exact_bp, abs(est_bp - exact_bp)))
+    pq.write_table(
+        pa.table(
+            {
+                "a": [r[0] for r in est_rows],
+                "b": [r[1] for r in est_rows],
+                "est_bp": [r[2] for r in est_rows],
+                "exact_bp": [r[3] for r in est_rows],
+                "err_bp": [r[4] for r in est_rows],
+            },
+            schema=pa.schema(
+                [
+                    ("a", pa.string()),
+                    ("b", pa.string()),
+                    ("est_bp", pa.int64()),
+                    ("exact_bp", pa.int64()),
+                    ("err_bp", pa.int64()),
+                ]
+            ),
+        ),
+        OUT / "est_eval.parquet",
+    )
+    print(f"minhash est-eval pairs: {len(est_rows)}")
+
     # ---- substring pairs (winnow anchors -> exact shared-run verify) ----
     from mirror import substring_pairs_mirror
 

@@ -1019,3 +1019,25 @@ def test_pair_distance_histogram_mass_accounting(spark, docs):
     assert accepted_mass == verify_pairs(cand, fp, CFG, use_phash=False).count()
     cand.unpersist()
     fp.unpersist()
+
+
+def test_minhash_est_eval_bounds_and_identical_docs(spark, docs):
+    """Estimator sanity on real candidates + planted exact duplicates: bp
+    values stay in [0, 10000]; an exact-duplicate pair measures 10000 on
+    BOTH the estimate and the exact side; err_bp is their absolute gap."""
+    from simhash_spark.operators.dedup import minhash_est_eval
+
+    base_row = docs.orderBy(F.col("n_chars").desc()).limit(1).collect()[0]
+    extra = spark.createDataFrame(
+        [(90001, base_row["text"], "en", "x", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = minhash_est_eval(docs.unionByName(extra), "doc_id", "text").collect()
+    assert rows
+    by_pair = {}
+    for r in rows:
+        assert 0 <= r["est_bp"] <= 10000 and 0 <= r["exact_bp"] <= 10000
+        assert r["err_bp"] == abs(r["est_bp"] - r["exact_bp"])
+        by_pair[(r["a"], r["b"])] = r
+    dup = by_pair[tuple(sorted((str(base_row["doc_id"]), "90001")))]
+    assert dup["est_bp"] == 10000 and dup["exact_bp"] == 10000 and dup["err_bp"] == 0

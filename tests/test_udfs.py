@@ -95,3 +95,24 @@ def test_fingerprint_batch_handles_all_null_and_empty():
     assert out["n_shingles"].tolist() == [0, 0, 0]
     empty = fingerprint_batch(pd.Series([], dtype=object), CFG)
     assert len(empty) == 0
+
+
+def test_shingle_hash_sets_match_spec_per_row():
+    """emit_shingle_hashes: each row's set equals the distinct FNV hashes of
+    the canonical per-row spec path; existing columns are byte-identical to
+    the non-emitting call (output-preserving); empty batch/caption safe."""
+    caps = pd.Series(
+        [None, "", "the of", "one two three four five", "x y x y x y"], dtype=object
+    )
+    out = fingerprint_batch(caps, CFG, emit_minhash=True, emit_shingle_hashes=True)
+    base = fingerprint_batch(caps, CFG, emit_minhash=True)
+    for col in ("simhash", "n_shingles", "minhash", "bands"):
+        assert [
+            list(v) if hasattr(v, "__len__") else v for v in out[col]
+        ] == [list(v) if hasattr(v, "__len__") else v for v in base[col]]
+    for cap, got in zip(caps, out["shingle_hashes"]):
+        sh = spec.shingle_list(spec.tokenize(cap or ""), CFG.shingle_k)
+        want = sorted(set(spec.u64_to_i64(spec.fnv1a64_str(sh)).tolist())) if sh else []
+        assert sorted(got.tolist()) == want
+    empty = fingerprint_batch(pd.Series([], dtype=object), CFG, emit_shingle_hashes=True)
+    assert len(empty) == 0 and "shingle_hashes" in empty.columns
