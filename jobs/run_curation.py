@@ -68,21 +68,45 @@ def run_curation(
     quality: bool = True,
     pii: bool = True,
     near_dup: bool = True,
+    near_dup_policy: str = "keep",
     sample_rate: float | None = None,
     sample_rates: dict | None = None,
     stratum_col: str | None = None,
+    splits: dict | None = None,
+    n_shards: int | None = None,
 ) -> dict:
     """The composed 5-stage curation run on an existing session; returns the
     stats manifest (per-stage rows out + wall seconds). bench.py calls this
     directly so the frozen composition is regression-benchmarked, not just
-    smoke-run (r4 verdict #4)."""
+    smoke-run (r4 verdict #4).
+
+    Optional faces on the frozen core (each a pure projection or slim join,
+    never reordering the 5 stages):
+    - ``near_dup_policy="weight"`` keeps ALL near-dup rows and attaches the
+      duplicate-aware sampling weight (cluster_size, weight_bp) instead of
+      deleting non-representatives — the downweight-don't-delete policy.
+    - ``splits={"train": 0.98, "val": 0.01}`` assigns the leakage-safe
+      train/val/test split by near-dup CLUSTER (assign_splits): no near-dup
+      pair ever straddles a split boundary. Without the near-dup stage each
+      doc is its own cluster (plain md5 split).
+    - ``n_shards=N`` writes the output hash-partitioned into N balanced
+      shards (xxhash64 of the id — LLN-balanced in rows and tokens at
+      corpus scale) with per-shard counts in the manifest.
+    """
     from pyspark.sql import functions as F
 
     from simhash_spark.config import DEFAULT_CONFIG
-    from simhash_spark.operators.curation import pii_scrub, stratified_sample
-    from simhash_spark.operators.dedup import exact_dedup, near_dup_keep_list
+    from simhash_spark.operators.curation import assign_splits, pii_scrub, stratified_sample
+    from simhash_spark.operators.dedup import (
+        exact_dedup,
+        near_dup_keep_list,
+        near_dup_sample_weights,
+    )
     from simhash_spark.operators.textops import quality_filter
     from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+    if near_dup_policy not in ("keep", "weight"):
+        raise ValueError(f"near_dup_policy must be 'keep' or 'weight': {near_dup_policy!r}")
 
     t0 = time.time()
     df = spark.read.parquet(input_path)
@@ -131,6 +155,7 @@ def run_curation(
     stats["stages"].append({"stage": "exact_dedup", "rows_out": df.count(),
                             "wall_s": round(time.time() - ts, 2)})
 
+    clusters = None
     if near_dup:
         ts = time.time()
         # pinned: the slim (id, cluster_id) labels feed BOTH the keep join
@@ -141,14 +166,26 @@ def run_curation(
             ),
             "04_clusters",
         )
-        keep = near_dup_keep_list(clusters, id_col=id_col).where("is_kept = 1")
-        # cluster ids ride as strings; cast back to the input id type to join
-        df = df.join(
-            keep.select(F.col(id_col).cast(df.schema[id_col].dataType).alias(id_col)),
-            id_col,
-        )
+        id_type = df.schema[id_col].dataType
+        if near_dup_policy == "weight":
+            # downweight-don't-delete: every row survives, carrying its
+            # cluster_size and weight_bp (floor(10000/size), min 1)
+            w = near_dup_sample_weights(clusters, id_col=id_col)
+            df = df.join(
+                w.select(
+                    F.col(id_col).cast(id_type).alias(id_col),
+                    "cluster_size",
+                    "weight_bp",
+                ),
+                id_col,
+            )
+        else:
+            keep = near_dup_keep_list(clusters, id_col=id_col).where("is_kept = 1")
+            # cluster ids ride as strings; cast back to the input id type
+            df = df.join(keep.select(F.col(id_col).cast(id_type).alias(id_col)), id_col)
         stats["stages"].append({
             "stage": "near_dup",
+            "policy": near_dup_policy,
             "rows_out": df.count(),
             "clusters": clusters.select("cluster_id").distinct().count(),
             "substring_stage": bool(substring),
@@ -169,13 +206,47 @@ def run_curation(
                                 "default_rate": default_rate, "rates": rates,
                                 "wall_s": round(time.time() - ts, 2)})
 
+    if splits:
+        ts = time.time()
+        # leakage-safe split: by near-dup cluster when the stage ran (the
+        # labels are pinned above), else each doc is its own cluster
+        lab = clusters if clusters is not None else df.select(
+            F.col(id_col).cast("string").alias(id_col),
+            F.col(id_col).cast("string").alias("cluster_id"),
+        )
+        sp = assign_splits(lab, fractions=splits)
+        df = df.join(
+            sp.select(
+                F.col(id_col).cast(df.schema[id_col].dataType).alias(id_col), "split"
+            ),
+            id_col,
+        )
+        counts = {r["split"]: r["n"] for r in
+                  df.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+        stats["stages"].append({"stage": "split", "fractions": splits,
+                                "split_counts": counts,
+                                "wall_s": round(time.time() - ts, 2)})
+
     ts = time.time()
-    df.write.mode("overwrite").parquet(str(pathlib.Path(output_path) / "documents"))
-    stats["rows_out"] = spark.read.parquet(
-        str(pathlib.Path(output_path) / "documents")
-    ).count()
-    stats["stages"].append({"stage": "write", "rows_out": stats["rows_out"],
-                            "wall_s": round(time.time() - ts, 2)})
+    out_dir = str(pathlib.Path(output_path) / "documents")
+    if n_shards:
+        df = df.withColumn(
+            "shard",
+            F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_shards)).cast("int"),
+        )
+        df.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    else:
+        df.write.mode("overwrite").parquet(out_dir)
+    out_df = spark.read.parquet(out_dir)
+    stats["rows_out"] = out_df.count()
+    write_stage: dict = {"stage": "write", "rows_out": stats["rows_out"],
+                         "wall_s": round(time.time() - ts, 2)}
+    if n_shards:
+        write_stage["shard_counts"] = {
+            int(r["shard"]): r["n"]
+            for r in out_df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    stats["stages"].append(write_stage)
     stats["wall_s"] = round(time.time() - t0, 2)
     return stats
 
@@ -199,7 +270,23 @@ def main(argv: list[str] | None = None) -> int:
                     "(requires --stratum-col; strata not listed keep "
                     "--sample-rate, default 1.0)")
     ap.add_argument("--stratum-col", default=None)
+    ap.add_argument("--near-dup-policy", choices=("keep", "weight"), default="keep",
+                    help="keep = one representative per cluster (default); "
+                    "weight = keep all rows, attach cluster_size/weight_bp")
+    ap.add_argument("--splits", default=None,
+                    help="leakage-safe split fractions, e.g. 'train=0.98,val=0.01' "
+                    "(remainder -> test); assigned by near-dup cluster")
+    ap.add_argument("--shards", type=int, default=None,
+                    help="write the output hash-partitioned into N shards "
+                    "with per-shard counts in the manifest")
     args = ap.parse_args(argv)
+
+    splits = None
+    if args.splits:
+        splits = {}
+        for part in args.splits.split(","):
+            name, _, frac = part.partition("=")
+            splits[name.strip()] = float(frac)
 
     from simhash_spark.session import get_spark
 
@@ -214,9 +301,12 @@ def main(argv: list[str] | None = None) -> int:
         quality=not args.no_quality,
         pii=not args.no_pii,
         near_dup=not args.no_near_dup,
+        near_dup_policy=args.near_dup_policy,
         sample_rate=args.sample_rate,
         sample_rates=json.loads(args.sample_rates) if args.sample_rates else None,
         stratum_col=args.stratum_col,
+        splits=splits,
+        n_shards=args.shards,
     )
     print(json.dumps(stats))
     return 0

@@ -612,6 +612,81 @@ def test_run_curation_cli_stage_accounting(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in resample.collect()} == pre_sample_ids  # idempotent
 
 
+def test_run_curation_weight_policy_splits_and_shards(spark, tmp_path):
+    """The three production faces on the frozen 5-stage core:
+    --near-dup-policy weight keeps EVERY near-dup row (downweight, don't
+    delete) carrying cluster_size/weight_bp >= 1; --splits assigns the
+    leakage-safe split CLUSTER-atomically (no near-dup pair straddles a
+    boundary) and matches assign_splits on the pinned labels; --shards
+    hash-partitions the output with manifest counts that sum to rows_out
+    and reproduce the frozen pmod(xxhash64) rule."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_curation import run_curation
+    from simhash_spark.operators.curation import assign_splits
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    stats = run_curation(
+        spark, src, str(tmp_path / "out"),
+        near_dup_policy="weight",
+        splits={"train": 0.8, "val": 0.1},
+        n_shards=4,
+    )
+    by_stage = {s["stage"]: s for s in stats["stages"]}
+
+    # weight policy: the near-dup stage deletes nothing
+    assert by_stage["near_dup"]["policy"] == "weight"
+    assert by_stage["near_dup"]["rows_out"] == by_stage["exact_dedup"]["rows_out"]
+
+    out = spark.read.parquet(str(tmp_path / "out" / "documents"))
+    assert {"cluster_size", "weight_bp", "split", "shard"} <= set(out.columns)
+    agg = out.agg(F.min("weight_bp"), F.min("cluster_size"), F.max("cluster_size")).collect()[0]
+    assert agg[0] >= 1 and agg[1] >= 1 and agg[2] > 1  # real multi-doc clusters present
+
+    # split is cluster-atomic and equals assign_splits over the pinned labels
+    labels = spark.read.parquet(str(tmp_path / "out" / "_stages" / "04_clusters"))
+    want = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(labels, fractions={"train": 0.8, "val": 0.1}).collect()
+    }
+    got_rows = out.select("doc_id", "split", "shard").collect()
+    assert {str(r["doc_id"]): r["split"] for r in got_rows} == {
+        k: v for k, v in want.items() if str(k) in {str(r["doc_id"]) for r in got_rows}
+    }
+    per_cluster = (
+        out.join(labels.select(F.col("doc_id").cast("long").alias("doc_id"), "cluster_id"), "doc_id")
+        .groupBy("cluster_id").agg(F.countDistinct("split").alias("n")).agg(F.max("n")).collect()[0][0]
+    )
+    assert per_cluster == 1
+    assert by_stage["split"]["split_counts"] == {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+    # shards: manifest counts sum to rows_out and match the frozen hash rule
+    write_stage = by_stage["write"]
+    assert sum(write_stage["shard_counts"].values()) == stats["rows_out"]
+    expect_shard = out.withColumn(
+        "want", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(4)).cast("int")
+    )
+    assert expect_shard.where("shard != want").count() == 0
+
+    # splits without the near-dup stage: per-doc singleton clusters
+    stats2 = run_curation(
+        spark, src, str(tmp_path / "out2"),
+        quality=False, pii=False, near_dup=False,
+        splits={"train": 0.5},
+    )
+    out2 = spark.read.parquet(str(tmp_path / "out2" / "documents"))
+    singletons = out2.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("cluster_id"),
+    )
+    want2 = {r["doc_id"]: r["split"] for r in assign_splits(singletons, fractions={"train": 0.5}).collect()}
+    assert {str(r["doc_id"]): r["split"] for r in out2.select("doc_id", "split").collect()} == want2
+    assert stats2["rows_out"] == out2.count() > 0
+
+
 def test_sessionize_semantics_and_single_exchange(spark):
     """Constructed gaps: events 0s,10s,1810s/…  split exactly at gaps > 1800;
     boundary gap == 1800 does NOT split (frozen rule: strictly greater).
