@@ -570,6 +570,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vocab_stats"] = vocab_stats
 
+    def bpe_merge_stats(spark, sf):
+        # adjacent-token-pair counts WITH multiplicity (top-k) — the count a
+        # BPE trainer computes to pick its next merge (Sennrich'16 §3);
+        # one zip_with bigram array, vocab_stats' two-exchange plan shape
+        from simhash_spark.operators.textops import bpe_merge_stats as op
+
+        return op(spark.read.parquet(_t(sf, "documents")), top_k=100)
+
+    q["bpe_merge_stats"] = bpe_merge_stats
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -598,6 +608,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kept.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
 
     q["token_budget_sample_docs"] = token_budget_sample_docs
+
+    def token_pack_plan(spark, sf):
+        # concat-then-chunk sequence-packing plan (T5/GPT-3 batch assembly):
+        # md5-sharded deterministic order, per-shard window cumsum, integer
+        # pack ids — which ctx_len-token training pack(s) each doc lands in
+        from simhash_spark.operators.curation import token_pack_plan as op
+
+        return op(
+            spark.read.parquet(_t(sf, "documents")),
+            "doc_id",
+            "text",
+            ctx_len=512,
+            shard_chars=1,
+        )
+
+    q["token_pack_plan"] = token_pack_plan
 
     def doc_fingerprints(spark, sf):
         # frozen FNV-1a 64 document fingerprint (spec.fnv1a64_str) — one
@@ -709,6 +735,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pair_distance_histogram(text_candidates(fp, CFG), fp, CFG)
 
     q["dup_distance_histogram"] = dup_distance_histogram
+
+    def dedup_pipeline_report(spark, sf):
+        # the end-to-end dedup FUNNEL (stage, metric, value): docs -> exact
+        # dups -> candidates -> verified pairs -> clusters -> kept — the
+        # north rule's "metrics" face as one driver-checkable table
+        # (production reads the same numbers from stage manifests)
+        from simhash_spark.operators.dedup import dedup_funnel_report
+        from simhash_spark.plans.text_dedup import (
+            text_candidates,
+            text_fingerprints,
+            text_near_dup_clusters,
+            text_near_dup_pairs,
+        )
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        fp = text_fingerprints(d, "doc_id", "text", CFG)
+        return dedup_funnel_report(
+            d,
+            "doc_id",
+            "text",
+            text_candidates(fp, CFG),
+            text_near_dup_pairs(d, "doc_id", "text", CFG),
+            text_near_dup_clusters(d, "doc_id", "text", CFG),
+        )
+
+    q["dedup_pipeline_report"] = dedup_pipeline_report
 
     def minhash_est_eval(spark, sf):
         # signature-accuracy eval (the MinHash family's dedup_truth_eval):
@@ -1157,6 +1209,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "bpe_merge_stats",
+    "token_pack_plan",
+    "dedup_pipeline_report",
     "leakage_safe_split",
     "dup_distance_histogram",
     "minhash_est_eval",
@@ -1209,6 +1264,13 @@ _CHECK_LAST = [
     # demoted for minhash_est_eval: double-green one-line FNV projection,
     # vector-pinned by test_spec and the local sweep every session
     "doc_fingerprints",
+    # demoted for bpe_merge_stats / token_pack_plan / dedup_pipeline_report:
+    # all FOUR-round driver-green (r1-r4), each still bit-exact-checked every
+    # session by the local sweep; exact dedup additionally rides the funnel
+    # report's n_exact_dup_extra row and the curation CLI stage accounting
+    "exact_dedup_groups",
+    "ann_topk",
+    "frame_sample",
 ]
 
 
@@ -1531,6 +1593,16 @@ def oracle_sql() -> dict[str, str]:
 
     o["vocab_stats"] = vocab_stats_oracle_sql(top_k=100)
 
+    from simhash_spark.operators.textops import bpe_merge_stats_oracle_sql
+
+    o["bpe_merge_stats"] = bpe_merge_stats_oracle_sql(top_k=100)
+
+    from simhash_spark.operators.curation import token_pack_plan_oracle_sql
+
+    o["token_pack_plan"] = token_pack_plan_oracle_sql(
+        "doc_id", "text", ctx_len=512, shard_chars=1
+    )
+
     o["stratified_sample_docs"] = f"""
         SELECT doc_id, lang, source
         FROM documents
@@ -1675,6 +1747,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN hamming <= {CFG.hamming_radius} THEN 1 ELSE 0 END
                     AS INT) AS accepted
         FROM h GROUP BY hamming
+    """
+    # funnel re-DERIVED in SQL: exact-dup stage from documents, verified
+    # stage from candidates x fingerprints with the verify predicate
+    # (hamming <= r AND both sides have shingles, OR a substr-source pair —
+    # verify.py:verify_pairs with use_phash=False), cluster stages from the
+    # expected cluster labels (min-id keep rule)
+    o["dedup_pipeline_report"] = f"""
+        WITH c AS ({candidates_values}),
+             f AS ({fingerprints_values}),
+             cl AS ({clusters_values}),
+             v AS (SELECT c.a FROM c
+                   JOIN f fa ON c.a = fa.doc_id JOIN f fb ON c.b = fb.doc_id
+                   WHERE (bit_count(xor(fa.simhash, fb.simhash))
+                              <= {CFG.hamming_radius}
+                          AND fa.n_shingles > 0 AND fb.n_shingles > 0)
+                      OR contains(c.src, 'substr')),
+             s AS (SELECT cluster_id, count(*) AS csize FROM cl GROUP BY 1),
+             cs AS (SELECT cl.doc_id, cl.cluster_id, s.csize
+                    FROM cl JOIN s USING (cluster_id))
+        SELECT CAST(1 AS INT) AS stage, 'n_docs' AS metric,
+               CAST(count(*) AS BIGINT) AS value FROM documents
+        UNION ALL
+        SELECT 2, 'n_exact_dup_extra',
+               CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT)
+        FROM documents
+        UNION ALL
+        SELECT 3, 'n_candidate_pairs', CAST(count(*) AS BIGINT) FROM c
+        UNION ALL
+        SELECT 4, 'n_verified_pairs', CAST(count(*) AS BIGINT) FROM v
+        UNION ALL
+        SELECT 5, 'n_dup_docs',
+               CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM cs
+        UNION ALL
+        SELECT 6, 'n_dup_clusters',
+               CAST(sum(CASE WHEN csize > 1 AND doc_id = cluster_id
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM cs
+        UNION ALL
+        SELECT 7, 'n_kept_docs',
+               CAST(sum(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM cs
     """
     o["cross_source_pairs"] = f"""
         WITH c AS ({candidates_values}),

@@ -933,6 +933,119 @@ def budget_sample_oracle_sql(
     """
 
 
+# ------------------------------------------------------- sequence packing
+
+
+def token_pack_plan(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 2048,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Deterministic concat-then-chunk sequence-packing PLAN: which training
+    pack(s) each document's tokens land in, for a context length of
+    ``ctx_len`` — the batch-assembly step between a curated corpus and a
+    training run (the packing used by T5 [Raffel'20 §2.2] and GPT-3
+    [Brown'20 §2.1]: documents are concatenated in a fixed order and the
+    stream is split into ctx_len-token blocks, so no padding is wasted and a
+    document may straddle pack boundaries).
+
+    FROZEN RULE: tokens are the corpus token rule (lowercased whitespace
+    splits of the trimmed text); docs with zero tokens are excluded (nothing
+    to pack). Each doc is assigned a shard = the value of the first
+    ``shard_chars`` hex chars of md5(str(key)) (16**shard_chars shards,
+    uniform); within a shard the concatenation order is (md5(str(key)), key)
+    — the same deterministic no-RNG ordering budget_sample uses, so the plan
+    is reproducible at any parallelism and doubles as a shuffle of the
+    corpus (neighbouring docs land in different packs). Offsets are
+    0-based token positions in the shard's concatenated stream:
+
+        pack_first = floor(start_offset / ctx_len)
+        pack_last  = floor((start_offset + n_tokens - 1) / ctx_len)
+
+    Returns (key, shard, n_tokens, start_offset, pack_first, pack_last),
+    all counts BIGINT. A writer materializes pack p of shard s by taking
+    rows with pack_first <= p <= pack_last ordered by start_offset and
+    slicing the boundary docs — driver-free, one partition per shard.
+
+    Plan shape for 100 TB: one exchange keyed shard + a sort-based window
+    cumsum within each shard (spills, never driver-side). Shards are the
+    parallelism unit: 16**shard_chars independent streams, so shard_chars=3
+    gives 4096 reducers each scanning corpus/4096 rows. The cumulative sum
+    is the only sequential dependency and it is per-shard by construction —
+    exactly the two-level structure that keeps packing embarrassingly
+    parallel while staying bit-reproducible across cluster sizes.
+    """
+    from simhash_spark.operators.textops import _tokens_col
+
+    n_shards = 16**shard_chars
+    h = F.md5(F.col(key_col).cast("string"))
+    toks = _tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(key_col).alias("key"),
+        F.substring(h, 1, shard_chars).alias("_shard_hex"),
+        h.alias("_h"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("_shard_hex")
+        .orderBy("_h", "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    # hex shard label -> integer shard id (the DuckDB mirror reaches the
+    # same value via hex-digit positions; only VALUES must match, not
+    # mechanics); shard ids < 16**shard_chars
+    shard = F.conv(F.col("_shard_hex"), 16, 10)
+    out = base.select(
+        "key",
+        shard.cast("long").alias("shard"),
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / F.lit(ctx_len)).cast("long").alias("pack_first"),
+        F.floor((cum - 1) / F.lit(ctx_len)).cast("long").alias("pack_last"),
+    )
+    assert n_shards >= 1
+    return out
+
+
+def token_pack_plan_oracle_sql(
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 2048,
+    shard_chars: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of token_pack_plan's FROZEN RULE — same token rule,
+    same md5 shard/order keys (lowercase hex on both engines), same integer
+    offset algebra; floor-of-double division is exact below 2^53 on both."""
+    digits = "0123456789abcdef"
+    shard = "0"
+    for i in range(shard_chars):
+        shard = f"({shard}) * 16 + (strpos('{digits}', substr(_h, {i + 1}, 1)) - 1)"
+    return f"""
+        SELECT key, CAST({shard} AS BIGINT) AS shard, n_tokens,
+               CAST(_cum - n_tokens AS BIGINT) AS start_offset,
+               CAST(floor((_cum - n_tokens) / {ctx_len}) AS BIGINT) AS pack_first,
+               CAST(floor((_cum - 1) / {ctx_len}) AS BIGINT) AS pack_last
+        FROM (
+            SELECT key, _h, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY substr(_h, 1, {shard_chars})
+                       ORDER BY _h, key ROWS UNBOUNDED PRECEDING
+                   ) AS _cum
+            FROM (
+                SELECT {key_col} AS key, md5(CAST({key_col} AS VARCHAR)) AS _h,
+                       CAST(len(string_split_regex(trim(lower({text_col})), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM {table} WHERE length(trim({text_col})) > 0
+            )
+        )
+    """
+
+
 # ------------------------------------------------------------- PII scrubbing
 
 # FROZEN scrub order + patterns: replacement is applied sequentially in this

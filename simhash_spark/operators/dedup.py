@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -307,6 +307,84 @@ def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
         .withColumn("n_rows", (F.col("cluster_size") * F.col("n_clusters")).cast("long"))
         .select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters", "n_rows")
     )
+
+
+def dedup_funnel_report(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: DataFrame,
+    verified: DataFrame,
+    clusters: DataFrame,
+) -> DataFrame:
+    """End-to-end dedup FUNNEL — one (stage, metric, value) row per pipeline
+    stage, the single table an operator reads to see where a run's duplicate
+    mass went (the north-star contract's "metrics" face, and the corpus-level
+    companion of the per-source ``dedup_report``):
+
+        1 n_docs             corpus rows in
+        2 n_exact_dup_extra  rows an exact (md5) pass would drop
+        3 n_candidate_pairs  index-proposed pairs (LSH ∪ pigeonhole)
+        4 n_verified_pairs   pairs surviving exact verification
+        5 n_dup_docs         docs inside a multi-member near-dup cluster
+        6 n_dup_clusters     multi-member clusters
+        7 n_kept_docs        survivors of the min-id keep rule
+
+    Takes the already-built stage DataFrames (same instances the cluster
+    query composes) so the report never re-derives semantics; production
+    runs read the same numbers from stage manifests without recomputation
+    (CheckpointCatalog), and this query face recomputes shared stages per
+    branch — acceptable at driver-check scale, documented here.
+
+    Every branch is a metric-only aggregate (count / conditional count) whose
+    exchange ships one row per mapper; the cluster branch reuses the
+    one-exchange window-count shape (``dedup_report``). Values are BIGINT,
+    assembled long-form via ``stack`` — no 1-row cross joins (the plan
+    tripwire forbids CartesianProduct anywhere in the query surface).
+    """
+    d = docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("t")
+    )
+    m_docs = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.md5(F.col("t"))).alias("nd"),
+    ).select(
+        F.stack(
+            F.lit(2),
+            F.lit(1), F.lit("n_docs"), F.col("n").cast("long"),
+            F.lit(2), F.lit("n_exact_dup_extra"), (F.col("n") - F.col("nd")).cast("long"),
+        ).alias("stage", "metric", "value")
+    )
+    m_cand = candidates.agg(F.count(F.lit(1)).alias("n")).select(
+        F.stack(
+            F.lit(1), F.lit(3), F.lit("n_candidate_pairs"), F.col("n").cast("long")
+        ).alias("stage", "metric", "value")
+    )
+    m_ver = verified.agg(F.count(F.lit(1)).alias("n")).select(
+        F.stack(
+            F.lit(1), F.lit(4), F.lit("n_verified_pairs"), F.col("n").cast("long")
+        ).alias("stage", "metric", "value")
+    )
+    first = clusters.columns[0]
+    sized = clusters.select(
+        F.col(first).alias("_id"), F.col("cluster_id").alias("_cid")
+    ).withColumn("_csize", F.count(F.lit(1)).over(Window.partitionBy("_cid")))
+    m_clu = sized.agg(
+        F.sum(F.when(F.col("_csize") > 1, 1).otherwise(0)).alias("dup_docs"),
+        F.sum(
+            F.when((F.col("_csize") > 1) & (F.col("_id") == F.col("_cid")), 1).otherwise(0)
+        ).alias("dup_clusters"),
+        F.sum(F.when(F.col("_id") == F.col("_cid"), 1).otherwise(0)).alias("kept"),
+    ).select(
+        F.stack(
+            F.lit(3),
+            F.lit(5), F.lit("n_dup_docs"), F.col("dup_docs").cast("long"),
+            F.lit(6), F.lit("n_dup_clusters"), F.col("dup_clusters").cast("long"),
+            F.lit(7), F.lit("n_kept_docs"), F.col("kept").cast("long"),
+        ).alias("stage", "metric", "value")
+    )
+    out = m_docs.unionByName(m_cand).unionByName(m_ver).unionByName(m_clu)
+    return out.select(F.col("stage").cast("int").alias("stage"), "metric", "value")
 
 
 # ------------------------------------------------------- embedding near-dup

@@ -419,3 +419,77 @@ def vocab_stats_oracle_sql(
         f"FROM {table} WHERE length(trim({text_expr})) > 0) t "
         f"GROUP BY token ORDER BY n_total DESC, token ASC LIMIT {top_k}"
     )
+
+
+def bpe_merge_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-wide ADJACENT-token-pair statistics: the top-``top_k`` bigrams
+    by total occurrence count (with multiplicity) plus their document
+    frequency — exactly the count a byte-pair-encoding trainer computes to
+    pick its next merge (Sennrich'16 §3: "count all symbol pairs and replace
+    the most frequent"), and the co-occurrence first pass of phrase mining.
+    Distinct from ``vocab_stats`` (unigram totals) and from the n-gram
+    SHINGLE operators (which dedup grams per doc — set semantics; a merge
+    step needs every occurrence counted).
+
+    FROZEN RULE: tokens are the ``_tokens_col`` splits (lowercased
+    whitespace words of the trimmed text); pairs are positions (i, i+1) with
+    multiplicity; docs with <2 tokens contribute nothing; ranking is
+    (n_total DESC, pair ASC) so the top-k boundary is deterministic.
+
+    Plan shape for 100 TB (verified via explain): scan prunes to (id, text);
+    the bigram array is one zip_with of two shifted slices — ordinary
+    per-row expressions whose lambda touches only its element args (the
+    interpreted-HOF capture trap documented at dedup.ngram_array_col does
+    not apply); explode feeds a map-side partial count keyed (pair, doc_id)
+    — the first exchange ships per-doc-distinct pairs with their local
+    counts, far below corpus token count — then the distinct-agg rewrite's
+    second exchange ships only pair-vocabulary-sized data. Top-k is
+    TakeOrderedAndProject (per-partition heap, k rows to the driver), never
+    a global sort. One BPE training iteration = this query; an actual merge
+    loop re-tokenizes and re-runs (documented non-goal: the loop is
+    driver-side orchestration, each iteration is this same plan).
+    """
+    toks = _tokens_col(F.col(text_col))
+    nt = F.size(toks)
+    cnt = F.greatest(nt - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    exploded = df.select(F.col(id_col), F.explode(pairs).alias("pair"))
+    return (
+        exploded.groupBy("pair")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+        )
+        .orderBy(F.col("n_total").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )
+
+
+def bpe_merge_stats_oracle_sql(
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+    table: str = "documents",
+    top_k: int = 100,
+) -> str:
+    """DuckDB mirror of bpe_merge_stats — same split rule, same positional
+    (i, i+1) pairs with multiplicity (1-indexed list slicing over
+    generate_series; docs with <2 tokens excluded by the empty series), same
+    deterministic (n_total DESC, pair ASC) boundary. Counts are BIGINT on
+    both engines, so the driver value hash is bit-exact."""
+    return (
+        f"SELECT pair, COUNT(*) AS n_total, COUNT(DISTINCT {id_col}) AS n_docs "
+        f"FROM (SELECT {id_col}, t[i] || ' ' || t[i + 1] AS pair "
+        f"      FROM (SELECT {id_col}, string_split_regex(trim(lower({text_expr})), '\\s+') AS t "
+        f"            FROM {table} WHERE length(trim({text_expr})) > 0) src, "
+        f"           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)) p "
+        f"GROUP BY pair ORDER BY n_total DESC, pair ASC LIMIT {top_k}"
+    )

@@ -1041,3 +1041,89 @@ def test_minhash_est_eval_bounds_and_identical_docs(spark, docs):
         by_pair[(r["a"], r["b"])] = r
     dup = by_pair[tuple(sorted((str(base_row["doc_id"]), "90001")))]
     assert dup["est_bp"] == 10000 and dup["exact_bp"] == 10000 and dup["err_bp"] == 0
+
+
+def test_bpe_merge_stats_multiplicity_and_boundaries(spark):
+    """Pairs are positional WITH multiplicity (the BPE merge count), <2-token
+    docs contribute nothing, ranking boundary is (n_total DESC, pair ASC)."""
+    from simhash_spark.operators.textops import bpe_merge_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # pairs: 'a b' x2, 'b a' x2
+            (2, "a b"),         # 'a b' x1
+            (3, "solo"),        # <2 tokens -> nothing
+            (4, "   "),         # blank -> nothing
+            (5, "b a"),         # 'b a' x1
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["pair"]: r for r in bpe_merge_stats(d, "text", "doc_id", top_k=10).collect()}
+    assert set(rows) == {"a b", "b a"}
+    assert rows["a b"]["n_total"] == 3 and rows["a b"]["n_docs"] == 2
+    assert rows["b a"]["n_total"] == 3 and rows["b a"]["n_docs"] == 2
+    # equal totals -> pair ASC breaks the tie deterministically
+    ordered = bpe_merge_stats(d, "text", "doc_id", top_k=1).collect()
+    assert ordered[0]["pair"] == "a b"
+
+
+def test_token_pack_plan_offsets_and_pack_algebra(spark, docs):
+    """Per-shard streams are gapless and start at 0; pack ids follow the
+    frozen floor algebra; zero-token docs are excluded; shard = md5 prefix."""
+    from simhash_spark.operators.curation import token_pack_plan
+
+    ctx = 256
+    out = token_pack_plan(docs, "doc_id", "text", ctx_len=ctx, shard_chars=1)
+    pdf = out.toPandas()
+    assert len(pdf) == docs.where(F.length(F.trim("text")) > 0).count()
+    assert pdf["shard"].between(0, 15).all()
+    for _, g in pdf.groupby("shard"):
+        # re-derive the deterministic order and check the stream is gapless
+        g = g.copy()
+        g["h"] = g["key"].map(lambda k: hashlib.md5(str(k).encode()).hexdigest())
+        g = g.sort_values(["h", "key"]).reset_index(drop=True)
+        cum = 0
+        for _, r in g.iterrows():
+            assert r["start_offset"] == cum
+            assert r["pack_first"] == cum // ctx
+            assert r["pack_last"] == (cum + r["n_tokens"] - 1) // ctx
+            assert int(r["shard"]) == int(r["h"][0], 16)
+            cum += r["n_tokens"]
+    # a doc longer than ctx spans multiple packs
+    spans = pdf[pdf["n_tokens"] > ctx]
+    if len(spans):
+        assert (spans["pack_last"] > spans["pack_first"]).all()
+
+
+def test_dedup_funnel_report_consistency(spark, docs):
+    """Funnel invariants on the real sf0.001 pipeline + planted exact dups:
+    verified <= candidates, kept = docs - (dup_docs - dup_clusters), exact
+    extra counts the planted copies."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.dedup import dedup_funnel_report
+    from simhash_spark.plans.text_dedup import (
+        text_candidates,
+        text_fingerprints,
+        text_near_dup_clusters,
+        text_near_dup_pairs,
+    )
+
+    dup = docs.limit(3).withColumn("doc_id", F.col("doc_id") + 100000)
+    d = docs.unionByName(dup)
+    fp = text_fingerprints(d, "doc_id", "text", CFG)
+    rep = dedup_funnel_report(
+        d,
+        "doc_id",
+        "text",
+        text_candidates(fp, CFG),
+        text_near_dup_pairs(d, "doc_id", "text", CFG),
+        text_near_dup_clusters(d, "doc_id", "text", CFG),
+    )
+    m = {r["metric"]: r["value"] for r in rep.collect()}
+    assert m["n_docs"] == docs.count() + 3
+    assert m["n_exact_dup_extra"] == 3
+    assert m["n_verified_pairs"] <= m["n_candidate_pairs"]
+    # every planted copy is a verified near-dup of its source
+    assert m["n_dup_docs"] >= 6 and m["n_dup_clusters"] >= 3
+    assert m["n_kept_docs"] == m["n_docs"] - (m["n_dup_docs"] - m["n_dup_clusters"])
+    assert [r["stage"] for r in rep.orderBy("stage").collect()] == list(range(1, 8))
