@@ -750,6 +750,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         d = spark.read.parquet(_t(sf, "documents"))
+        # deliberately UNPINNED: branch recompute lets all stage copies run
+        # concurrently on idle cores and beats persist() here (warm A/B in
+        # one session at sf0.001/8: 3.6 s vs 5.3-9.9 s pinned — MemoryStore
+        # churn + serialized cache fills, the CLAUDE.md persist caveat);
+        # production reads these numbers from stage manifests instead, and
+        # text_near_dup_pairs/clusters accept injected stages for callers
+        # that do hold a CheckpointCatalog pin
         fp = text_fingerprints(d, "doc_id", "text", CFG)
         return dedup_funnel_report(
             d,
