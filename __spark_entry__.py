@@ -580,6 +580,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["bpe_merge_stats"] = bpe_merge_stats
 
+    def tfidf_top_terms(spark, sf):
+        # per-doc top-k TF-IDF terms (raw-idf, integer basis points — the
+        # frozen cross-engine rule; Salton'88): distinctive-term ranking
+        # for keyword extraction / near-dup explanation (textops.py)
+        from simhash_spark.operators.textops import tfidf_top_terms as op
+
+        return op(spark.read.parquet(_t(sf, "documents")), "doc_id", "text", top_k=5)
+
+    q["tfidf_top_terms"] = tfidf_top_terms
+
     def stratified_sample_docs(spark, sf):
         # deterministic per-language subsampling: md5-threshold keep rule,
         # no RNG — identical selection at any parallelism (curation.py)
@@ -1216,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "tfidf_top_terms",
     "bpe_merge_stats",
     "token_pack_plan",
     "dedup_pipeline_report",
@@ -1278,6 +1289,9 @@ _CHECK_LAST = [
     "exact_dedup_groups",
     "ann_topk",
     "frame_sample",
+    # demoted for tfidf_top_terms: double-green (r3+r4) zero-shuffle native
+    # projection, still bit-exact-checked every session by the local sweep
+    "text_stats",
 ]
 
 
@@ -1603,6 +1617,10 @@ def oracle_sql() -> dict[str, str]:
     from simhash_spark.operators.textops import bpe_merge_stats_oracle_sql
 
     o["bpe_merge_stats"] = bpe_merge_stats_oracle_sql(top_k=100)
+
+    from simhash_spark.operators.textops import tfidf_top_terms_oracle_sql
+
+    o["tfidf_top_terms"] = tfidf_top_terms_oracle_sql("doc_id", "text", top_k=5)
 
     from simhash_spark.operators.curation import token_pack_plan_oracle_sql
 

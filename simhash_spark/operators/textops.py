@@ -17,7 +17,7 @@ that runs BEFORE the (shuffle-heavy) dedup stages.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -493,3 +493,111 @@ def bpe_merge_stats_oracle_sql(
         f"           LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)) p "
         f"GROUP BY pair ORDER BY n_total DESC, pair ASC LIMIT {top_k}"
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-``top_k`` TF-IDF terms — the classic
+    distinctive-term ranking (Salton'88) used for keyword extraction,
+    near-dup explanation ("what makes these docs alike"), and topic-balance
+    audits of a training corpus. Completes the term-statistics trio:
+    ``vocab_stats`` (corpus unigrams), ``bpe_merge_stats`` (corpus bigrams),
+    this (per-doc distinctiveness).
+
+    FROZEN RULE (integer end to end so Spark and DuckDB agree bit-exactly):
+    tokens are the ``_tokens_col`` splits; tf = in-doc occurrences WITH
+    multiplicity; df = number of docs containing the term; N = docs with
+    >=1 token; the score is RAW-idf TF-IDF in basis points under truncating
+    integer division,
+
+        score_bp = (tf * N * 10000) div df
+
+    and the per-doc ranking is row_number over (score_bp DESC, term ASC) —
+    a deterministic boundary. Production variants (log idf, bm25
+    saturation) are one-expression swaps documented as NOT this frozen
+    rule; int64 headroom holds while tf*N <= 9.2e14 (any corpus to ~1e12
+    docs at tf <= ~900 — far beyond the check scale; a log-idf production
+    swap removes the product entirely).
+
+    Plan shape for 100 TB (explain-verified): pruned (id, text) scan ->
+    explode -> map-side-combined count keyed (id, term) — the first
+    exchange ships per-doc-distinct terms; df is a window count over the
+    SAME term-keyed rows (one exchange keyed term serves it — no second
+    aggregate branch, per the exchange-reuse note in CLAUDE.md); N is a
+    one-row aggregate attached by broadcasting it against every row
+    (Catalyst folds the literal-key equi-join into a 1-row-side
+    BroadcastNestedLoopJoin — a constant-time scalar attach, no driver
+    collect, no CartesianProduct); the final row_number windows on the id
+    key. Three key-partitioned exchanges total; top-k is a per-doc filter,
+    never a global sort. Explain-verified: the N branch's scan prunes to
+    the text column alone.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"), _tokens_col(F.col(text_col)).alias("t")
+    )
+    tf = (
+        base.select("id", F.explode("t").alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wdf = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+    n = base.where(F.size("t") > 0).agg(
+        F.count(F.lit(1)).alias("_n_docs")
+    ).withColumn("_k", F.lit(1))
+    scored = (
+        wdf.withColumn("_k", F.lit(1))
+        .join(F.broadcast(n), "_k")
+        .select(
+            "id",
+            "term",
+            "tf",
+            "df",
+            F.expr("(tf * _n_docs * 10000) div df").alias("score_bp"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("score_bp").desc(), F.col("term").asc())
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= top_k)
+        .select(F.col("id").alias(id_col), "term", "tf", "df", "score_bp", "rnk")
+    )
+
+
+def tfidf_top_terms_oracle_sql(
+    id_col: str = "doc_id",
+    text_expr: str = "text",
+    table: str = "documents",
+    top_k: int = 5,
+) -> str:
+    """DuckDB mirror of tfidf_top_terms — same split, same multiplicity tf,
+    same window df, same truncating-integer-division score and row_number
+    boundary. All counts/scores BIGINT, rank INT, on both engines."""
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS id,
+                   string_split_regex(trim(lower({text_expr})), '\\s+') AS t
+            FROM {table} WHERE length(trim({text_expr})) > 0),
+        tfq AS (
+            SELECT id, term, COUNT(*) AS tf
+            FROM (SELECT id, unnest(t) AS term FROM base)
+            GROUP BY id, term),
+        n AS (SELECT COUNT(*) AS n_docs FROM base),
+        wf AS (SELECT id, term, tf,
+                      COUNT(*) OVER (PARTITION BY term) AS df
+               FROM tfq),
+        sc AS (SELECT wf.*,
+                      CAST((tf * n.n_docs * 10000) // df AS BIGINT) AS score_bp
+               FROM wf, n),
+        rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY id ORDER BY score_bp DESC, term ASC) AS INT)
+                   AS rnk
+               FROM sc)
+        SELECT id AS {id_col}, term, tf, df, score_bp, rnk
+        FROM rk WHERE rnk <= {top_k}
+    """

@@ -1127,3 +1127,33 @@ def test_dedup_funnel_report_consistency(spark, docs):
     assert m["n_dup_docs"] >= 6 and m["n_dup_clusters"] >= 3
     assert m["n_kept_docs"] == m["n_docs"] - (m["n_dup_docs"] - m["n_dup_clusters"])
     assert [r["stage"] for r in rep.orderBy("stage").collect()] == list(range(1, 8))
+
+
+def test_tfidf_top_terms_frozen_rule(spark):
+    """Hand-computed TF-IDF on a 3-doc corpus: multiplicity tf, window df,
+    raw-idf integer-division score, deterministic (score DESC, term ASC)
+    rank boundary, top-k cut, blank docs excluded from N."""
+    from simhash_spark.operators.textops import tfidf_top_terms
+
+    d = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),  # tf(apple)=2 tf(banana)=1
+            (2, "apple cherry"),
+            (3, "banana banana cherry"),
+            (4, "   "),                 # blank: excluded from N entirely
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_top_terms(d, "doc_id", "text", top_k=2).collect()
+    by = {(r["doc_id"], r["term"]): r for r in rows}
+    # N=3; df: apple=2 banana=2 cherry=2
+    r = by[(1, "apple")]
+    assert (r["tf"], r["df"], r["score_bp"]) == (2, 2, 2 * 3 * 10000 // 2)
+    r = by[(1, "banana")]
+    assert (r["tf"], r["df"], r["score_bp"]) == (1, 2, 15000)
+    # doc 2: apple and cherry tie at 15000 -> term ASC breaks: apple rnk 1
+    assert by[(2, "apple")]["rnk"] == 1 and by[(2, "cherry")]["rnk"] == 2
+    # top_k=2 keeps at most 2 rows/doc; blank doc contributes nothing
+    assert all(r["rnk"] <= 2 for r in rows)
+    assert not any(r["doc_id"] == 4 for r in rows)
+    assert len([r for r in rows if r["doc_id"] == 3]) == 2
