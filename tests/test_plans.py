@@ -225,3 +225,36 @@ def test_no_cartesian_product_on_any_scale_path(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"cartesian product planned in: {offenders}"
+
+
+@pytest.mark.parametrize(
+    "query,n_hash_exchanges,want_takeordered",
+    [
+        # (id,term) tf agg + term-window df + id-window rank; N rides a
+        # 1-row broadcast, never a 4th key exchange or a driver collect
+        ("tfidf_top_terms", 3, False),
+        # (pair,doc_id) partial-distinct + pair final agg; top-k must be
+        # TakeOrderedAndProject (per-partition heap), never a global sort
+        ("bpe_merge_stats", 2, True),
+        # ONE exchange keyed shard; the per-shard cumsum is a sort within
+        # that exchange's partitions, never a second shuffle
+        ("token_pack_plan", 1, False),
+    ],
+)
+def test_term_stats_exchange_budget(spark, query, n_hash_exchanges, want_takeordered):
+    """r5 plan tripwire for the term/packing operators: each docstring
+    claims an exact exchange budget — pin it so a refactor that silently
+    adds a shuffle (or demotes top-k to a global sort) fails loudly."""
+    import re
+
+    df = entrymod.queries()[query](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    ex = re.findall(r"Exchange hashpartitioning\(", final)
+    assert len(ex) == n_hash_exchanges, (
+        f"{query}: {len(ex)} hash exchanges, want {n_hash_exchanges}:\n{final}"
+    )
+    if want_takeordered:
+        assert "TakeOrderedAndProject" in final, f"{query}: top-k became a global sort"
+        assert "rangepartitioning" not in final
+    assert "CartesianProduct" not in final
