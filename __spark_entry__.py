@@ -1069,6 +1069,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_near_dup_clusters"] = image_near_dup_clusters
 
+    def image_dedup_funnel(spark, sf):
+        # the flagship pipeline's end-to-end funnel (stage, metric, value):
+        # images -> exact-caption dups -> candidates -> OR-phash verified ->
+        # clusters -> kept. Oracle = the INDEPENDENT bucketed numpy mirror
+        # (tests/mirror.py::image_kernel_mirror), itself asserted equal to
+        # the O(n^2) dup-matrix labeling at generation time.
+        from simhash_spark.operators.dedup import dedup_funnel_report
+        from simhash_spark.plans.pipeline import (
+            candidate_job,
+            cluster_job,
+            fingerprint_job,
+            verify_job,
+        )
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+        pdf = make_images_pdf(300, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        fp = fingerprint_job(spark, src, CFG).cache()
+        cand = candidate_job(fp, CFG)
+        ver = verify_job(cand, fp, CFG)
+        return dedup_funnel_report(
+            src, "image_id", "caption", cand, ver, cluster_job(ver, fp, CFG)
+        )
+
+    q["image_dedup_funnel"] = image_dedup_funnel
+
     def image_keep_best(spark, sf):
         # the dedup DECISION on the image pipeline: keep each near-dup
         # cluster's highest-RESOLUTION member (score = w*h, ties -> min
@@ -1226,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "image_dedup_funnel",
     "tfidf_top_terms",
     "bpe_merge_stats",
     "token_pack_plan",
@@ -1292,6 +1319,10 @@ _CHECK_LAST = [
     # demoted for tfidf_top_terms: double-green (r3+r4) zero-shuffle native
     # projection, still bit-exact-checked every session by the local sweep
     "text_stats",
+    # demoted for image_dedup_funnel: double-green (r3+r4) one-agg histogram
+    # whose inputs (the cluster labels) stay hash-exact-checked via every
+    # cluster query; still bit-exact-checked every session by the local sweep
+    "near_dup_cluster_stats",
 ]
 
 
@@ -1855,6 +1886,10 @@ def oracle_sql() -> dict[str, str]:
     )
     o["image_near_dup_clusters"] = _expected_values_sql(
         "image_clusters.parquet", {"image_id": "VARCHAR", "cluster_id": "VARCHAR"}
+    )
+    o["image_dedup_funnel"] = _expected_values_sql(
+        "image_funnel.parquet",
+        {"stage": "INT", "metric": "VARCHAR", "value": "BIGINT"},
     )
     o["image_keep_best"] = _expected_values_sql(
         "image_keep_best.parquet",

@@ -303,6 +303,45 @@ def main() -> None:
     )
     print(f"image clusters: {len({ifind(i) for i in img_ids})} over {m} images")
 
+    # image_dedup_funnel: the flagship pipeline's (stage, metric, value)
+    # funnel, counted by the INDEPENDENT bucketed mirror (band + simhash +
+    # phash pigeonhole buckets -> pairs -> OR-phash verify -> union-find).
+    # Differential: index completeness for both radii means the mirror's
+    # cluster labeling must equal the all-pairs dup-matrix labeling above —
+    # assert it, so the bucketed path is checked against the O(n^2) one.
+    from mirror import image_kernel_mirror
+
+    imir = image_kernel_mirror(img, CFG)
+    assert imir["clusters"] == {i: ifind(i) for i in img_ids}, (
+        "bucketed mirror clusters diverge from the dup-matrix clusters"
+    )
+    ilabels = np.array([imir["clusters"][i] for i in img_ids], dtype=object)
+    _, iinv, icnt = np.unique(ilabels, return_inverse=True, return_counts=True)
+    icsize = icnt[iinv]
+    funnel = [
+        (1, "n_docs", m),
+        (2, "n_exact_dup_extra", m - len(set(img["caption"]))),
+        (3, "n_candidate_pairs", len(imir["candidates"])),
+        (4, "n_verified_pairs", len(imir["verified"])),
+        (5, "n_dup_docs", int((icsize > 1).sum())),
+        (6, "n_dup_clusters", int(np.unique(iinv[icsize > 1]).size)),
+        (7, "n_kept_docs", int(icnt.size)),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "stage": [r[0] for r in funnel],
+                "metric": [r[1] for r in funnel],
+                "value": [r[2] for r in funnel],
+            },
+            schema=pa.schema(
+                [("stage", pa.int32()), ("metric", pa.string()), ("value", pa.int64())]
+            ),
+        ),
+        OUT / "image_funnel.parquet",
+    )
+    print(f"image funnel: {dict((r[1], r[2]) for r in funnel)}")
+
     # image_keep_best: per-cluster keep rule over the SAME clusters — the
     # member with maximum resolution w*h, ties broken by minimum image_id
     # (the frozen near_dup_keep_best rule with score = w*h). Independent

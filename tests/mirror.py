@@ -148,3 +148,72 @@ def union_find_min_labels(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {i: find(i) for i in ids}
+
+
+def image_kernel_mirror(img: pd.DataFrame, cfg: PipelineConfig) -> dict:
+    """Image-pipeline mirror of text_kernel_mirror: the same caption
+    fingerprint kernel plus the phash pigeonhole index (code 3, mirroring
+    candidates.explode_all_keys include_phash=True) and the OR-phash verify
+    predicate (operators/verify.py use_phash=True). Returns candidate/
+    verified pair sets and cluster labels computed without Spark — the
+    differential second engine for the flagship pipeline's funnel counts.
+
+    Completeness cross-check available to callers: because both pigeonhole
+    indexes are complete for their radii, the verified set must equal the
+    full all-pairs dup matrix (the path gen_expected's image_clusters
+    takes) — asserting the two cluster labelings equal differentials the
+    bucketed path against the O(n^2) one.
+    """
+    ids = img["image_id"].astype(str).to_numpy(dtype=object)
+    n = len(img)
+
+    fb = fingerprint_batch(img["caption"].reset_index(drop=True), cfg, emit_minhash=False)
+    n_shingles = fb["n_shingles"].to_numpy(np.int32)
+    sim_u64 = spec.i64_to_u64(fb["simhash"].to_numpy(np.int64))
+    ph_u64 = spec.i64_to_u64(img["phash"].to_numpy(np.int64))
+    bands = (
+        np.stack(fb["bands"].to_numpy()) if n else np.zeros((0, cfg.n_bands), np.int64)
+    )
+    pig = spec.pigeonhole_keys(sim_u64, cfg.n_blocks, cfg.hamming_radius)
+    pig_ph = spec.pigeonhole_keys(ph_u64, cfg.n_blocks, cfg.phash_radius)
+
+    buckets: dict[tuple[int, int, int], list[int]] = defaultdict(list)
+    for idx in np.flatnonzero(n_shingles > 0):
+        for i in range(cfg.n_bands):
+            buckets[(1, i, int(bands[idx, i]))].append(int(idx))
+        for i in range(pig.shape[1]):
+            buckets[(2, i, int(pig[idx, i]))].append(int(idx))
+    for idx in range(n):  # phash keys are emitted for every non-null phash
+        for i in range(pig_ph.shape[1]):
+            buckets[(3, i, int(pig_ph[idx, i]))].append(int(idx))
+
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        assert len(members) <= cfg.bucket_cap, (
+            "hot bucket — salted-chain edges depend on the JVM hash and are "
+            "not mirrored; this corpus cannot be used for the differential"
+        )
+        names = sorted({ids[m] for m in members})
+        for x in range(len(names)):
+            for y in range(x + 1, len(names)):
+                pairs.add((names[x], names[y]))
+
+    cand_rows = sorted(pairs)
+    by_id = {ids[i]: i for i in range(n)}
+    if cand_rows:
+        ai = np.array([by_id[a] for a, _ in cand_rows])
+        bi = np.array([by_id[b] for _, b in cand_rows])
+        cap_ok = (
+            (spec.popcount64(sim_u64[ai] ^ sim_u64[bi]) <= cfg.hamming_radius)
+            & (n_shingles[ai] > 0)
+            & (n_shingles[bi] > 0)
+        )
+        ph_ok = spec.popcount64(ph_u64[ai] ^ ph_u64[bi]) <= cfg.phash_radius
+        verified = [cand_rows[i] for i in np.flatnonzero(cap_ok | ph_ok)]
+    else:
+        verified = []
+
+    clusters = union_find_min_labels(list(ids), verified)
+    return {"ids": ids, "candidates": cand_rows, "verified": verified, "clusters": clusters}

@@ -1157,3 +1157,35 @@ def test_tfidf_top_terms_frozen_rule(spark):
     assert all(r["rnk"] <= 2 for r in rows)
     assert not any(r["doc_id"] == 4 for r in rows)
     assert len([r for r in rows if r["doc_id"] == 3]) == 2
+
+
+def test_image_mirror_bucketed_equals_dup_matrix():
+    """Pure-numpy differential (no Spark): the bucketed image mirror's
+    verified pair set must equal the brute-force all-pairs dup matrix —
+    both pigeonhole indexes are complete for their radii, so any gap is a
+    bucketing bug. This is the oracle behind image_dedup_funnel."""
+    import numpy as np
+
+    from mirror import image_kernel_mirror
+    from simhash_spark import spec
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.functions.udfs import fingerprint_batch
+    from simhash_spark.sources.fixtures import make_images_pdf
+
+    img = make_images_pdf(300, seed=42, with_bytes=False)
+    m = image_kernel_mirror(img, CFG)
+
+    ids = img["image_id"].astype(str).to_numpy(dtype=object)
+    fb = fingerprint_batch(img["caption"].reset_index(drop=True), CFG, emit_minhash=False)
+    sim = spec.i64_to_u64(fb["simhash"].to_numpy(np.int64))
+    nsh = fb["n_shingles"].to_numpy(np.int32)
+    ph = spec.i64_to_u64(img["phash"].to_numpy(np.int64))
+    dc = spec.popcount64(sim[:, None] ^ sim[None, :])
+    dp = spec.popcount64(ph[:, None] ^ ph[None, :])
+    has2 = (nsh > 0)[:, None] & (nsh > 0)[None, :]
+    dup = ((dc <= CFG.hamming_radius) & has2) | (dp <= CFG.phash_radius)
+    brute = {
+        tuple(sorted((ids[x], ids[y]))) for x, y in zip(*np.nonzero(np.triu(dup, 1)))
+    }
+    assert set(m["verified"]) == brute
+    assert brute <= set(m["candidates"])  # verify only ever filters
