@@ -635,6 +635,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_pack_plan"] = token_pack_plan
 
+    def token_pack_stats(spark, sf):
+        # pack-level audit of the packing plan: tokens + straddling docs per
+        # (shard, pack) training block (curation.py::token_pack_stats)
+        from simhash_spark.operators.curation import token_pack_stats as op
+
+        return op(
+            spark.read.parquet(_t(sf, "documents")),
+            "doc_id",
+            "text",
+            ctx_len=512,
+            shard_chars=1,
+        )
+
+    q["token_pack_stats"] = token_pack_stats
+
     def doc_fingerprints(spark, sf):
         # frozen FNV-1a 64 document fingerprint (spec.fnv1a64_str) — one
         # vectorized pandas UDF, oracle-checked vs the spec-precomputed
@@ -1253,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "image_dedup_funnel",
+    "token_pack_stats",
     "tfidf_top_terms",
     "bpe_merge_stats",
     "token_pack_plan",
@@ -1323,6 +1339,10 @@ _CHECK_LAST = [
     # whose inputs (the cluster labels) stay hash-exact-checked via every
     # cluster query; still bit-exact-checked every session by the local sweep
     "near_dup_cluster_stats",
+    # demoted for token_pack_stats: double-green (r3+r4) min-id keep rule,
+    # whose decision layer stays driver-covered via near_dup_keep_best and
+    # image_keep_best; still bit-exact-checked every session by the sweep
+    "near_dup_keep_list",
 ]
 
 
@@ -1656,6 +1676,12 @@ def oracle_sql() -> dict[str, str]:
     from simhash_spark.operators.curation import token_pack_plan_oracle_sql
 
     o["token_pack_plan"] = token_pack_plan_oracle_sql(
+        "doc_id", "text", ctx_len=512, shard_chars=1
+    )
+
+    from simhash_spark.operators.curation import token_pack_stats_oracle_sql
+
+    o["token_pack_stats"] = token_pack_stats_oracle_sql(
         "doc_id", "text", ctx_len=512, shard_chars=1
     )
 

@@ -1168,3 +1168,73 @@ def sessionize(
         )
         .withColumn("duration_s", F.col("end_s") - F.col("start_s"))
     )
+
+
+def token_pack_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 2048,
+    shard_chars: int = 1,
+) -> DataFrame:
+    """Pack-level view of ``token_pack_plan``: for every (shard, pack_id)
+    training block, how many documents contribute tokens to it and how many
+    tokens land in it — the batch-assembly audit table (every pack must
+    hold exactly ``ctx_len`` tokens except each shard's tail pack; the
+    n_docs distribution shows how often training sequences straddle
+    document boundaries, the quantity attention-masking policies care
+    about, cf. T5's pack masking [Raffel'20 §2.2]).
+
+    FROZEN RULE: a doc with (start_offset, n_tokens) contributes
+    ``min((p+1)*ctx, start+n) - max(p*ctx, start)`` tokens to each pack p
+    in [pack_first, pack_last] — the interval-overlap algebra of the plan's
+    offsets, so sum(n_tokens) over packs == sum over docs, exactly.
+
+    Plan shape: token_pack_plan's ONE shard-keyed exchange + window cumsum,
+    then a per-row explode over the doc's own pack span (amplification =
+    mean packs/doc <= 1 + n_tokens/ctx_len, bounded by doc length) and one
+    map-side-combined agg keyed (shard, pack_id) — a second key-partitioned
+    exchange whose reducer count is total_tokens/ctx_len pack rows.
+    """
+    plan = token_pack_plan(df, key_col, text_col, ctx_len, shard_chars)
+    e = plan.select(
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.explode(F.sequence("pack_first", "pack_last")).alias("pack_id"),
+    )
+    lo = F.greatest(F.col("pack_id") * F.lit(ctx_len).cast("long"), F.col("start_offset"))
+    hi = F.least(
+        (F.col("pack_id") + 1) * F.lit(ctx_len).cast("long"),
+        F.col("start_offset") + F.col("n_tokens"),
+    )
+    return e.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(hi - lo).cast("long").alias("n_tokens"),
+    )
+
+
+def token_pack_stats_oracle_sql(
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 2048,
+    shard_chars: int = 1,
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of token_pack_stats — the plan oracle as a CTE, a
+    generate_series lateral over each doc's pack span, the same
+    interval-overlap algebra. SUM is cast from DuckDB's HUGEINT to BIGINT
+    so both engines hash identically."""
+    plan = token_pack_plan_oracle_sql(key_col, text_col, ctx_len, shard_chars, table)
+    return f"""
+        WITH plan AS ({plan})
+        SELECT shard, pack_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(least((pack_id + 1) * {ctx_len}, start_offset + n_tokens)
+                        - greatest(pack_id * {ctx_len}, start_offset)) AS BIGINT)
+                   AS n_tokens
+        FROM (SELECT plan.*, s.pack_id
+              FROM plan, LATERAL (SELECT unnest(generate_series(pack_first, pack_last))
+                                  AS pack_id) s)
+        GROUP BY shard, pack_id
+    """

@@ -1189,3 +1189,23 @@ def test_image_mirror_bucketed_equals_dup_matrix():
     }
     assert set(m["verified"]) == brute
     assert brute <= set(m["candidates"])  # verify only ever filters
+
+
+def test_token_pack_stats_conservation(spark, docs):
+    """Pack algebra invariants on the sf0.001 corpus: token mass is
+    conserved (sum over packs == sum over docs), every non-tail pack holds
+    exactly ctx_len tokens, each shard's tail pack holds the remainder."""
+    from simhash_spark.operators.curation import token_pack_plan, token_pack_stats
+
+    ctx = 256
+    plan = token_pack_plan(docs, "doc_id", "text", ctx_len=ctx, shard_chars=1).toPandas()
+    stats = token_pack_stats(docs, "doc_id", "text", ctx_len=ctx, shard_chars=1).toPandas()
+    assert stats["n_tokens"].sum() == plan["n_tokens"].sum()
+    for shard, g in stats.groupby("shard"):
+        total = plan[plan["shard"] == shard]["n_tokens"].sum()
+        g = g.sort_values("pack_id").reset_index(drop=True)
+        assert list(g["pack_id"]) == list(range(len(g)))  # gapless pack ids
+        assert (g["n_tokens"][:-1] == ctx).all()
+        tail = total - ctx * (len(g) - 1)
+        assert g["n_tokens"].iloc[-1] == tail and 0 < tail <= ctx
+    assert (stats["n_docs"] >= 1).all()
