@@ -454,6 +454,8 @@ def bpe_merge_stats(
     loop re-tokenizes and re-runs (documented non-goal: the loop is
     driver-side orchestration, each iteration is this same plan).
     """
+    from simhash_spark.session import spread_small_input
+
     toks = _tokens_col(F.col(text_col))
     nt = F.size(toks)
     cnt = F.greatest(nt - 1, F.lit(0))
@@ -462,7 +464,11 @@ def bpe_merge_stats(
         F.slice(toks, 2, cnt),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    exploded = df.select(F.col(id_col), F.explode(pairs).alias("pair"))
+    # the bigram build + explode is the CPU-heavy per-row stage; the driver
+    # tables are single-row-group parquet (one task without the spread) —
+    # isolated A/B at sf0.1/32: 1.1 s -> 0.6 s best draw
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    exploded = src.select(F.col(id_col), F.explode(pairs).alias("pair"))
     return (
         exploded.groupBy("pair")
         .agg(
@@ -536,7 +542,12 @@ def tfidf_top_terms(
     never a global sort. Explain-verified: the N branch's scan prunes to
     the text column alone.
     """
-    base = df.select(
+    from simhash_spark.session import spread_small_input
+
+    # single-row-group driver parquet would run the tokenize+explode as ONE
+    # task; isolated A/B at sf0.1/32: 1.36 s -> 0.84 s with the spread
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    base = src.select(
         F.col(id_col).alias("id"), _tokens_col(F.col(text_col)).alias("t")
     )
     tf = (
