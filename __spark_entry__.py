@@ -776,12 +776,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         d = spark.read.parquet(_t(sf, "documents"))
         # deliberately UNPINNED: branch recompute lets all stage copies run
-        # concurrently on idle cores and beats persist() here (warm A/B in
-        # one session at sf0.001/8: 3.6 s vs 5.3-9.9 s pinned — MemoryStore
-        # churn + serialized cache fills, the CLAUDE.md persist caveat);
-        # production reads these numbers from stage manifests instead, and
-        # text_near_dup_pairs/clusters accept injected stages for callers
-        # that do hold a CheckpointCatalog pin
+        # concurrently on idle cores and beats persist() pins at bench scale
+        # (isolated best-of-2 A/B, local[32]: sf0.1 5.7 s unpinned vs 37.1 s
+        # pinned — serialized cache fills + MemoryStore churn, the CLAUDE.md
+        # persist caveat; sf0.01 is the one regime where pins win, 3.2 vs
+        # 6.2 s, not worth a scale-dependent fork); production reads these
+        # numbers from stage manifests instead, and text_near_dup_pairs/
+        # clusters accept injected stages for callers holding catalog pins
         fp = text_fingerprints(d, "doc_id", "text", CFG)
         return dedup_funnel_report(
             d,
