@@ -74,6 +74,8 @@ def run_curation(
     stratum_col: str | None = None,
     splits: dict | None = None,
     n_shards: int | None = None,
+    pack_ctx: int | None = None,
+    pack_shard_chars: int = 1,
 ) -> dict:
     """The composed 5-stage curation run on an existing session; returns the
     stats manifest (per-stage rows out + wall seconds). bench.py calls this
@@ -92,6 +94,10 @@ def run_curation(
     - ``n_shards=N`` writes the output hash-partitioned into N balanced
       shards (xxhash64 of the id — LLN-balanced in rows and tokens at
       corpus scale) with per-shard counts in the manifest.
+    - ``pack_ctx=L`` additionally writes the deterministic sequence-packing
+      PLAN (curation.token_pack_plan, ctx_len=L) over the final output to
+      ``<output>/pack_plan`` — the batch-assembly artifact a training run
+      consumes next — with pack/token totals in the manifest.
     """
     from pyspark.sql import functions as F
 
@@ -247,6 +253,33 @@ def run_curation(
             for r in out_df.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
         }
     stats["stages"].append(write_stage)
+
+    if pack_ctx:
+        from simhash_spark.operators.curation import token_pack_plan
+
+        ts = time.time()
+        pack_dir = str(pathlib.Path(output_path) / "pack_plan")
+        token_pack_plan(
+            out_df, id_col, text_col, ctx_len=pack_ctx, shard_chars=pack_shard_chars
+        ).write.mode("overwrite").parquet(pack_dir)
+        plan = spark.read.parquet(pack_dir)
+        agg = plan.agg(
+            F.sum("n_tokens").alias("toks"),
+            # packs per shard = max pack_last + 1; summed across shards
+            F.count(F.lit(1)).alias("rows"),
+        ).collect()[0]
+        n_packs = (
+            plan.groupBy("shard").agg(F.max("pack_last").alias("m"))
+            .agg(F.sum(F.col("m") + 1).alias("p")).collect()[0]["p"]
+        )
+        stats["stages"].append({
+            "stage": "pack_plan", "ctx_len": pack_ctx,
+            "shards": 16 ** pack_shard_chars,
+            "rows_packed": agg["rows"], "n_tokens": agg["toks"] or 0,
+            "n_packs": int(n_packs or 0),
+            "wall_s": round(time.time() - ts, 2),
+        })
+
     stats["wall_s"] = round(time.time() - t0, 2)
     return stats
 
@@ -279,6 +312,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shards", type=int, default=None,
                     help="write the output hash-partitioned into N shards "
                     "with per-shard counts in the manifest")
+    ap.add_argument("--pack-ctx", type=int, default=None,
+                    help="also write the deterministic sequence-packing plan "
+                    "(token_pack_plan, this context length) to <output>/pack_plan")
+    ap.add_argument("--pack-shard-chars", type=int, default=1,
+                    help="md5-hex chars per packing shard (16^k shards)")
     args = ap.parse_args(argv)
 
     splits = None
@@ -307,6 +345,8 @@ def main(argv: list[str] | None = None) -> int:
         stratum_col=args.stratum_col,
         splits=splits,
         n_shards=args.shards,
+        pack_ctx=args.pack_ctx,
+        pack_shard_chars=args.pack_shard_chars,
     )
     print(json.dumps(stats))
     return 0

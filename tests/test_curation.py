@@ -813,3 +813,49 @@ def test_dedup_repeated_blocks_rules_and_duckdb_lockstep(spark):
         for r in con.sql(repeated_blocks_oracle_sql(k=3)).fetchall()
     }
     assert oracle == got
+
+
+def test_run_curation_pack_plan_face(spark, tmp_path):
+    """--pack-ctx writes the deterministic packing plan over the FINAL
+    output and the manifest's token/pack totals obey the plan algebra:
+    n_tokens == the output corpus's token count, n_packs == sum over shards
+    of ceil(shard_tokens/ctx), and the written plan equals token_pack_plan
+    recomputed on the output docs."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jobs.run_curation import run_curation
+    from simhash_spark.operators.curation import token_pack_plan
+    from simhash_spark.operators.textops import _tokens_col
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    stats = run_curation(
+        spark, src, str(tmp_path / "out"),
+        quality=False, pii=False, substring=False,
+        pack_ctx=256,
+    )
+    by_stage = {s["stage"]: s for s in stats["stages"]}
+    ps = by_stage["pack_plan"]
+    assert ps["ctx_len"] == 256 and ps["shards"] == 16
+
+    out = spark.read.parquet(str(tmp_path / "out" / "documents"))
+    plan = spark.read.parquet(str(tmp_path / "out" / "pack_plan"))
+    want_tokens = out.select(
+        F.sum(F.size(_tokens_col(F.col("text")))).alias("t")
+    ).collect()[0]["t"]
+    assert ps["n_tokens"] == want_tokens == plan.agg(F.sum("n_tokens")).collect()[0][0]
+    assert ps["rows_packed"] == plan.count()
+
+    shard_tokens = {
+        r["shard"]: r["t"]
+        for r in plan.groupBy("shard").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert ps["n_packs"] == sum(math.ceil(t / 256) for t in shard_tokens.values())
+
+    want = {
+        (r["key"], r["shard"], r["start_offset"])
+        for r in token_pack_plan(out, "doc_id", "text", ctx_len=256).collect()
+    }
+    got = {(r["key"], r["shard"], r["start_offset"]) for r in plan.collect()}
+    assert got == want
