@@ -780,9 +780,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (isolated best-of-2 A/B, local[32]: sf0.1 5.7 s unpinned vs 37.1 s
         # pinned — serialized cache fills + MemoryStore churn, the CLAUDE.md
         # persist caveat; sf0.01 is the one regime where pins win, 3.2 vs
-        # 6.2 s, not worth a scale-dependent fork); production reads these
-        # numbers from stage manifests instead, and text_near_dup_pairs/
-        # clusters accept injected stages for callers holding catalog pins
+        # 6.2 s, not worth a scale-dependent fork). tmpfs-parquet pins (the
+        # CheckpointCatalog pattern) DID win their same-session A/B (~1.4x
+        # at both scales) but need eager side-effect writes whose files must
+        # outlive the returned DataFrame — wrong shape for a pure query
+        # face, and under the sandbox's 2-3x cross-session steal variance
+        # the gain is not distinguishable from draw luck. Production reads
+        # these numbers from stage manifests instead, and text_near_dup_
+        # pairs/clusters accept injected stages for callers holding pins
         fp = text_fingerprints(d, "doc_id", "text", CFG)
         return dedup_funnel_report(
             d,
