@@ -324,6 +324,10 @@ def dedup_funnel_report(
 
         1 n_docs             corpus rows in
         2 n_exact_dup_extra  rows an exact (md5) pass would drop
+                             (FROZEN null rule: count - countDistinct(md5)
+                             on both engines, so every NULL-text row counts
+                             as an extra — NULLs never form a keepable md5
+                             group; the test corpora carry no NULL text)
         3 n_candidate_pairs  index-proposed pairs (LSH ∪ pigeonhole)
         4 n_verified_pairs   pairs surviving exact verification
         5 n_dup_docs         docs inside a multi-member near-dup cluster
