@@ -39,3 +39,24 @@ def test_order_lists_reference_real_queries():
     assert not set(entrymod._CHECK_FIRST) & set(entrymod._CHECK_LAST)
     # every query keeps exactly one entry after the reorder
     assert len(list(entrymod.queries())) == len(names)
+
+
+def test_never_driver_checked_queries_sit_inside_budget():
+    """Data-driven from the CORRECTNESS_r*.json artifacts themselves: any
+    query with NO driver row in ANY past round must be inside the first-50
+    budget, so it gets its first hard check next round — the self-
+    maintaining form of the r4 verdict's rotation rule."""
+    import json
+    import pathlib
+
+    checked: set[str] = set()
+    for p in sorted(pathlib.Path("/root/repo").glob("CORRECTNESS_r*.json")):
+        d = json.loads(p.read_text())
+        qs = d.get("queries", d)
+        if isinstance(qs, dict):
+            checked |= set(qs)
+    names = list(entrymod.queries())
+    never = [n for n in names if n not in checked]
+    pos = {n: i for i, n in enumerate(names)}
+    offenders = [n for n in never if pos[n] >= DRIVER_BUDGET]
+    assert not offenders, f"never-driver-checked queries outside budget: {offenders}"
