@@ -378,6 +378,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard"] = ngram_jaccard
 
+    def ngram_near_dup_clusters(spark, sf):
+        # the n-gram algebra's CLUSTER face (same frozen min-string-id label
+        # rule as the SimHash/embedding families); oracle = the pair SQL +
+        # a recursive-CTE transitive closure, pure SQL end to end
+        from simhash_spark.operators.dedup import ngram_near_dup_clusters as op
+
+        return op(
+            spark.read.parquet(_t(sf, "documents")),
+            "doc_id",
+            "text",
+            n=3,
+            threshold=0.03,
+            shingle_doc_cap=2**31,  # oracle models no cap (cf. ngram_jaccard)
+        )
+
+    q["ngram_near_dup_clusters"] = ngram_near_dup_clusters
+
     def ngram_containment(spark, sf):
         from simhash_spark.operators.dedup import ngram_containment_pairs
 
@@ -1274,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "image_dedup_funnel",
+    "ngram_near_dup_clusters",
     "token_pack_stats",
     "tfidf_top_terms",
     "bpe_merge_stats",
@@ -1349,6 +1367,10 @@ _CHECK_LAST = [
     # whose decision layer stays driver-covered via near_dup_keep_best and
     # image_keep_best; still bit-exact-checked every session by the sweep
     "near_dup_keep_list",
+    # demoted for ngram_near_dup_clusters: QUADRUPLE-green (r1-r4), and its
+    # exact pair core runs inside the new cluster query's checked plan;
+    # still bit-exact-checked every session by the local sweep
+    "ngram_jaccard",
 ]
 
 
@@ -1563,6 +1585,42 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = a
         JOIN sizes sb ON sb.doc_id = b
         WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.03
+    """
+
+    # cluster labels re-derived in PURE SQL: the ngram_jaccard pair set +
+    # a recursive-CTE transitive closure; cluster_id = lexicographic-min
+    # member (ids as VARCHAR — the engine's frozen label rule)
+    o["ngram_near_dup_clusters"] = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+            FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN len(t) >= 3 THEN array_to_string(t[i:i+2], ' ')
+                        ELSE array_to_string(t, ' ') END AS shingle
+            FROM toks,
+                 LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i)
+            WHERE length(array_to_string(t, ' ')) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM grams GROUP BY 1),
+        pairs AS (
+            SELECT CAST(s.xa AS VARCHAR) AS a, CAST(s.yb AS VARCHAR) AS b
+            FROM (SELECT x.doc_id AS xa, y.doc_id AS yb, count(*) AS n_shared
+                  FROM grams x JOIN grams y USING (shingle)
+                  WHERE x.doc_id < y.doc_id GROUP BY 1, 2) s
+            JOIN sizes sa ON sa.doc_id = s.xa
+            JOIN sizes sb ON sb.doc_id = s.yb
+            WHERE CAST(s.n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - s.n_shared) >= 0.03
+        ),
+        edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        ids AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id FROM documents),
+        reach(id, lab) AS (
+            SELECT id, id FROM ids
+            UNION
+            SELECT e.a, r.lab FROM edges e JOIN reach r ON r.id = e.b
+        )
+        SELECT id AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY id
     """
 
     o["ngram_containment"] = """

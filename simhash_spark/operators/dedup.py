@@ -242,6 +242,46 @@ def ngram_containment_pairs(
     )
 
 
+def ngram_near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingle_doc_cap: int = 1000,
+) -> DataFrame:
+    """Near-dup CLUSTERS under the exact n-gram Jaccard measure — the
+    cluster face the SimHash and embedding dedup families already have,
+    for the third algebra: connected components over ngram_jaccard_pairs,
+    every doc labeled (singletons by themselves, min-STRING-id component
+    labels — the same frozen rule as text_near_dup_clusters, so the keep/
+    weight/split decision operators apply unchanged on these labels).
+
+    Plan: the audited ONE-exchange shared-counts core builds the pair set;
+    CC is the O(log n) star loop (bounded driver fast path under the edge
+    limit); the singleton union is a left-anti broadcast against the slim
+    label table. Nothing here is new machinery — the operator exists so a
+    pure n-gram dedup run composes from queries the driver checks.
+    """
+    from simhash_spark.operators.connected_components import connected_components
+
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n, threshold, shingle_doc_cap)
+    labels = connected_components(
+        pairs.select(
+            F.col("a").cast("string").alias("a"), F.col("b").cast("string").alias("b")
+        )
+    )
+    ids = df.select(F.col(id_col).cast("string").alias("_id"))
+    singletons = ids.join(
+        labels.select(F.col("id").alias("_id")), "_id", "left_anti"
+    )
+    return labels.select(F.col("id").alias(id_col), "cluster_id").unionByName(
+        singletons.select(
+            F.col("_id").alias(id_col), F.col("_id").alias("cluster_id")
+        )
+    )
+
+
 def near_dup_keep_list(clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, cluster_id) labels -> (id, keep_id, is_kept): the dedup DECISION a
     run publishes — one representative per near-dup cluster, everything else

@@ -1209,3 +1209,29 @@ def test_token_pack_stats_conservation(spark, docs):
         tail = total - ctx * (len(g) - 1)
         assert g["n_tokens"].iloc[-1] == tail and 0 < tail <= ctx
     assert (stats["n_docs"] >= 1).all()
+
+
+def test_ngram_near_dup_clusters_transitivity_and_singletons(spark):
+    """A transitive chain a~b~c (a and c NOT directly similar) collapses to
+    one cluster labeled by the min string id; dissimilar and blank docs are
+    singletons labeled by themselves."""
+    from simhash_spark.operators.dedup import ngram_jaccard_pairs, ngram_near_dup_clusters
+
+    d = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 x1 x2 x3"),      # shares half with 1 and 3
+            (3, "x1 x2 x3 w3 w4 w5 y1 y2 y3"),
+            (9, "z1 z2 z3 z4 z5 z6 z7 z8"),      # dissimilar
+            (10, "   "),                          # blank -> singleton
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["a"], r["b"]) for r in
+             ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.15).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    labels = {r["doc_id"]: r["cluster_id"] for r in
+              ngram_near_dup_clusters(d, "doc_id", "text", n=3, threshold=0.15).collect()}
+    assert labels["1"] == labels["2"] == labels["3"] == "1"  # transitive, min id
+    assert labels["9"] == "9" and labels["10"] == "10"
+    assert len(labels) == 5
