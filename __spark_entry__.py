@@ -1133,6 +1133,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_dedup_funnel"] = image_dedup_funnel
 
+    def phash_distance_histogram(spark, sf):
+        # the image axis's radius-calibration margin (dup_distance_histogram
+        # on the pixel axis): exact phash Hamming histogram over ALL
+        # candidate pairs the flagship index proposes, accepted = hamming <=
+        # phash_radius. Oracle = the independent numpy mirror's candidate
+        # set + popcount (tests/gen_expected.py), itself differentialed
+        # against the O(n^2) dup matrix at generation time.
+        from simhash_spark.operators.verify import pair_distance_histogram
+        from simhash_spark.plans.pipeline import candidate_job, fingerprint_job
+        from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+        pdf = make_images_pdf(300, seed=42, with_bytes=False)
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        fp = fingerprint_job(spark, src, CFG).cache()
+        return pair_distance_histogram(
+            candidate_job(fp, CFG), fp, CFG, col="phash", radius=CFG.phash_radius
+        )
+
+    q["phash_distance_histogram"] = phash_distance_histogram
+
     def image_keep_best(spark, sf):
         # the dedup DECISION on the image pipeline: keep each near-dup
         # cluster's highest-RESOLUTION member (score = w*h, ties -> min
@@ -1290,6 +1310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "phash_distance_histogram",
     "image_dedup_funnel",
     "ngram_near_dup_clusters",
     "token_pack_stats",
@@ -1371,6 +1392,11 @@ _CHECK_LAST = [
     # exact pair core runs inside the new cluster query's checked plan;
     # still bit-exact-checked every session by the local sweep
     "ngram_jaccard",
+    # demoted for phash_distance_histogram: driver-green in r4, its frozen
+    # boundary rule additionally PROVEN equal to Spark's native
+    # session_window by the streaming differential (test_streaming), and
+    # still bit-exact-checked every session by the local sweep
+    "events_sessionize",
 ]
 
 
@@ -1980,6 +2006,10 @@ def oracle_sql() -> dict[str, str]:
     o["image_dedup_funnel"] = _expected_values_sql(
         "image_funnel.parquet",
         {"stage": "INT", "metric": "VARCHAR", "value": "BIGINT"},
+    )
+    o["phash_distance_histogram"] = _expected_values_sql(
+        "image_phash_hist.parquet",
+        {"hamming": "INT", "n_pairs": "BIGINT", "accepted": "INT"},
     )
     o["image_keep_best"] = _expected_values_sql(
         "image_keep_best.parquet",

@@ -117,33 +117,39 @@ def pair_distance_histogram(
     fp: DataFrame,
     cfg: PipelineConfig,
     id_col: str = "image_id",
+    col: str = "simhash",
+    radius: int | None = None,
 ) -> DataFrame:
     """Threshold-tuning surface: the exact Hamming-distance histogram over
     ALL candidate pairs (not just the accepted ones) -> one row per distance
     value ``(hamming, n_pairs, accepted)``.
 
     The accepted/rejected margin is what a curation run inspects before
-    moving ``hamming_radius``: mass piled just ABOVE the radius means the
-    index is surfacing near-misses a wider radius would admit; a clean gap
-    means the threshold sits in a natural valley. Same shape as the
-    reference's radius calibration sweep, but computed in one pass from the
-    candidate set the index already produced (no re-query per radius).
+    moving the radius: mass piled just ABOVE the radius means the index is
+    surfacing near-misses a wider radius would admit; a clean gap means the
+    threshold sits in a natural valley. Same shape as the reference's
+    radius calibration sweep, but computed in one pass from the candidate
+    set the index already produced (no re-query per radius).
 
-    Plan: two slim ``(id, simhash)`` equi-joins (bytes/bands never enter),
+    ``col``/``radius`` pick the fingerprint axis: the default calibrates
+    the caption SimHash against ``cfg.hamming_radius``; ``col="phash",
+    radius=cfg.phash_radius`` calibrates the image pipeline's perceptual
+    hash over the same candidate set.
+
+    Plan: two slim ``(id, <col>)`` equi-joins (bytes/bands never enter),
     ``bit_count(xor)`` in whole-stage codegen, then a map-side-combined
     group agg whose key domain is <= 65 values — the exchange ships at most
     65 rows per mapper regardless of corpus size. ``accepted`` is derived
     from the grouped key, not re-checked per pair.
     """
-    a = fp.select(F.col(id_col).alias("a"), F.col("simhash").alias("_sa"))
-    b = fp.select(F.col(id_col).alias("b"), F.col("simhash").alias("_sb"))
+    r = cfg.hamming_radius if radius is None else radius
+    a = fp.select(F.col(id_col).alias("a"), F.col(col).alias("_sa"))
+    b = fp.select(F.col(id_col).alias("b"), F.col(col).alias("_sb"))
     hc = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
     return (
         candidates.join(a, "a")
         .join(b, "b")
         .groupBy(hc.alias("hamming"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .withColumn(
-            "accepted", (F.col("hamming") <= cfg.hamming_radius).cast("int")
-        )
+        .withColumn("accepted", (F.col("hamming") <= F.lit(r)).cast("int"))
     )

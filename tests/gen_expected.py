@@ -342,6 +342,39 @@ def main() -> None:
     )
     print(f"image funnel: {dict((r[1], r[2]) for r in funnel)}")
 
+    # phash_distance_histogram: the image axis's radius-calibration margin —
+    # exact phash Hamming histogram over ALL mirror candidate pairs
+    # (accepted AND rejected), accepted = hamming <= phash_radius. Same
+    # re-derivation device as dup_distance_histogram, on the pixel axis.
+    iph = spec.i64_to_u64(img["phash"].to_numpy(np.int64))
+    iby = {iid: i for i, iid in enumerate(img_ids)}
+    assert imir["candidates"], "image fixture produced no candidate pairs"
+    cai = np.array([iby[a] for a, _ in imir["candidates"]])
+    cbi = np.array([iby[b] for _, b in imir["candidates"]])
+    ph_d = spec.popcount64(iph[cai] ^ iph[cbi]).astype(np.int64)
+    hvals, hcnts = np.unique(ph_d, return_counts=True)
+    pq.write_table(
+        pa.table(
+            {
+                "hamming": hvals.astype(np.int32),
+                "n_pairs": hcnts.astype(np.int64),
+                "accepted": (hvals <= CFG.phash_radius).astype(np.int32),
+            },
+            schema=pa.schema(
+                [
+                    ("hamming", pa.int32()),
+                    ("n_pairs", pa.int64()),
+                    ("accepted", pa.int32()),
+                ]
+            ),
+        ),
+        OUT / "image_phash_hist.parquet",
+    )
+    print(
+        f"image phash hist: {len(hvals)} distances over {len(ph_d)} pairs, "
+        f"accepted mass {int(hcnts[hvals <= CFG.phash_radius].sum())}"
+    )
+
     # image_keep_best: per-cluster keep rule over the SAME clusters — the
     # member with maximum resolution w*h, ties broken by minimum image_id
     # (the frozen near_dup_keep_best rule with score = w*h). Independent

@@ -1,8 +1,8 @@
 """T3: the driver-contract gate, reproduced locally — every oracle-checked
 ``queries()`` entry is run through Spark AND its ``oracle_sql()`` through
 DuckDB at sf0.01 (the driver's scale), then compared row-for-row after
-sorting columns by name (the driver's canonicalization). Rows-only queries
-are smoke-checked for stable schema + determinism across two runs."""
+sorting columns by name (the driver's canonicalization). There are no
+rows-only queries — a dedicated test pins that every entry has an oracle."""
 
 from __future__ import annotations
 
@@ -63,14 +63,13 @@ def test_oracle_parity(spark, duck, name):
             assert same.all(), f"column {col}: first diff at row {int(np.argmin(same))}"
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_queries_run_and_are_deterministic(spark, name):
-    qs = entrymod.queries()
-    df1 = qs[name](spark, "/root/testdata/sf0.001")
-    p1 = _canon(df1.toPandas())
-    p2 = _canon(qs[name](spark, "/root/testdata/sf0.001").toPandas())
-    assert len(p1) >= 0 and list(p1.columns)
-    pd.testing.assert_frame_equal(p1, p2)
+def test_every_query_is_oracle_checked():
+    # No rows-only entries: every queries() key carries a DuckDB oracle, so
+    # the driver's strongest (hash-match) gate applies to the whole surface.
+    # (If a genuinely non-SQL-expressible query ever lands, this assert is
+    # the deliberate speed bump: replace it with a determinism smoke test
+    # for the rows-only set, as earlier rounds had.)
+    assert not ROWS_ONLY
 
 
 def test_entry_smoke(spark):

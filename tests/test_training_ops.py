@@ -1021,6 +1021,36 @@ def test_pair_distance_histogram_mass_accounting(spark, docs):
     fp.unpersist()
 
 
+def test_phash_distance_histogram_mass_accounting(spark):
+    """Image-axis analog of the simhash histogram test: over the flagship
+    fixture's candidate set, the phash histogram partitions the candidates,
+    accepted == (hamming <= phash_radius) row-wise, and the accepted mass
+    equals the number of verified pairs the phash criterion establishes."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.verify import pair_distance_histogram, verify_pairs
+    from simhash_spark.plans.pipeline import candidate_job, fingerprint_job
+    from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+    src = spark.createDataFrame(
+        make_images_pdf(300, seed=42, with_bytes=False), schema=INPUT_HINT_SCHEMA
+    )
+    fp = fingerprint_job(spark, src, CFG).cache()
+    cand = candidate_job(fp, CFG).cache()
+    hist = pair_distance_histogram(
+        cand, fp, CFG, col="phash", radius=CFG.phash_radius
+    ).collect()
+    assert sum(r["n_pairs"] for r in hist) == cand.count()
+    for r in hist:
+        assert r["accepted"] == int(r["hamming"] <= CFG.phash_radius)
+    accepted_mass = sum(r["n_pairs"] for r in hist if r["accepted"])
+    ver = verify_pairs(cand, fp, CFG)
+    assert accepted_mass == ver.where(
+        (F.col("hamming_phash") >= 0) & (F.col("hamming_phash") <= CFG.phash_radius)
+    ).count()
+    cand.unpersist()
+    fp.unpersist()
+
+
 def test_minhash_est_eval_bounds_and_identical_docs(spark, docs):
     """Estimator sanity on real candidates + planted exact duplicates: bp
     values stay in [0, 10000]; an exact-duplicate pair measures 10000 on
