@@ -778,6 +778,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dup_distance_histogram"] = dup_distance_histogram
 
+    def lsh_bucket_stats(spark, sf):
+        # the skew surface: full bucket-size histogram per index family
+        # (band LSH vs simhash pigeonhole, singletons included) — what a
+        # 10^12-row run reads before picking bucket_cap / salting
+        # thresholds. Same groupBy(k) exchange the candidates stage runs.
+        # Oracle = the mirror's raw (code, table, key) buckets (engine
+        # folds the triple through xxhash64; merge odds 2^-62).
+        from simhash_spark.operators.candidates import (
+            bucket_size_histogram,
+            explode_all_keys,
+        )
+        from simhash_spark.plans.text_dedup import text_fingerprints
+
+        d = spark.read.parquet(_t(sf, "documents"))
+        fp = text_fingerprints(d, "doc_id", "text", CFG)
+        return bucket_size_histogram(explode_all_keys(fp, CFG, include_phash=False))
+
+    q["lsh_bucket_stats"] = lsh_bucket_stats
+
     def dedup_pipeline_report(spark, sf):
         # the end-to-end dedup FUNNEL (stage, metric, value): docs -> exact
         # dups -> candidates -> verified pairs -> clusters -> kept — the
@@ -1310,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "lsh_bucket_stats",
     "phash_distance_histogram",
     "image_dedup_funnel",
     "ngram_near_dup_clusters",
@@ -1397,6 +1417,11 @@ _CHECK_LAST = [
     # session_window by the streaming differential (test_streaming), and
     # still bit-exact-checked every session by the local sweep
     "events_sessionize",
+    # demoted for lsh_bucket_stats: double-green (r3+r4); the contamination
+    # family stays driver-covered by its span/excise/excise_raw rows (the
+    # counts logic runs inside decontaminate_spans' checked plan), and it
+    # is still bit-exact-checked every session by the local sweep
+    "decontaminate_overlap",
 ]
 
 
@@ -2010,6 +2035,10 @@ def oracle_sql() -> dict[str, str]:
     o["phash_distance_histogram"] = _expected_values_sql(
         "image_phash_hist.parquet",
         {"hamming": "INT", "n_pairs": "BIGINT", "accepted": "INT"},
+    )
+    o["lsh_bucket_stats"] = _expected_values_sql(
+        "bucket_hist.parquet",
+        {"src": "VARCHAR", "bucket_size": "INT", "n_buckets": "BIGINT"},
     )
     o["image_keep_best"] = _expected_values_sql(
         "image_keep_best.parquet",

@@ -327,6 +327,38 @@ def bucket_stats_packed(packed: DataFrame) -> DataFrame:
     )
 
 
+def bucket_size_histogram(packed: DataFrame) -> DataFrame:
+    """Full bucket-size histogram per index family from the PACKED key table
+    -> (src, bucket_size, n_buckets), singleton buckets included.
+
+    The skew surface behind ``bucket_stats_packed``'s summary row: the whole
+    size distribution is what a 10^12-row run inspects to pick bucket_cap /
+    salting thresholds (one hot band at size 10^6 vs a thousand at 10^3
+    produce the same avg but need different treatment). Integer-only output
+    so the driver oracle compares bit-exactly.
+
+    Plan: the SAME map-side-combined groupBy(k) exchange the candidates
+    stage runs (key-count exchange units), then a tiny (src, size) agg —
+    at most sources x 65-ish distinct sizes per mapper after the combine.
+    Source recovered from each packed key's low 2 bits; a 2^-62 xxhash64
+    key collision would merge two buckets' counts, the same accepted odds
+    as candidate generation itself.
+    """
+    decode = (
+        F.when(src_code() == 1, "minhash_lsh")
+        .when(src_code() == 2, "simhash_rot")
+        .when(src_code() == 3, "phash_rot")
+        .otherwise("other")
+    )
+    return (
+        packed.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .select(decode.alias("src"), F.col("bucket_size").cast("int").alias("bucket_size"))
+        .groupBy("src", "bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+    )
+
+
 def bucket_stats(keyed: DataFrame) -> DataFrame:
     """Bucket-size histogram per source — the skew/recall accounting that the
     stage manifest records (no silent truncation)."""

@@ -122,6 +122,38 @@ def main() -> None:
         f"{len(set(m['clusters'].values()))} clusters"
     )
 
+    # lsh_bucket_stats: bucket-size histogram per index family (singletons
+    # included) from the mirror's raw (code, table, key) buckets — the skew
+    # surface a production run reads before picking bucket_cap / salting.
+    from collections import Counter
+
+    bh = Counter(m["bucket_sizes"])  # (src, size) -> n_buckets
+    bh_rows = sorted(bh.items())
+    pq.write_table(
+        pa.table(
+            {
+                "src": [s for (s, _), _c in bh_rows],
+                "bucket_size": np.array([z for (_, z), _c in bh_rows], np.int32),
+                "n_buckets": np.array([c for _k, c in bh_rows], np.int64),
+            },
+            schema=pa.schema(
+                [
+                    ("src", pa.string()),
+                    ("bucket_size", pa.int32()),
+                    ("n_buckets", pa.int64()),
+                ]
+            ),
+        ),
+        OUT / "bucket_hist.parquet",
+    )
+    print(
+        "bucket hist: "
+        + ", ".join(
+            f"{src}: {sum(c for (s, _), c in bh.items() if s == src)} buckets"
+            for src in ("minhash_lsh", "simhash_rot")
+        )
+    )
+
     # ---- minhash_est_eval: estimated vs exact Jaccard per candidate pair --
     # Independent per-row path: spec.caption_fingerprint (the canonical
     # single-document pipeline, NOT the batched kernel the engine UDF runs)

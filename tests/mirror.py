@@ -81,6 +81,13 @@ def text_kernel_mirror(docs: pd.DataFrame, cfg: PipelineConfig) -> dict:
         "candidates": {p: ",".join(sorted(pair_srcs[p])) for p in cand_rows},
         "verified": verified,
         "clusters": clusters,
+        # per-bucket sizes (singletons included) for the skew surface —
+        # bucket identity is the raw (code, table, key) triple; the engine
+        # folds it through xxhash64, which merges buckets with prob 2^-62
+        "bucket_sizes": [
+            ("minhash_lsh" if code == 1 else "simhash_rot", len(members))
+            for (code, _i, _k), members in buckets.items()
+        ],
     }
 
 

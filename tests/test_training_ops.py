@@ -1021,6 +1021,47 @@ def test_pair_distance_histogram_mass_accounting(spark, docs):
     fp.unpersist()
 
 
+def test_bucket_size_histogram_mass_accounting(spark, docs):
+    """The histogram partitions the key table: per src, sum(size * n_buckets)
+    equals that src's key-row count, and the >1-size mass agrees with
+    bucket_stats_packed's n_colliding / max_bucket summary."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.candidates import (
+        bucket_size_histogram,
+        bucket_stats_packed,
+        explode_all_keys,
+        src_code,
+    )
+    from simhash_spark.plans.text_dedup import text_fingerprints
+
+    fp = text_fingerprints(docs, "doc_id", "text").cache()
+    packed = explode_all_keys(fp, CFG, include_phash=False).cache()
+    hist = bucket_size_histogram(packed).collect()
+    decode = (
+        F.when(src_code() == 1, "minhash_lsh")
+        .when(src_code() == 2, "simhash_rot")
+        .otherwise("other")
+    )
+    key_rows = {
+        r["src"]: r["n"]
+        for r in packed.groupBy(decode.alias("src")).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    summary = {r["src"]: r.asDict() for r in bucket_stats_packed(packed).collect()}
+    srcs = {r["src"] for r in hist}
+    assert srcs == {"minhash_lsh", "simhash_rot"}
+    for src in srcs:
+        rows = [r for r in hist if r["src"] == src]
+        assert sum(r["bucket_size"] * r["n_buckets"] for r in rows) == key_rows[src]
+        assert sum(r["n_buckets"] for r in rows) == summary[src]["n_buckets"]
+        assert max(r["bucket_size"] for r in rows) == summary[src]["max_bucket"]
+        assert (
+            sum(r["n_buckets"] for r in rows if r["bucket_size"] > 1)
+            == summary[src]["n_colliding"]
+        )
+    packed.unpersist()
+    fp.unpersist()
+
+
 def test_phash_distance_histogram_mass_accounting(spark):
     """Image-axis analog of the simhash histogram test: over the flagship
     fixture's candidate set, the phash histogram partitions the candidates,
