@@ -152,6 +152,16 @@ def test_ann_topk_dedup_exchanges_carry_no_vectors(spark, query):
     assert not offenders, f"{query}: vectors ride a hash exchange: {offenders}"
 
 
+def test_phash_histogram_exchanges_carry_no_bands_or_bytes(spark):
+    """r5 tripwire for phash_distance_histogram's slim-join claim: the pair
+    joins attach only (id, phash) — the wide band array (and bytes, pruned
+    at E1) must never ride a hash exchange; the candidates exchange ships
+    bare (k, id)."""
+    df = entrymod.queries()["phash_distance_histogram"](spark, SF)
+    offenders = _vector_carrying_hash_exchanges(spark, df, vec_names=("bands", "bytes"))
+    assert not offenders, f"bands/bytes ride a hash exchange: {offenders}"
+
+
 @pytest.mark.parametrize("op_name", ["ngram_jaccard_pairs", "ngram_containment_pairs"])
 def test_ngram_jaccard_single_shingle_exchange(spark, op_name):
     """_ngram_shared_counts' docstring claims ONE exchange of the shingle
@@ -239,6 +249,9 @@ def test_no_cartesian_product_on_any_scale_path(spark):
         # ONE exchange keyed shard; the per-shard cumsum is a sort within
         # that exchange's partitions, never a second shuffle
         ("token_pack_plan", 1, False),
+        # groupBy(k) — the same exchange unit the candidates stage runs —
+        # plus the tiny (src, size) final agg; never a third shuffle
+        ("lsh_bucket_stats", 2, False),
     ],
 )
 def test_term_stats_exchange_budget(spark, query, n_hash_exchanges, want_takeordered):
