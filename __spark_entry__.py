@@ -1221,6 +1221,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_features"] = image_features
 
+    def image_exact_dup_bytes(spark, sf):
+        # byte-exact image dedup: the first funnel stage of a real image
+        # corpus (same file re-uploaded under a new id + caption) — ONE
+        # map-combined md5(bytes) hash-agg, the identical 100-TB plan shape
+        # as exact_dedup_groups on text, exercised on the binary column of
+        # the BASELINE input_hint. Oracle: hashlib.md5 groups recomputed in
+        # plain python over the same planted fixture (tests/gen_expected.py).
+        from simhash_spark.operators.dedup import exact_dedup_groups
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            make_images_pdf,
+            plant_byte_reuploads,
+        )
+
+        pdf = plant_byte_reuploads(make_images_pdf(100, seed=42, with_bytes=True))
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        return exact_dedup_groups(src, "image_id", "bytes")
+
+    q["image_exact_dup_bytes"] = image_exact_dup_bytes
+
     def phash_reverse_search(spark, sf):
         # reverse image search: all corpus images within phash-Hamming<=3 of
         # each probe, via the pigeonhole block index (corpus scanned once,
@@ -1329,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "image_exact_dup_bytes",
     "lsh_bucket_stats",
     "phash_distance_histogram",
     "image_dedup_funnel",
@@ -1422,6 +1443,11 @@ _CHECK_LAST = [
     # counts logic runs inside decontaminate_spans' checked plan), and it
     # is still bit-exact-checked every session by the local sweep
     "decontaminate_overlap",
+    # demoted for image_exact_dup_bytes: double-green (r3+r4) md5-threshold
+    # sampling rule; the sampling layer stays driver-covered by
+    # token_budget_sample_docs and near_dup_sample_weights rows, and it is
+    # still bit-exact-checked every session by the local sweep
+    "stratified_sample_docs",
 ]
 
 
@@ -2053,6 +2079,10 @@ def oracle_sql() -> dict[str, str]:
             "phash_computed": "BIGINT",
             "error": "VARCHAR",
         },
+    )
+    o["image_exact_dup_bytes"] = _expected_values_sql(
+        "image_exact_bytes.parquet",
+        {"content_hash": "VARCHAR", "n_copies": "BIGINT", "keep_id": "VARCHAR"},
     )
     o["audio_features"] = _expected_values_sql(
         "audio_features.parquet",

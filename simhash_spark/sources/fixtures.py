@@ -133,6 +133,28 @@ def make_images_pdf(
     return pd.DataFrame(rows)
 
 
+def plant_byte_reuploads(
+    pdf: pd.DataFrame, every: int = 7, offset: int = 3
+) -> pd.DataFrame:
+    """Plant byte-identical re-uploads into a ``with_bytes=True`` fixture.
+
+    Every row at index ``i`` with ``i % every == offset`` becomes a re-upload
+    of the canonical row ``i - offset``: the FILE columns (bytes, w, h, fmt,
+    phash) are copied verbatim while image_id and caption stay the row's own
+    — the real-world shape of the same image re-posted under a new id with a
+    different caption, the case byte-exact dedup (md5 over the binary column)
+    catches before any perceptual stage runs. Pure deterministic post-pass:
+    it consumes no RNG, so the shared make_images_pdf stream (and every
+    expected parquet pinned to it) is untouched.
+    """
+    out = pdf.copy()
+    for i in range(offset, len(out), every):
+        src = i - offset
+        for col in ("bytes", "w", "h", "fmt", "phash"):
+            out.at[i, col] = pdf.at[src, col]
+    return out
+
+
 def _flip_bits(ph: np.uint64, rng: np.random.Generator, k: int) -> np.uint64:
     v = int(ph)
     for bit in rng.choice(64, size=k, replace=False):

@@ -476,6 +476,42 @@ def main() -> None:
     )
     print(f"image features: {len(feat)} rows")
 
+    # image_exact_dup_bytes: byte-exact re-upload groups over the planted
+    # with_bytes fixture — md5 of the raw file bytes recomputed with hashlib
+    # (independent of Spark's md5 expression), grouped in plain python.
+    import hashlib
+
+    from simhash_spark.sources.fixtures import plant_byte_reuploads
+
+    up = plant_byte_reuploads(make_images_pdf(100, seed=42, with_bytes=True))
+    groups: dict[str, list[str]] = defaultdict(list)
+    for iid, data in zip(up["image_id"], up["bytes"]):
+        groups[hashlib.md5(bytes(data)).hexdigest()].append(str(iid))
+    pq.write_table(
+        pa.table(
+            {
+                "content_hash": list(groups),
+                "n_copies": np.array([len(v) for v in groups.values()], np.int64),
+                "keep_id": [min(v) for v in groups.values()],
+            },
+            schema=pa.schema(
+                [
+                    ("content_hash", pa.string()),
+                    ("n_copies", pa.int64()),
+                    ("keep_id", pa.string()),
+                ]
+            ),
+        ),
+        OUT / "image_exact_bytes.parquet",
+    )
+    n_dup_groups = sum(1 for v in groups.values() if len(v) > 1)
+    assert n_dup_groups > 0, "fixture must plant at least one byte-dup group"
+    assert sum(len(v) for v in groups.values()) == len(up)
+    print(
+        f"image exact bytes: {len(groups)} groups over {len(up)} rows, "
+        f"{n_dup_groups} with re-uploads"
+    )
+
     # phash_reverse_search: numpy brute force over the 500-row fixture —
     # probes are the first 50 images, matches = hamming(phash) <= 3. The
     # operator's pigeonhole index is EXACT at radius <= n_blocks-1, so the

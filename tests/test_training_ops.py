@@ -1306,3 +1306,33 @@ def test_ngram_near_dup_clusters_transitivity_and_singletons(spark):
     assert labels["1"] == labels["2"] == labels["3"] == "1"  # transitive, min id
     assert labels["9"] == "9" and labels["10"] == "10"
     assert len(labels) == 5
+
+
+def test_image_exact_dup_bytes_groups_planted_reuploads(spark):
+    """Byte-exact image dedup over the planted re-upload fixture: every
+    planted row groups with its canonical (same md5, keep_id = min id =
+    the canonical), masses conserve, and Spark's md5-over-binary equals an
+    independent hashlib pass."""
+    from simhash_spark.operators.dedup import exact_dedup_groups
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_byte_reuploads,
+    )
+
+    pdf = plant_byte_reuploads(make_images_pdf(100, seed=42, with_bytes=True))
+    src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+    got = exact_dedup_groups(src, "image_id", "bytes").toPandas()
+
+    # independent python recomputation (same as tests/gen_expected.py)
+    groups: dict[str, list[str]] = {}
+    for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+        groups.setdefault(hashlib.md5(bytes(data)).hexdigest(), []).append(str(iid))
+    assert got["n_copies"].sum() == 100
+    by_hash = {r.content_hash: (r.n_copies, r.keep_id) for r in got.itertuples()}
+    assert by_hash == {h: (len(v), min(v)) for h, v in groups.items()}
+    # the planted rule itself: i % 7 == 3 re-uploads row i-3 byte-for-byte
+    for i in range(3, 100, 7):
+        a, b = f"img{i - 3:09d}", f"img{i:09d}"
+        h = hashlib.md5(bytes(pdf["bytes"].iloc[i])).hexdigest()
+        assert by_hash[h][0] >= 2 and by_hash[h][1] <= a < b
