@@ -289,18 +289,35 @@ def srp_topk(
     """
     c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    pairs = srp_candidates(
+        c_vecs, q_vecs, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
+    return _rerank_topk(pairs, q_vecs, c_vecs, k)
+
+
+def srp_candidates(
+    c_vecs: DataFrame,
+    q_vecs: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """srp_topk's bare candidate stage — deduped (query_id, neighbor_id)
+    pairs from the bucket equi-join, no vectors attached. Factored out so
+    the design-regime ladder (jobs/design_regime.py --ann) can count
+    candidate volume per query with the exact production plan; srp_topk
+    composes this with _rerank_topk unchanged."""
     c = srp_keys(
         c_vecs, "cvec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=False
     ).select("neighbor_id", "key")
     q = srp_keys(
         q_vecs, "qvec", n_planes=n_planes, n_tables=n_tables, seed=seed, multi_probe=True
     ).select("query_id", "key")
-    pairs = (
+    return (
         c.join(q, "key")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _rerank_topk(pairs, q_vecs, c_vecs, k)
 
 
 def _rerank_topk(pairs: DataFrame, q_vecs: DataFrame, c_vecs: DataFrame, k: int) -> DataFrame:
@@ -452,22 +469,34 @@ def ivf_topk(
     — and vectors are re-attached only for the cosine re-rank (_rerank_topk:
     queries broadcast, corpus vectors move at most once).
     """
-    c_assign = make_ivf_assign_udf(centroids, 1)
-    q_assign = make_ivf_assign_udf(centroids, nprobe)
     c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q_vecs = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    pairs = ivf_candidates(c_vecs, q_vecs, centroids, nprobe=nprobe)
+    return _rerank_topk(pairs, q_vecs, c_vecs, k)
+
+
+def ivf_candidates(
+    c_vecs: DataFrame,
+    q_vecs: DataFrame,
+    centroids: np.ndarray,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ivf_topk's bare candidate stage — deduped (query_id, neighbor_id)
+    pairs from the inverted-list equi-join, no vectors attached (same
+    factoring as srp_candidates, for the --ann design-regime ladder)."""
+    c_assign = make_ivf_assign_udf(centroids, 1)
+    q_assign = make_ivf_assign_udf(centroids, nprobe)
     c = c_vecs.withColumn("list_id", F.element_at(c_assign(F.col("cvec")), 1)).select(
         "neighbor_id", "list_id"
     )
     q = q_vecs.withColumn("list_id", F.explode(q_assign(F.col("qvec")))).select(
         "query_id", "list_id"
     )
-    pairs = (
+    return (
         c.join(q, "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return _rerank_topk(pairs, q_vecs, c_vecs, k)
 
 
 def ann_recall_eval(exact: DataFrame, approx: DataFrame) -> DataFrame:
