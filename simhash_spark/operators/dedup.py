@@ -560,8 +560,10 @@ def dedup_eval(
     clusters. That is inherent to pair-recall (the truth table it joins
     is the same size class), so the operator ENFORCES a bound instead of
     documenting one: any cluster larger than ``max_cluster_size`` raises
-    (loud failure, checked with a bounded limit-1 probe on a map-combined
-    size agg) unless ``sample_oversized=True``, which deterministically
+    (loud failure via an IN-PLAN ``raise_error`` over the member rows — it
+    fires at execution, strictly before the pair join materializes, and
+    construction stays lazy: no hidden probe job, no second run of the
+    upstream lineage) unless ``sample_oversized=True``, which deterministically
     downsamples each oversized cluster's MEMBERS to ~max_cluster_size with
     the md5 keep rule (hash(cluster_id|id) % size < cap) before pairing —
     pair counts for those clusters then measure the sampled subgraph, and
@@ -572,41 +574,51 @@ def dedup_eval(
     """
     lab = clusters.select(F.col(cluster_col).alias("_c"), F.col(id_col).alias("_id"))
     if max_cluster_size is not None:
-        sizes = lab.groupBy("_c").agg(F.count(F.lit(1)).alias("_n"))
+        # cluster sizes as a WINDOW count over the same _c-keyed rows the
+        # pair self-join below shuffles on — one exchange serves both (the
+        # CLAUDE.md exchange-reuse pattern), and the guard stays LAZY: no
+        # collect()/job at DataFrame-construction time, so building the
+        # query for plan inspection costs nothing and the upstream lineage
+        # (possibly the whole pipeline) runs exactly once, not twice.
+        from pyspark.sql import Window
+
+        lab = lab.withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("_c")))
         if sample_oversized:
             # md5 member rule: ~max_cluster_size survivors per oversized
             # cluster, deterministic in (cluster_id, id) only.
-            lab = (
-                lab.join(sizes, "_c")
-                .where(
-                    (F.col("_n") <= max_cluster_size)
-                    | (
-                        F.pmod(
-                            F.conv(
-                                F.md5(F.concat_ws("|", "_c", "_id")).substr(1, 8), 16, 10
-                            ).cast("bigint"),
-                            F.col("_n"),
-                        )
-                        < F.lit(max_cluster_size)
+            lab = lab.where(
+                (F.col("_n") <= max_cluster_size)
+                | (
+                    F.pmod(
+                        F.conv(
+                            F.md5(F.concat_ws("|", "_c", "_id")).substr(1, 8), 16, 10
+                        ).cast("bigint"),
+                        F.col("_n"),
                     )
+                    < F.lit(max_cluster_size)
                 )
-                .select("_c", "_id")
-            )
+            ).select("_c", "_id")
         else:
-            over = (
-                sizes.where(F.col("_n") > max_cluster_size)
-                .orderBy(F.col("_n").desc())
-                .limit(1)
-                .collect()
+            # in-plan guard: raise_error fires while scanning MEMBER rows —
+            # strictly before the C(size,2) pair join materializes anything
+            # — and is folded into the _id projection so pruning can never
+            # drop it. Error carries cluster id, size, projected pair count.
+            msg = F.format_string(
+                "dedup_eval: cluster %s has %s members (> max_cluster_size="
+                f"{max_cluster_size}" + "); its pair self-join alone would "
+                "materialize ~%s rows. Pass sample_oversized=True for a "
+                "deterministic member sample, or raise/disable "
+                "max_cluster_size explicitly.",
+                F.col("_c"),
+                F.col("_n"),
+                (F.col("_n") * (F.col("_n") - 1) / 2).cast("bigint"),
             )
-            if over:
-                raise ValueError(
-                    f"dedup_eval: cluster {over[0]['_c']!r} has {over[0]['_n']} members "
-                    f"(> max_cluster_size={max_cluster_size}); its pair self-join alone "
-                    f"would materialize ~{over[0]['_n'] * (over[0]['_n'] - 1) // 2} rows. "
-                    "Pass sample_oversized=True for a deterministic member sample, or "
-                    "raise/disable max_cluster_size explicitly."
-                )
+            lab = lab.select(
+                "_c",
+                F.when(F.col("_n") > max_cluster_size, F.raise_error(msg))
+                .otherwise(F.col("_id"))
+                .alias("_id"),
+            )
     pred = (
         lab.select(F.col("_c"), F.col("_id").alias("a"))
         .join(lab.select(F.col("_c"), F.col("_id").alias("b")), "_c")
@@ -692,6 +704,13 @@ def minhash_est_eval(
     in candidates.py). Diagnostic-run sizing: the set column is unbounded by
     design (FINGERPRINT_SCHEMA_EVAL note); production pipelines keep the
     slim schema.
+
+    Cache lifecycle: the pin lives for the session (a lazily-returned
+    DataFrame cannot unpersist behind itself) — long-lived sessions running
+    many diagnostics should ``spark.catalog.clearCache()`` between them or
+    materialize this operator's input to (tmpfs) parquet, exactly the
+    bench.py per-stage hygiene rule; at the driver's correctness scale the
+    pinned table is a few hundred rows.
     """
     from pyspark import StorageLevel
 
@@ -734,10 +753,13 @@ def minhash_est_eval(
         cand.select("a", "b")
         .join(pa, "a")
         .join(pb, "b")
-        .withColumn("_eq", eq)
-        .withColumn("_ns", n_shared)
-        .withColumn("_na", F.size("_sa"))
-        .withColumn("_nb", F.size("_sb"))
+        .withColumn("_eq", eq.cast("long"))
+        # sizes cast to long BEFORE the 10000x products below: F.size is
+        # int32 and 10000 * _ns would wrap (non-ANSI) past ~214k distinct
+        # shingles — book-length docs are exactly where drift matters
+        .withColumn("_ns", n_shared.cast("long"))
+        .withColumn("_na", F.size("_sa").cast("long"))
+        .withColumn("_nb", F.size("_sb").cast("long"))
         .select(
             "a",
             "b",

@@ -390,8 +390,14 @@ def vocab_stats(
     TakeOrderedAndProject (per-partition heap, k rows to the driver), never
     a global sort.
     """
+    from simhash_spark.session import spread_small_input
+
     toks = _tokens_col(F.col(text_col))
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    # same single-row-group spread as the sibling term-stats operators
+    # (bpe_merge_stats, tfidf_top_terms): without it the tokenize+explode
+    # runs as ONE task over the driver's unsplittable parquet
+    src = spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+    exploded = src.select(F.col(id_col), F.explode(toks).alias("token"))
     return (
         exploded.groupBy("token")
         .agg(

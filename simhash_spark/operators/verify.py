@@ -149,6 +149,14 @@ def pair_distance_histogram(
     return (
         candidates.join(a, "a")
         .join(b, "b")
+        # FROZEN NULL RULE: pairs where either side's fingerprint is NULL
+        # (e.g. decode-quarantined rows that still became candidates via the
+        # caption indexes) are EXCLUDED — they have no distance on this axis
+        # and can never be accepted by it (verify's OR-predicate treats a
+        # NULL hash the same way). Without the filter a single NULL row
+        # would emit a (hamming=NULL, accepted=NULL) bucket, breaking the
+        # integer-only output contract and the <=65-key domain claim.
+        .where(F.col("_sa").isNotNull() & F.col("_sb").isNotNull())
         .groupBy(hc.alias("hamming"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("accepted", (F.col("hamming") <= F.lit(r)).cast("int"))

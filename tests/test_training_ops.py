@@ -801,8 +801,12 @@ def test_dedup_eval_giant_cluster_guard(spark):
         F.concat(F.lit("m"), F.col("id")).alias("image_id"), F.lit("g").alias("cluster_id")
     )
     truth = spark.createDataFrame([("m0", "m1")], "a string, b string")
-    with pytest.raises(ValueError, match="max_cluster_size"):
-        dedup_eval(giant, truth)
+    # the guard is IN-PLAN (raise_error on the member rows): construction
+    # stays lazy — no hidden probe job, the upstream lineage runs once —
+    # and the error fires at evaluation, before the pair join materializes
+    guarded = dedup_eval(giant, truth)  # must NOT raise (lazy)
+    with pytest.raises(Exception, match="max_cluster_size"):
+        guarded.collect()
 
     # tight cap + sampling: pairs bounded by ~C(cap, 2), not C(n, 2)
     row = dedup_eval(giant, truth, max_cluster_size=100, sample_oversized=True).collect()[0]
@@ -1336,3 +1340,28 @@ def test_image_exact_dup_bytes_groups_planted_reuploads(spark):
         a, b = f"img{i - 3:09d}", f"img{i:09d}"
         h = hashlib.md5(bytes(pdf["bytes"].iloc[i])).hexdigest()
         assert by_hash[h][0] >= 2 and by_hash[h][1] <= a < b
+
+
+def test_pair_distance_histogram_excludes_null_hash_pairs(spark):
+    """A candidate pair with a NULL fingerprint on either side (decode-
+    quarantined row that still became a candidate via the caption indexes)
+    must NOT emit a NULL-hamming bucket — the frozen rule drops such pairs
+    from the histogram, preserving the integer-only output contract."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.verify import pair_distance_histogram
+
+    fp = spark.createDataFrame(
+        [("a", 0), ("b", 3), ("c", None)],
+        "image_id string, phash long",
+    )
+    cand = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "a string, b string"
+    )
+    hist = pair_distance_histogram(
+        cand, fp, CFG, id_col="image_id", col="phash", radius=CFG.phash_radius
+    ).toPandas()
+    # only the (a, b) pair survives: hamming=popcount(0 xor 3)=2, accepted
+    assert len(hist) == 1
+    assert hist["hamming"].iloc[0] == 2 and hist["n_pairs"].iloc[0] == 1
+    assert hist["accepted"].iloc[0] == 1
+    assert hist.notna().all().all()
