@@ -1241,6 +1241,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_exact_dup_bytes"] = image_exact_dup_bytes
 
+    def image_near_dup_from_bytes(spark, sf):
+        # the multimodal -> dedup COMPOSITION from raw bytes alone: real PPM
+        # decode -> recomputed perceptual hash -> pigeonhole self-search
+        # (exact Hamming ball, corpus scanned once) -> connected components.
+        # NO stored metadata is trusted — phash comes out of the decode
+        # stage — so this proves bytes -> clusters end to end. Decode-
+        # quarantined rows are excluded from the search and come back as
+        # singletons. Byte-identical re-uploads land at distance 0; the
+        # stored-phash variants do NOT (their bytes are fresh pixels) —
+        # exactly the from-bytes semantics. Oracle: numpy mirror (decode +
+        # brute-force O(n^2) Hamming + union-find; tests/gen_expected.py).
+        from simhash_spark.operators.connected_components import connected_components
+        from simhash_spark.operators.multimodal import image_features
+        from simhash_spark.operators.search import phash_search
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            make_images_pdf,
+            plant_byte_reuploads,
+        )
+
+        pdf = plant_byte_reuploads(make_images_pdf(100, seed=42, with_bytes=True))
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        feats = (
+            image_features(src)
+            .where(F.col("error").isNull())
+            .select("image_id", F.col("phash_computed").alias("phash"))
+        )
+        pairs = (
+            phash_search(
+                feats,
+                feats.select(F.col("image_id").alias("probe_id"), "phash"),
+                radius=CFG.phash_radius,
+                n_blocks=CFG.n_blocks,
+            )
+            .where(F.col("probe_id") < F.col("image_id"))
+            .select(F.col("probe_id").alias("a"), F.col("image_id").alias("b"))
+        )
+        labels = connected_components(pairs)
+        singletons = src.select("image_id").join(
+            labels.select(F.col("id").alias("image_id")), "image_id", "left_anti"
+        )
+        return labels.select(F.col("id").alias("image_id"), "cluster_id").unionByName(
+            singletons.select("image_id", F.col("image_id").alias("cluster_id"))
+        )
+
+    q["image_near_dup_from_bytes"] = image_near_dup_from_bytes
+
     def phash_reverse_search(spark, sf):
         # reverse image search: all corpus images within phash-Hamming<=3 of
         # each probe, via the pigeonhole block index (corpus scanned once,
@@ -1349,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "image_near_dup_from_bytes",
     "image_exact_dup_bytes",
     "lsh_bucket_stats",
     "phash_distance_histogram",
@@ -1448,6 +1496,11 @@ _CHECK_LAST = [
     # token_budget_sample_docs and near_dup_sample_weights rows, and it is
     # still bit-exact-checked every session by the local sweep
     "stratified_sample_docs",
+    # demoted for image_near_dup_from_bytes: QUADRUPLE-green (r1-r4) exact
+    # crossJoin oracle baseline — never a scale path; its scale twin
+    # embedding_near_dup_lsh stays in _CHECK_FIRST and every cosine rule it
+    # pins is still bit-exact-checked every session by the local sweep
+    "embedding_near_dup",
 ]
 
 
@@ -2079,6 +2132,10 @@ def oracle_sql() -> dict[str, str]:
             "phash_computed": "BIGINT",
             "error": "VARCHAR",
         },
+    )
+    o["image_near_dup_from_bytes"] = _expected_values_sql(
+        "image_clusters_from_bytes.parquet",
+        {"image_id": "VARCHAR", "cluster_id": "VARCHAR"},
     )
     o["image_exact_dup_bytes"] = _expected_values_sql(
         "image_exact_bytes.parquet",

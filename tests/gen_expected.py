@@ -512,6 +512,50 @@ def main() -> None:
         f"{n_dup_groups} with re-uploads"
     )
 
+    # image_near_dup_from_bytes: the from-raw-bytes composition (decode ->
+    # recomputed ahash -> Hamming <= phash_radius -> union-find), mirrored
+    # entirely in numpy: brute-force O(n^2) over the RECOMPUTED hashes (no
+    # stored metadata touched — the same rule the Spark query enforces).
+    # Byte-identical re-uploads land at distance 0; stored-phash variants do
+    # not (their bytes are fresh pixels), which IS the from-bytes semantics.
+    ub_hashes = np.array(
+        [ahash64(decode_rgb(bytes(d), f)) for d, f in zip(up["bytes"], up["fmt"])],
+        np.uint64,
+    )
+    ub_ids = [str(i) for i in up["image_id"]]
+    parent = list(range(len(ub_ids)))
+
+    def ufind(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_bpairs = 0
+    for i in range(len(ub_ids)):
+        for j in range(i + 1, len(ub_ids)):
+            if bin(int(ub_hashes[i] ^ ub_hashes[j])).count("1") <= CFG.phash_radius:
+                ri, rj = ufind(i), ufind(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+                n_bpairs += 1
+    # label = lexicographic min member id (ids are same-width strings, so
+    # index order == string order within this fixture)
+    blabels = [ub_ids[ufind(i)] for i in range(len(ub_ids))]
+    pq.write_table(
+        pa.table(
+            {"image_id": ub_ids, "cluster_id": blabels},
+            schema=pa.schema([("image_id", pa.string()), ("cluster_id", pa.string())]),
+        ),
+        OUT / "image_clusters_from_bytes.parquet",
+    )
+    n_bclusters = len({l for l in blabels})
+    assert n_bpairs >= 14, "planted byte re-uploads must pair at distance 0"
+    print(
+        f"image clusters from bytes: {len(ub_ids)} rows, {n_bpairs} pairs, "
+        f"{n_bclusters} clusters"
+    )
+
     # phash_reverse_search: numpy brute force over the 500-row fixture —
     # probes are the first 50 images, matches = hamming(phash) <= 3. The
     # operator's pigeonhole index is EXACT at radius <= n_blocks-1, so the

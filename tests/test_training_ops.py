@@ -1365,3 +1365,35 @@ def test_pair_distance_histogram_excludes_null_hash_pairs(spark):
     assert hist["hamming"].iloc[0] == 2 and hist["n_pairs"].iloc[0] == 1
     assert hist["accepted"].iloc[0] == 1
     assert hist.notna().all().all()
+
+
+def test_image_near_dup_from_bytes_composition(spark):
+    """bytes -> decode -> recomputed phash -> pigeonhole self-search -> CC
+    equals the numpy mirror (decode + brute-force Hamming + union-find),
+    and every planted byte re-upload pair shares a cluster. Stored-phash
+    variants must NOT pair (their bytes are fresh pixels): the from-bytes
+    path trusts nothing but the binary column."""
+    import pathlib
+
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    got = (
+        entrymod.queries()["image_near_dup_from_bytes"](spark, "unused")
+        .toPandas()
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.read_parquet(
+            pathlib.Path("/root/repo/tests/expected/text_kernel_sf001")
+            / "image_clusters_from_bytes.parquet"
+        )
+        .sort_values("image_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    lab = dict(zip(got["image_id"], got["cluster_id"]))
+    for i in range(3, 100, 7):  # the planted re-upload rule
+        assert lab[f"img{i:09d}"] == lab[f"img{i - 3:09d}"]
