@@ -108,6 +108,22 @@ def main() -> None:
         "delta wall ratio",
     )
     ap.add_argument(
+        "--e2e",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="one full run_pipeline e2e at ROWS images with the adaptive "
+        "index config (fresh catalog, no resume skips); reports per-stage "
+        "manifest walls + images/s — the headline design-regime number",
+    )
+    ap.add_argument(
+        "--e2e-metrics",
+        action="store_true",
+        help="run --e2e WITH the expensive manifest metrics (bucket "
+        "histogram + substring degree — a second exchange of the largest "
+        "intermediate); default is raw throughput (stage_metrics=False)",
+    )
+    ap.add_argument(
         "--ann",
         type=int,
         default=0,
@@ -139,6 +155,7 @@ def main() -> None:
     wide_paths = {n: ensure_images_corpus(n) for n in wide_rungs}
     ann_rungs = [args.ann // 4, args.ann // 2, args.ann] if args.ann else []
     ann_paths = {n: ensure_embeddings_corpus(n, args.dim) for n in ann_rungs}
+    e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
     if args.wide:
         # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
         # can hold together; split shuffle/spill round-robin across
@@ -288,6 +305,36 @@ def main() -> None:
             wide_out.append(rec)
             print(json.dumps({"stage": "wide_index", **rec}), flush=True)
         results["wide_index"] = wide_out
+
+    if e2e_path is not None:
+        import shutil
+
+        from simhash_spark.config import index_config_for
+        from simhash_spark.plans.pipeline import run_pipeline
+
+        out = CACHE / f"e2e_{args.e2e}"
+        shutil.rmtree(out, ignore_errors=True)  # fresh catalog: no resume skips
+        cfg_e = index_config_for(args.e2e)
+        t0 = time.time()
+        res = run_pipeline(
+            spark, str(e2e_path), str(out), cfg=cfg_e, stage_metrics=args.e2e_metrics
+        )
+        n_labels = res.clusters.count()
+        wall = time.time() - t0
+        stage_walls = {}
+        for mf in sorted(pathlib.Path(out).glob("*/_manifest.json")):
+            m = json.loads(mf.read_text())
+            stage_walls[mf.parent.name] = round(m.get("wall_ms", 0) / 1000, 1)
+        results["e2e"] = {
+            "rows": args.e2e,
+            "n_blocks": cfg_e.n_blocks,
+            "stage_metrics": args.e2e_metrics,
+            "wall_s": round(wall, 1),
+            "images_per_sec": round(args.e2e / wall, 1),
+            "n_labels": n_labels,
+            "stage_walls_s": stage_walls,
+        }
+        print(json.dumps({"stage": "e2e", **results["e2e"]}), flush=True)
 
     if ann_rungs:
         # ANN top-k at regime: the two approximate families with their

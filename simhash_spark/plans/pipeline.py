@@ -151,6 +151,7 @@ def run_pipeline(
     bucket_fingerprints: bool = True,
     quality_filter: bool = False,
     quality_overrides: dict | None = None,
+    stage_metrics: bool = True,
 ) -> PipelineResult:
     """The resumable end-to-end run: every stage lands in the catalog with a
     manifest; rerunning after a crash skips complete stages (T5).
@@ -233,7 +234,25 @@ def run_pipeline(
             "indexes_with_hot_buckets": hot,
         }
 
-    cand = cat.run_stage("02_candidates", in_fp, _cand, extra_metrics=_cand_metrics)
+    # ``stage_metrics`` is the monitoring-cost dial: the two closures below
+    # re-run the stage's heaviest intermediate for their manifest numbers
+    # (the bucket histogram re-exchanges the FULL packed key table; the
+    # degree metrics re-generate the substring candidate pairs) —
+    # structurally a SECOND full exchange of the run's largest intermediate,
+    # which on a real cluster is real shuffle bandwidth. Measured at the
+    # 3M-row design regime (BENCH/INDEX_SCALING.md r5 refresh) this sandbox
+    # CONSERVES rather than adds the cost: metrics pass 288 s + warm
+    # candidates write 181 s vs a 488 s cold write in both raw draws — the
+    # syscall-serialized shuffle dominates either way. The dial's value is
+    # the structural claim; throughput-critical runs turn it off and read
+    # the same surfaces from the dedicated monitoring queries
+    # (lsh_bucket_stats, substring_run_report) on their own schedule.
+    cand = cat.run_stage(
+        "02_candidates",
+        in_fp,
+        _cand,
+        extra_metrics=_cand_metrics if stage_metrics else None,
+    )
 
     if enable_substring:
         # the anchor table is checkpointed as its own stage: it is BOTH a
@@ -256,7 +275,7 @@ def run_pipeline(
             lambda: verify_substring_pairs(
                 pairs_from_anchor_table(anch, cfg), src, cfg
             ).withColumn("src", F.lit("substr")),
-            extra_metrics=_substr_metrics,
+            extra_metrics=_substr_metrics if stage_metrics else None,
         )
         all_cand = cand.unionByName(sub).groupBy("a", "b").agg(
             F.array_join(F.array_sort(F.flatten(F.collect_set(F.split("src", ",")))), ",").alias("src")

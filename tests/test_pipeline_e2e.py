@@ -281,3 +281,34 @@ def test_cli_keep_rule_best_resolution(spark, fixture_dir, tmp_path):
         assert (grp["keep_id"] == expect).all(), f"cluster {cid}: wrong keep_id"
         kept = grp[grp["is_kept"] == 1]
         assert list(kept["image_id"]) == [expect], f"cluster {cid}: wrong survivor"
+
+
+def test_pipeline_stage_metrics_dial(spark, fixture_dir, tmp_path):
+    """stage_metrics=False (the raw-throughput configuration: the bucket
+    histogram and substring degree closures re-run the stage's heaviest
+    intermediate — structurally a second full exchange of the packed key
+    table) must change ONLY the manifest payload, never the data: cluster
+    labels identical to the metrics-on run, and the expensive keys absent
+    from the manifests."""
+    import json
+    import pathlib
+
+    res = run_pipeline(
+        spark,
+        str(fixture_dir / "images.parquet"),
+        str(tmp_path / "ckpt_nm"),
+        CFG,
+        stage_metrics=False,
+    )
+    got = {r["image_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    truth = pd.read_parquet(fixture_dir / "truth_clusters.parquet")
+    assert got == dict(zip(truth["image_id"], truth["cluster_id"]))
+    cm = json.loads(
+        (pathlib.Path(tmp_path) / "ckpt_nm" / "02_candidates" / "_manifest.json").read_text()
+    )
+    sm = json.loads(
+        (pathlib.Path(tmp_path) / "ckpt_nm" / "02b_substr" / "_manifest.json").read_text()
+    )
+    assert "bucket_stats" not in cm and "mean_degree_x100" not in sm
+    # the cheap lineage/manifest core is still there
+    assert cm["complete"] and cm["n_rows"] > 0 and sm["complete"]
