@@ -173,11 +173,12 @@ def main() -> None:
     spark = get_spark(
         parallelism=args.cpus,
         app_name="design-regime",
-        # the wide ladder's key shuffle is ~10-50 GB per rung: size reduce
-        # partitions so each window-sort partition fits in execution memory
-        # (the 100-TB sizing rule) instead of spilling; AQE coalesces the
-        # small rungs' partitions back down at runtime
-        shuffle_partitions=max(256, args.cpus * 2) if args.wide else None,
+        # the wide ladder's key shuffle is ~10-50 GB per rung — and the
+        # --e2e 3M run's candidate exchange ships ~430M packed key rows:
+        # size reduce partitions so each window-sort partition fits in
+        # execution memory (the 100-TB sizing rule) instead of spilling;
+        # AQE coalesces the small rungs' partitions back down at runtime
+        shuffle_partitions=max(256, args.cpus * 2) if (args.wide or args.e2e) else None,
     )
     spark.range(1_000_000).select(F.sum("id")).collect()  # JVM warmup
 
