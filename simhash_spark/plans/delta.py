@@ -279,6 +279,14 @@ def run_delta(
 
     from simhash_spark.plans.pipeline import fingerprint_job
 
+    if pathlib.Path(checkpoint_path).resolve() == pathlib.Path(base_checkpoint).resolve():
+        # a self-pointing chain would make every catalog_chain walk raise
+        # "delta chain cycle" forever AND let this run overwrite the base's
+        # 04_clusters stage — fail before anything is read or written
+        raise ValueError(
+            "run_delta: checkpoint_path must differ from base_checkpoint "
+            f"(both resolve to {pathlib.Path(checkpoint_path).resolve()})"
+        )
     meta = chain_run_metadata(spark, base_checkpoint)
     base_cfg = PipelineConfig(**meta["config"])
     if cfg is None:

@@ -61,9 +61,16 @@ def substring_job(src: DataFrame, cfg: PipelineConfig) -> DataFrame:
     return substring_pairs(src.select("image_id", "caption"), cfg)
 
 
-def verify_job(candidates: DataFrame, fp: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """E3: exact Hamming verification of the unioned candidate set."""
-    return verify_pairs(candidates, fp, cfg)
+def verify_job(
+    candidates: DataFrame, fp: DataFrame, cfg: PipelineConfig, use_phash: bool = True
+) -> DataFrame:
+    """E3: exact Hamming verification of the unioned candidate set.
+
+    ``use_phash`` must match the run's ``include_phash``: the flag removes
+    the phash AXIS (keys and verify criterion together), the same rule the
+    text/delta/streaming paths apply — a phash-only dup verified here but
+    not by a chained delta run would break the delta equality contract."""
+    return verify_pairs(candidates, fp, cfg, use_phash=use_phash)
 
 
 def cluster_job(
@@ -283,7 +290,11 @@ def run_pipeline(
     else:
         all_cand = cand
 
-    verified = cat.run_stage("03_verified", in_fp, lambda: verify_job(all_cand, fp, cfg))
+    verified = cat.run_stage(
+        "03_verified",
+        in_fp,
+        lambda: verify_job(all_cand, fp, cfg, use_phash=include_phash),
+    )
     clusters = cat.run_stage(
         "04_clusters",
         in_fp,

@@ -52,9 +52,14 @@ def start_incremental_ingest(
     fp = stream_fingerprints(stream_df, cfg)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
-            out_path
-        )
+        # per-batch subdirectory with mode=overwrite — the module's replay-
+        # safe discipline (start_stream_near_dup / start_curated_ingest):
+        # foreachBatch is at-least-once after crash recovery, and a plain
+        # append would duplicate the replayed batch's rows in the
+        # accumulated table. Readers scan with recursiveFileLookup.
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{out_path}/batch={batch_id}")
 
     writer = fp.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path
@@ -108,7 +113,6 @@ def start_stream_near_dup(
     """
     import pathlib
 
-    from simhash_spark.operators.candidates import bucket_pairs_packed, explode_all_keys
     from simhash_spark.operators.verify import verify_pairs
 
     if quality_filter:
@@ -128,31 +132,39 @@ def start_stream_near_dup(
         spark = batch_fp.sparkSession
         batch_fp = batch_fp.localCheckpoint(eager=True)  # pin: used 4 ways below
         cols = batch_fp.columns
-        existing = None
         base = pathlib.Path(fp_path)
-        if base.exists() and any(base.glob("batch=*/*.parquet")):
-            existing = (
-                spark.read.option("recursiveFileLookup", "true")
-                .parquet(fp_path)
-                .select(cols)
-            )
+        # CRASH-REPLAY RULE: exclude this batch's OWN batch=<id> directory.
+        # foreachBatch is at-least-once — if the fp write below completed
+        # but the offset commit did not, the replay would otherwise read its
+        # own previous output into `existing`, double-counting every batch
+        # row (duplicated match rows; 2-member [x, x] buckets). Listing the
+        # sibling batch dirs explicitly (recursiveFileLookup per dir, no
+        # partition inference) keeps replays byte-idempotent.
+        sibling_dirs = [
+            str(p)
+            for p in sorted(base.glob("batch=*"))
+            if p.name != f"batch={batch_id}" and any(p.glob("*.parquet"))
+        ] if base.exists() else []
+        existing = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(*sibling_dirs)
+            .select(cols)
+            if sibling_dirs
+            else None
+        )
         combined = (
             batch_fp if existing is None else existing.unionByName(batch_fp)
         )
-        packed = explode_all_keys(combined, cfg, include_phash=include_phash)
-        cand = (
-            bucket_pairs_packed(packed, cfg)
-            .groupBy("a", "b")
-            .agg(F.array_join(F.array_sort(F.collect_set("src")), ",").alias("src"))
+        # the delta path's operator, verbatim: only buckets containing a new
+        # member are expanded (full key table semi-joined against the
+        # batch's distinct keys) — per-batch cost stays linear in batch size
+        # plus touched-bucket contents instead of re-expanding every
+        # accumulated bucket's C(s,2) pairs each micro-batch
+        from simhash_spark.plans.delta import incremental_candidates
+
+        touching_new = incremental_candidates(
+            batch_fp, combined, cfg, include_phash=include_phash
         )
-        new_ids = batch_fp.select(F.col("image_id").alias("_nid"))
-        touching_new = cand.join(
-            F.broadcast(new_ids.withColumnRenamed("_nid", "a")), "a", "left_semi"
-        ).unionByName(
-            cand.join(
-                F.broadcast(new_ids.withColumnRenamed("_nid", "b")), "b", "left_semi"
-            )
-        ).dropDuplicates(["a", "b"])
         verified = verify_pairs(touching_new, combined, cfg, use_phash=include_phash)
         verified.withColumn("_batch_id", F.lit(batch_id)).write.mode(
             "overwrite"
@@ -184,13 +196,30 @@ def stream_first_seen(
 
     Within the first batch that sees a key, the canonical emitted row is
     the minimum image_id (the engine's frozen representative rule).
+
+    FROZEN KEY RULE for shingle-less rows: a caption with no shingles
+    (empty / too short / stop-only) gets the kernel's constant empty-input
+    simhash — keying the state on it would glue EVERY such row into one
+    dedup group and permanently suppress distinct novel content (the same
+    giant-fake-bucket hazard the candidate index guards against by
+    excluding n_shingles == 0 rows from band keys). The state key is
+    therefore the simhash for shingled rows and xxhash64('raw:', caption)
+    for shingle-less rows (so identical raw captions still dedup; NULL
+    captions share one key); the EMITTED simhash stays the kernel value.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    fp = with_fingerprints(
+    fpx = with_fingerprints(
         stream_df.select("image_id", "caption"), cfg, emit_minhash=False
-    ).select("image_id", "simhash")
+    )
+    fp = fpx.select(
+        "image_id",
+        "simhash",
+        F.when(F.col("n_shingles") > 0, F.col("simhash"))
+        .otherwise(F.xxhash64(F.lit("raw:"), F.col("caption")))
+        .alias("_k"),
+    )
 
     def first_seen(key, pdf_iter, state: GroupState):
         seen_before = state.exists and state.get[0] > 0
@@ -211,7 +240,7 @@ def stream_first_seen(
         if first is not None:
             yield first
 
-    return fp.groupBy("simhash").applyInPandasWithState(
+    return fp.groupBy("_k").applyInPandasWithState(
         first_seen,
         outputStructType="image_id string, simhash long",
         stateStructType="n long",
@@ -247,13 +276,28 @@ def stream_windowed_dup_stats(
     slim = stream_df.select(
         "image_id", "caption", F.col(ts_col).cast("timestamp").alias("_ts")
     )
-    fp = with_fingerprints(slim, cfg, emit_minhash=False).drop("caption")
+    fpx = with_fingerprints(slim, cfg, emit_minhash=False)
+    # same frozen shingle-less key rule as stream_first_seen: zero-shingle
+    # rows carry the constant empty-input simhash and would otherwise be
+    # reported as ONE fake viral burst per window; key them by their raw
+    # caption hash instead (identical blanks still count as a burst). The
+    # emitted simhash stays the kernel value (constant within each group:
+    # shingled groups key ON it; shingle-less groups all hold the constant).
+    fp = fpx.select(
+        "image_id",
+        "_ts",
+        "simhash",
+        F.when(F.col("n_shingles") > 0, F.col("simhash"))
+        .otherwise(F.xxhash64(F.lit("raw:"), F.col("caption")))
+        .alias("_k"),
+    )
     return (
         fp.withWatermark("_ts", watermark_delay)
-        .groupBy(F.window("_ts", window_duration).alias("w"), "simhash")
+        .groupBy(F.window("_ts", window_duration).alias("w"), "_k")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("image_id").alias("min_image_id"),
+            F.min("simhash").alias("simhash"),
         )
         .select(
             F.col("w.start").alias("window_start"),

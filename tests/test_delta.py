@@ -277,3 +277,18 @@ def test_delta_inherits_quality_filter(spark, tmp_path):
     assert dropped  # the fixture must exercise the drop path
     labeled = {r["image_id"] for r in d1.clusters.collect()}
     assert not (dropped & labeled)
+
+
+def test_run_delta_rejects_self_pointing_chain(spark, tmp_path):
+    """checkpoint_path == base_checkpoint would write a self-pointer that
+    makes every catalog_chain walk raise 'delta chain cycle' and then
+    overwrite the base's 04_clusters stage — must fail loudly BEFORE any
+    read or write happens (no base catalog even needs to exist)."""
+    import pytest
+
+    from simhash_spark.plans.delta import run_delta
+
+    same = tmp_path / "self_ckpt"
+    with pytest.raises(ValueError, match="must differ"):
+        run_delta(spark, str(same), str(tmp_path / "inc"), str(same))
+    assert not same.exists()  # nothing was created

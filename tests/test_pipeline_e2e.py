@@ -312,3 +312,54 @@ def test_pipeline_stage_metrics_dial(spark, fixture_dir, tmp_path):
     assert "bucket_stats" not in cm and "mean_degree_x100" not in sm
     # the cheap lineage/manifest core is still there
     assert cm["complete"] and cm["n_rows"] > 0 and sm["complete"]
+
+
+def test_include_phash_false_removes_phash_axis_end_to_end(spark, tmp_path):
+    """include_phash=False must remove the phash AXIS (keys AND verify
+    criterion), the same rule the text/delta/streaming paths apply — a
+    phash-only dup verified by the full run but not by a chained delta run
+    would break the delta equality contract.
+
+    The caption pair below was searched offline with the frozen numpy spec:
+    it shares 2 MinHash bands (so it IS a candidate without any phash key)
+    but sits at caption-simhash hamming 14 > radius; with identical phash
+    it is a phash-ONLY duplicate."""
+    import pandas as pd
+
+    cap_a = (
+        "w0425 w0318 w0255 w0134 w0153 w0020 w0037 w0008 w0087 w0406 w0324 "
+        "w0456 w0251 w0303 w0485 w0364 w0316 w0271 w0279 w0467 w0138 w0407 "
+        "w0335 w0001 w0197 w0428 w0277 w0016 w0382 w0364"
+    )
+    cap_b = (
+        "w0425 w0318 w0149 w0134 w0211 w0020 w0037 w0008 w0087 w0406 w0324 "
+        "w0456 w0251 w0303 w0485 w0364 w0316 w0271 w0279 w0467 w0138 w0407 "
+        "w0201 w0001 w0197 w0240 w0277 w0016 w0382 w0364"
+    )
+    src = tmp_path / "ph_src"
+    src.mkdir()
+    pdf_rows = pd.DataFrame(
+        {
+            "image_id": ["a", "b", "z"],
+            "caption": [cap_a, cap_b, "entirely unrelated filler caption row"],
+            "phash": [7, 7, 123456789],
+        }
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf_rows, preserve_index=False), src / "d.parquet")
+
+    def pairs(**kw):
+        res = run_pipeline(
+            spark,
+            str(src / "d.parquet"),
+            str(tmp_path / f"ph_ckpt_{kw.get('include_phash', True)}"),
+            CFG,
+            enable_substring=False,  # isolate the phash criterion
+            **kw,
+        )
+        return {(r["a"], r["b"]) for r in res.verified.collect()}
+
+    assert ("a", "b") in pairs(include_phash=True)  # phash-only dup accepted
+    assert ("a", "b") not in pairs(include_phash=False)  # axis fully removed

@@ -443,3 +443,145 @@ def test_stream_sessionize_matches_batch(spark, tmp_path):
     base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
     assert got[(2, base)] == (2, base + 1800, 1800)
     assert got[(3, base + 100)] == (2, base + 200, 100)
+
+
+def test_ingest_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch (simulated by
+    rerunning the drained source with a FRESH checkpoint, so the same batch
+    ids redeliver) must OVERWRITE its own per-batch directory, never append
+    duplicate fingerprint rows into the accumulated table."""
+    from simhash_spark.sources.fixtures import make_images_pdf
+    from simhash_spark.streaming.incremental import start_incremental_ingest
+
+    pdf = make_images_pdf(120, seed=21, with_bytes=False)
+    src_dir = tmp_path / "rp_src"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), src_dir / "a.parquet")
+    batch_src = spark.read.parquet(str(src_dir))
+    out = tmp_path / "rp_fp"
+
+    for ckpt in ("rp_ckpt1", "rp_ckpt2"):  # second run = full replay
+        stream = spark.readStream.schema(batch_src.schema).parquet(str(src_dir))
+        q = start_incremental_ingest(stream, str(out), str(tmp_path / ckpt), CFG)
+        q.awaitTermination(timeout=120)
+        q.stop()
+        rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(out))
+            .select("image_id")
+            .collect()
+        )
+        assert len(rows) == 120, f"replay duplicated rows: {len(rows)}"
+        assert len({r["image_id"] for r in rows}) == 120
+
+
+def test_near_dup_replay_excludes_own_batch_output(spark, tmp_path):
+    """Crash-replay of start_stream_near_dup: on redelivery the batch's own
+    previously-written fp directory must NOT be read into `existing` (that
+    would double-count every batch row: duplicated match rows, [x, x]
+    buckets). Simulated by rerunning the drained source with a fresh
+    checkpoint — same batch ids, fp batch dirs already on disk. Matches
+    must equal the first run's exactly, one row per pair."""
+    from simhash_spark.streaming.incremental import start_stream_near_dup
+    from simhash_spark.sources.fixtures import make_images_pdf
+
+    pdf = make_images_pdf(200, seed=31, with_bytes=False)
+    src_dir = tmp_path / "rr_src"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), src_dir / "a.parquet")
+    batch_src = spark.read.parquet(str(src_dir))
+
+    def run(ckpt):
+        stream = spark.readStream.schema(batch_src.schema).parquet(str(src_dir))
+        q = start_stream_near_dup(
+            stream,
+            str(tmp_path / "rr_fp"),
+            str(tmp_path / "rr_matches"),
+            str(tmp_path / ckpt),
+            CFG,
+        )
+        q.awaitTermination(timeout=180)
+        q.stop()
+        rows = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "rr_matches"))
+            .collect()
+        )
+        return rows
+
+    first = run("rr_ckpt1")
+    pairs1 = {(r["a"], r["b"]) for r in first}
+    assert len(pairs1) == len(first) and pairs1
+    replay = run("rr_ckpt2")
+    pairs2 = {(r["a"], r["b"]) for r in replay}
+    assert len(pairs2) == len(replay), "replay duplicated match rows"
+    assert pairs2 == pairs1, "replay changed the emitted pair set"
+    # the accumulated fp table is also intact (no duplicated ids)
+    fp_ids = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "rr_fp"))
+        .select("image_id")
+        .collect()
+    )
+    assert len(fp_ids) == 200 and len({r["image_id"] for r in fp_ids}) == 200
+
+
+def test_first_seen_distinct_blank_captions_not_glued(spark, tmp_path):
+    """Zero-shingle captions carry the kernel's constant empty-input
+    simhash; the state key must fall back to the raw-caption hash so
+    DISTINCT blank-ish rows are each emitted (novel content is never
+    suppressed by the constant), while an identical blank caption arriving
+    later is still deduplicated."""
+    import pandas as pd
+
+    from simhash_spark.streaming.incremental import stream_first_seen
+
+    src = tmp_path / "bl_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "bl_ckpt")
+    out = tmp_path / "bl_out"
+    schema = "image_id string, caption string"
+
+    def run_once():
+        try:
+            before = {r["image_id"] for r in spark.read.parquet(str(out)).collect()}
+        except Exception:
+            before = set()
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_first_seen(stream, CFG)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _b: df.write.mode("append").parquet(str(out)))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        after = {r["image_id"] for r in spark.read.parquet(str(out)).collect()}
+        return after - before
+
+    # "" and "   " tokenize to NOTHING (n_shingles == 0) but are distinct
+    # raw captions; a real caption rides along as control
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "image_id": ["e1", "e2", "t1"],
+                    "caption": ["", "   ", "a normal caption with words"],
+                }
+            ),
+            preserve_index=False,
+        ),
+        src / "f1.parquet",
+    )
+    assert run_once() == {"e1", "e2", "t1"}
+
+    # identical blank caption later -> suppressed; new distinct blank -> emitted
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame({"image_id": ["e3", "e4"], "caption": ["", "\t"]}),
+            preserve_index=False,
+        ),
+        src / "f2.parquet",
+    )
+    assert run_once() == {"e4"}
