@@ -76,6 +76,7 @@ def run_curation(
     n_shards: int | None = None,
     pack_ctx: int | None = None,
     pack_shard_chars: int = 1,
+    n_blocks: int | None = None,
 ) -> dict:
     """The composed 5-stage curation run on an existing session; returns the
     stats manifest (per-stage rows out + wall seconds). bench.py calls this
@@ -164,11 +165,25 @@ def run_curation(
     clusters = None
     if near_dup:
         ts = time.time()
+        # corpus-size-adaptive pigeonhole width (the CLAUDE.md invariant:
+        # scale paths pick blocks via index_config_for) — the 4-block/16-bit
+        # DEFAULT_CONFIG goes quadratic in random candidate pairs past ~1e6
+        # rows, exactly like run_pipeline's sizing note. The count is over
+        # the ALREADY-PINNED exact-dedup survivors parquet (metadata-cheap).
+        from dataclasses import replace as _replace
+
+        from simhash_spark.config import index_config_for
+
+        cfg = (
+            _replace(DEFAULT_CONFIG, n_blocks=n_blocks)
+            if n_blocks is not None
+            else index_config_for(df.count())
+        )
         # pinned: the slim (id, cluster_id) labels feed BOTH the keep join
         # and the cluster count — one near-dup pipeline run, not two
         clusters = _pin(
             text_near_dup_clusters(
-                df, id_col, text_col, DEFAULT_CONFIG, enable_substring=substring
+                df, id_col, text_col, cfg, enable_substring=substring
             ),
             "04_clusters",
         )
@@ -317,6 +332,11 @@ def main(argv: list[str] | None = None) -> int:
                     "(token_pack_plan, this context length) to <output>/pack_plan")
     ap.add_argument("--pack-shard-chars", type=int, default=1,
                     help="md5-hex chars per packing shard (16^k shards)")
+    ap.add_argument("--n-blocks", type=int, default=None,
+                    help="pigeonhole block count override for the near-dup "
+                    "stage; default: corpus-size-adaptive "
+                    "(config.index_config_for — 16-bit keys go quadratic "
+                    "past ~1e6 rows)")
     args = ap.parse_args(argv)
 
     splits = None
@@ -347,6 +367,7 @@ def main(argv: list[str] | None = None) -> int:
         n_shards=args.shards,
         pack_ctx=args.pack_ctx,
         pack_shard_chars=args.pack_shard_chars,
+        n_blocks=args.n_blocks,
     )
     print(json.dumps(stats))
     return 0

@@ -39,10 +39,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", required=True, help="NEW catalog dir for this delta")
     ap.add_argument("--output", required=True, help="output dir for updated clusters")
     ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument(
+        "--keep-rule",
+        choices=["min-id", "best-resolution"],
+        default="min-id",
+        help="which cluster member survives in keep_list — MUST match the "
+        "rule the base run published, or the chain's representatives "
+        "silently flip policy between runs. 'best-resolution' re-scans "
+        "(image_id, w, h) from every chain input plus the increment "
+        "(paths recorded in the chain manifests)",
+    )
     args = ap.parse_args(argv)
 
-    from simhash_spark.operators.dedup import near_dup_keep_list
-    from simhash_spark.plans.delta import run_delta
+    from simhash_spark.operators.dedup import near_dup_keep_best, near_dup_keep_list
+    from simhash_spark.plans.delta import chain_run_metadata, run_delta
     from simhash_spark.session import get_spark
 
     spark = get_spark(parallelism=args.parallelism, app_name="simhash-delta")
@@ -52,7 +62,20 @@ def main(argv: list[str] | None = None) -> int:
     out = pathlib.Path(args.output)
     res.clusters.write.mode("overwrite").parquet(str(out / "clusters"))
     res.verified_new.write.mode("overwrite").parquet(str(out / "verified_pairs_delta"))
-    keep = near_dup_keep_list(res.clusters, id_col="image_id")
+    if args.keep_rule == "best-resolution":
+        from pyspark.sql import functions as F
+
+        # the union corpus's (image_id, w, h): every chain link records its
+        # input path in its 01 manifest, the increment is this run's input.
+        # Column pruning keeps the re-scan to three columns.
+        paths = [*chain_run_metadata(spark, args.checkpoint)["input_paths"]]
+        scores = spark.read.parquet(*paths).select(
+            "image_id",
+            (F.col("w").cast("long") * F.col("h").cast("long")).alias("score"),
+        )
+        keep = near_dup_keep_best(res.clusters, scores, id_col="image_id", score_col="score")
+    else:
+        keep = near_dup_keep_list(res.clusters, id_col="image_id")
     keep.write.mode("overwrite").parquet(str(out / "keep_list"))
     stats = {
         "increment_rows": res.fingerprints_new.count(),

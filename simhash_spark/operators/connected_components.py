@@ -55,23 +55,31 @@ _CONSTRAINT_CONF = "spark.sql.constraintPropagation.enabled"
 # shared session also runs without constraint propagation for the duration —
 # harmless (constraints are an optimizer hint), but worth knowing.
 _CONSTRAINT_LOCK = threading.Lock()
-_constraint_state: dict = {"depth": 0, "saved": "true"}
+# refcount + saved value PER SparkSession (keyed by id): the conf is
+# session-scoped, so a process holding two sessions (the engine's plus e.g.
+# a driver harness's) must not let one session's depth suppress the other's
+# conf set, nor restore one session's saved value into the other
+_constraint_state: dict[int, dict] = {}
 
 
 @contextmanager
 def _constraints_disabled(spark):
+    k = id(spark)
     with _CONSTRAINT_LOCK:
-        if _constraint_state["depth"] == 0:
-            _constraint_state["saved"] = spark.conf.get(_CONSTRAINT_CONF, "true")
+        st = _constraint_state.setdefault(k, {"depth": 0, "saved": "true"})
+        if st["depth"] == 0:
+            st["saved"] = spark.conf.get(_CONSTRAINT_CONF, "true")
             spark.conf.set(_CONSTRAINT_CONF, "false")
-        _constraint_state["depth"] += 1
+        st["depth"] += 1
     try:
         yield
     finally:
         with _CONSTRAINT_LOCK:
-            _constraint_state["depth"] -= 1
-            if _constraint_state["depth"] == 0:
-                spark.conf.set(_CONSTRAINT_CONF, _constraint_state["saved"])
+            st = _constraint_state[k]
+            st["depth"] -= 1
+            if st["depth"] == 0:
+                spark.conf.set(_CONSTRAINT_CONF, st["saved"])
+                del _constraint_state[k]
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -160,13 +168,31 @@ def connected_components(
             head = e.limit(small_graph_limit + 1).collect()
             if len(head) <= small_graph_limit:
                 return _driver_union_find(spark, e, head)
+        def _edge_sig(df: DataFrame) -> tuple[int, int]:
+            # xor-checksum: order-insensitive, can't overflow (ANSI-safe)
+            r = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+            ).collect()[0]
+            return (r["n"], r["h"])
+
         start_round = 0
+        prev_sig: tuple[int, int] | None = None
         if use_ckpt:
             start_round = _latest_cc_round(catalog, input_fingerprint)
             if start_round > 0:
                 e = catalog.read(f"cc_round_{start_round:03d}").localCheckpoint(eager=True)
-        prev_sig: tuple[int, int] | None = None
-        for i in range(start_round, max_iter):
+                # seed the convergence check with the RESUMED state's
+                # signature: a checkpoint that was already a fixpoint then
+                # converges in ONE post-resume round — without this, a
+                # resume landing at start_round >= max_iter - 1 could never
+                # observe two equal signatures and would spuriously raise
+                # "did not converge" on perfectly converged state
+                prev_sig = _edge_sig(e)
+        # a resume at the very last round still gets one fixpoint-check
+        # round (idempotent on converged state) instead of an empty range
+        end_round = max(max_iter, start_round + 1)
+        for i in range(start_round, end_round):
             e = _small_star(_large_star(e))
             if use_ckpt and (i + 1) % ckpt_every == 0:
                 e = catalog.write(
@@ -180,12 +206,7 @@ def connected_components(
                 _prune_cc_rounds(catalog, keep_from=i + 1)
             else:
                 e = e.localCheckpoint(eager=True)
-            # xor-checksum: order-insensitive, can't overflow (ANSI-safe)
-            sig_row = e.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
-            ).collect()[0]
-            sig = (sig_row["n"], sig_row["h"])
+            sig = _edge_sig(e)
             if sig == prev_sig:
                 break
             prev_sig = sig

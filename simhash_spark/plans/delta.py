@@ -429,6 +429,19 @@ def compact_chain(
     cfg = PipelineConfig(**meta["config"])
     enable_substring = meta["enable_substring"]
     chain = catalog_chain(tip_checkpoint)
+    # the compacted catalog must be a NEW directory OUTSIDE the chain:
+    # run_stage sees a different input fingerprint, and CheckpointCatalog
+    # .write clobbers the stage data dir BEFORE executing the lazy plan
+    # that reads it — compacting a chain into one of its own links would
+    # rmtree the only copy of the fingerprint table mid-read
+    out_r = pathlib.Path(out_checkpoint).resolve()
+    for link in chain:
+        if out_r == pathlib.Path(link).resolve():
+            raise ValueError(
+                f"compact_chain: out_checkpoint {out_checkpoint!r} is a link of "
+                "the chain being compacted — writing there would destroy the "
+                "source tables; pass a fresh directory"
+            )
     tip = CheckpointCatalog(spark, chain[-1])
     tip01 = tip.manifest("01_fingerprints_delta") or tip.manifest("01_fingerprints")
     in_fp = f"compact:{tip01['input_fingerprint']}"

@@ -126,6 +126,13 @@ class CheckpointCatalog:
         d = self._stage_dir(stage)
         data_dir = d / "data"
         t0 = time.time()
+        # CRASH-SAFETY ORDER: invalidate the old manifest BEFORE touching
+        # the data dir. A kill between the data clobber below and the new
+        # manifest write must leave the stage INCOMPLETE (recompute on
+        # rerun), never a stale complete:True manifest pointing at
+        # destroyed/partial data — which a later resume with the old
+        # fingerprint would silently read as 0 rows.
+        (d / MANIFEST_NAME).unlink(missing_ok=True)
         if bucket_by is not None:
             n_buckets, bcols = bucket_by
             name = self._table_name(stage)
@@ -183,7 +190,11 @@ class CheckpointCatalog:
             ),
             **(extra or {}),
         }
-        (d / MANIFEST_NAME).write_text(json.dumps(manifest, indent=1))
+        # atomic publish: tmp file + rename, so a kill mid-write can never
+        # leave truncated JSON that bricks every later manifest() call
+        tmp = d / (MANIFEST_NAME + ".tmp")
+        tmp.write_text(json.dumps(manifest, indent=1))
+        tmp.replace(d / MANIFEST_NAME)
         return out
 
     def run_stage(

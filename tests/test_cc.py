@@ -135,3 +135,60 @@ def test_cc_reliable_checkpoint_and_resume(spark, tmp_path):
         ).collect()
     }
     assert got3 == got1
+
+
+def test_cc_resume_from_converged_round_with_exhausted_budget(spark, tmp_path):
+    """Resuming over an already-converged round checkpoint whose round
+    number equals (or exceeds) max_iter must CONVERGE, not raise: the
+    resumed state's own signature seeds the fixpoint check, and the loop
+    always gets at least one verification round."""
+    from simhash_spark.operators.connected_components import _latest_cc_round
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    pdf = pd.DataFrame(
+        {"a": ["x1", "x2", "x3", "z1"], "b": ["x2", "x3", "x4", "z2"]}
+    )
+    df = spark.createDataFrame(pdf, schema="a string, b string")
+    cat = CheckpointCatalog(spark, tmp_path / "cc_budget")
+    got1 = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            df, catalog=cat, ckpt_every=1, input_fingerprint="gb"
+        ).collect()
+    }
+    latest = _latest_cc_round(cat, "gb")
+    assert latest >= 1
+    # budget exactly exhausted at the resume point: previously an empty (or
+    # one-round) range could never see two equal signatures and raised
+    got2 = {
+        r["id"]: r["cluster_id"]
+        for r in connected_components(
+            df, max_iter=latest, catalog=cat, ckpt_every=1, input_fingerprint="gb"
+        ).collect()
+    }
+    assert got2 == got1
+
+
+def test_constraint_guard_is_per_session(spark):
+    """The save/set/restore refcount is PER SparkSession: a nested guard on
+    a second session must set/restore that session's own conf, and the
+    outer session's restore must use the value saved from the outer
+    session — never the other one's."""
+    from simhash_spark.operators.connected_components import _constraints_disabled
+
+    key = "spark.sql.constraintPropagation.enabled"
+    s2 = spark.newSession()
+    orig1, orig2 = spark.conf.get(key, "true"), s2.conf.get(key, "true")
+    try:
+        s2.conf.set(key, "true")  # make the sessions' values differ
+        with _constraints_disabled(spark):
+            assert spark.conf.get(key) == "false"
+            assert s2.conf.get(key) == "true", "other session's conf was touched"
+            with _constraints_disabled(s2):
+                assert s2.conf.get(key) == "false"
+            assert s2.conf.get(key) == "true", "inner restore used wrong session's save"
+            assert spark.conf.get(key) == "false", "outer guard broken by inner exit"
+        assert spark.conf.get(key) == orig1
+    finally:
+        spark.conf.set(key, orig1)
+        s2.conf.set(key, orig2)

@@ -127,6 +127,20 @@ def test_run_delta_chain_equals_full_pipeline(spark, tmp_path, capsys):
     # root's fingerprints are the chain union, bucketed like a pipeline E1)
     from jobs.compact import main as compact_main
 
+    # compacting INTO a chain link would rmtree the source fingerprint
+    # table mid-read (write clobbers data before the lazy union scans it) —
+    # must fail loudly before anything is touched
+    import pytest as _pytest
+
+    from simhash_spark.plans.delta import compact_chain
+
+    for bad in (str(tmp_path / "ck_d1"), str(tmp_path / "ck_base")):
+        with _pytest.raises(ValueError, match="link of"):
+            compact_chain(spark, str(tmp_path / "ck_d1"), bad)
+    # chain intact: both links' stage tables untouched
+    assert CheckpointCatalog(spark, tmp_path / "ck_base").manifest("01_fingerprints")["complete"]
+    assert CheckpointCatalog(spark, tmp_path / "ck_d1").manifest("01_fingerprints_delta")["complete"]
+
     rc = compact_main(
         ["--tip", str(tmp_path / "ck_d1"), "--checkpoint", str(tmp_path / "ck_comp")]
     )

@@ -129,3 +129,30 @@ def test_engine_zip_is_self_contained(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "ZIPRESULT:3" in proc.stdout
+
+
+def test_catalog_write_invalidates_manifest_before_clobber(spark, tmp_path):
+    """Crash-safety order: a stage REWRITE that dies mid-write must leave
+    the stage INCOMPLETE (recompute on rerun) — never the previous
+    complete:True manifest pointing at clobbered data, which a later resume
+    would silently read as empty."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(spark, tmp_path / "cs")
+    df = spark.range(5).selectExpr("cast(id as string) as image_id")
+    cat.run_stage("s1", "fpA", lambda: df)
+    assert cat.is_complete("s1", "fpA")
+
+    bad = df.withColumn("boom", F.expr("raise_error('kaboom')"))
+    with pytest.raises(Exception, match="kaboom"):
+        cat.run_stage("s1", "fpB", lambda: bad)
+    # the old manifest was invalidated BEFORE the data dir was touched
+    assert not cat.is_complete("s1", "fpA")
+    assert not cat.is_complete("s1", "fpB")
+
+    # recovery: a rerun with a working compute completes normally
+    out = cat.run_stage("s1", "fpB", lambda: df)
+    assert out.count() == 5 and cat.is_complete("s1", "fpB")
