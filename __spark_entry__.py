@@ -1105,6 +1105,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_near_dup_clusters"] = embedding_near_dup_clusters
 
+    def semdedup_keep(spark, sf):
+        # SemDeDup (Abbas et al. 2023): k-means-cell-local cosine >= tau
+        # duplicate groups, keep the member with the LOWEST cosine to its
+        # cell centroid — the third embedding-dedup algebra next to the
+        # exact baseline and the SRP-LSH path. Same ivf_fit(16, n_iter=8)
+        # quantizer the IVF queries pin; tau = 0.4 (the embedding family's
+        # fixture threshold; min |cos - tau| margin within cells measured
+        # 1.3e-3 at sf0.01, keep-rule csim gaps >= 4.1e-3). Oracle = the
+        # independent numpy mirror (brute-force within-cell pairs +
+        # union-find; tests/gen_expected.py).
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.dedup import semdedup_keep as op
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+        return op(emb, cent, threshold=0.4)
+
+    q["semdedup_keep"] = semdedup_keep
+
+    def source_mix_plan(spark, sf):
+        # training-mixture planning (Pile/DoReMi domain-weights shape):
+        # per-source token totals -> binding-source epoch budget ->
+        # integer-bp sampling rates. All-integer frozen rule; oracle = the
+        # same rule in pure DuckDB SQL with the targets as a VALUES table.
+        from simhash_spark.operators.curation import source_mix_plan as op
+
+        docs = spark.read.parquet(_t(sf, "documents"))
+        return op(docs, _MIX_TARGETS)
+
+    q["source_mix_plan"] = source_mix_plan
+
     def image_near_dup_clusters(spark, sf):
         # the flagship image+caption pipeline on a deterministic synthetic
         # corpus of the BASELINE input_hint shape (no external data)
@@ -1394,8 +1425,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the six whose last driver row is r3, then everything else in definition
 # order, demoting 14 long-stable cheap relational queries (green in BOTH r3
 # and r4, trivially cheap to re-verify locally) to the unchecked tail.
+# the driver query's frozen mixture targets (integer bp; sources absent
+# from the corpus are ignored, corpus sources absent here get keep_bp = 0)
+_MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "semdedup_keep",
+    "source_mix_plan",
     "image_near_dup_from_bytes",
     "image_exact_dup_bytes",
     "lsh_bucket_stats",
@@ -1501,6 +1538,13 @@ _CHECK_LAST = [
     # embedding_near_dup_lsh stays in _CHECK_FIRST and every cosine rule it
     # pins is still bit-exact-checked every session by the local sweep
     "embedding_near_dup",
+    # demoted for semdedup_keep + source_mix_plan: both QUADRUPLE-green
+    # (r1-r4); the substring pair core still runs inside
+    # substring_run_report's checked plan and the IVF candidate shape
+    # inside ann_ivf_range's; both stay bit-exact-checked every session by
+    # the local sweep
+    "substring_pairs_docs",
+    "ann_ivf_topk",
 ]
 
 
@@ -2235,6 +2279,16 @@ def oracle_sql() -> dict[str, str]:
     o["embedding_near_dup_clusters"] = _expected_values_sql(
         "emb_clusters.parquet", {"vec_id": "BIGINT", "cluster_id": "BIGINT"}
     )
+    # SemDeDup: expected rows from the independent numpy mirror (brute-force
+    # within-cell pairs + union-find + the lowest-centroid-cosine keep rule)
+    o["semdedup_keep"] = _expected_values_sql(
+        "semdedup_keep.parquet",
+        {"vec_id": "BIGINT", "group_id": "BIGINT", "is_kept": "INT"},
+    )
+    # source mixing plan: the identical frozen integer rule in pure SQL
+    from simhash_spark.operators.curation import source_mix_plan_oracle_sql
+
+    o["source_mix_plan"] = source_mix_plan_oracle_sql(_MIX_TARGETS)
 
     o["frame_sample"] = """
         WITH v AS (

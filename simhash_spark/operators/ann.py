@@ -410,6 +410,38 @@ def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int):
     return assign
 
 
+def make_ivf_assign_sim_udf(centroids: np.ndarray):
+    """pandas_udf: vector -> struct(list_id:int, csim:double) — the vector's
+    single nearest centroid AND its cosine to it, from the same one-matmul-
+    per-Arrow-batch pass make_ivf_assign_udf runs (argpartition top-1, so tie
+    behavior is bit-identical to the nprobe=1 assignment the IVF family and
+    its numpy oracle mirror already share). SemDeDup (operators/dedup.py::
+    semdedup_keep) needs the similarity too: its keep rule ranks duplicate-
+    group members by distance to their cluster centroid."""
+    cent = np.ascontiguousarray(centroids.T)  # (dim, k)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("list_id", T.IntegerType()),
+        T.StructField("csim", T.DoubleType()),
+    ]))
+    def assign_sim(vecs: pd.Series) -> pd.DataFrame:
+        if not len(vecs):
+            return pd.DataFrame({
+                "list_id": np.zeros(0, np.int32),
+                "csim": np.zeros(0, np.float64),
+            })
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent
+        top = np.argpartition(-sims, 0, axis=1)[:, 0]
+        return pd.DataFrame({
+            "list_id": top.astype(np.int32),
+            "csim": sims[np.arange(len(mat)), top],
+        })
+
+    return assign_sim
+
+
 def ivf_range(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1238,3 +1238,142 @@ def token_pack_stats_oracle_sql(
                                   AS pack_id) s)
         GROUP BY shard, pack_id
     """
+
+
+def source_mix_plan(
+    df: DataFrame,
+    targets: dict[str, int],
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Training-mixture plan: given per-source target proportions (integer
+    basis points, the Pile/DoReMi-style domain-weights table), compute how
+    much of each source an epoch can actually use — the planning step
+    between a curated multi-source corpus and a sampler config.
+
+    FROZEN RULE (all-integer so both engines agree bit-for-bit): tokens =
+    whitespace split of trim(text) (NULL/blank -> 0, the engine's frozen
+    token rule); the achievable epoch budget is set by the BINDING source,
+    B = min over sources with target_bp > 0 of (n_tokens * 10000 div
+    target_bp); each targeted source contributes expected_tokens =
+    (B div 10000) * target_bp + ((B mod 10000) * target_bp) div 10000
+    (== (B * target_bp) div 10000, decomposed so the product stays inside
+    int64 out to ~10^14 tokens per source) and samples at keep_bp =
+    (expected_tokens * 10000) div n_tokens. Sources present in the corpus
+    but absent from ``targets`` get target_bp = 0 (excluded: keep_bp = 0);
+    targets for sources absent from the corpus are ignored (the plan
+    describes the corpus at hand).
+
+    Output: one row per source present in the corpus —
+    (source, n_docs, n_tokens, target_bp, keep_bp, expected_tokens).
+
+    Scale shape: ONE map-combined groupBy(source) over a (source, text)
+    pruned scan is the only corpus-sized work; everything after runs on the
+    |sources|-row aggregate (the empty-frame window min is a deliberate
+    single-partition pass over that tiny table, never the corpus). The
+    keep_bp column feeds the existing md5-threshold samplers
+    (stratified_sample_docs) as per-stratum rates.
+    """
+    t = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    n_tok = (
+        F.when(F.length(t) == 0, F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")
+    )
+    per = (
+        df.select(F.col(source_col).alias("source"), n_tok.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    tmap = F.create_map(*[F.lit(x) for kv in targets.items() for x in kv])
+    per = per.withColumn(
+        "target_bp", F.coalesce(tmap[F.col("source")], F.lit(0)).cast("long")
+    )
+    w = Window.partitionBy()  # |sources| rows, post-agg — single partition is the point
+    cap = F.when(F.col("target_bp") > 0, F.expr("n_tokens * 10000 div target_bp"))
+    per = per.withColumn("_budget", F.min(cap).over(w))
+    expected = (
+        F.when(
+            F.col("target_bp") > 0,
+            F.expr(
+                "(_budget div 10000) * target_bp"
+                " + ((_budget % 10000) * target_bp) div 10000"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    per = per.withColumn("expected_tokens", expected)
+    keep_bp = (
+        F.when(F.col("n_tokens") > 0, F.expr("expected_tokens * 10000 div n_tokens"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "target_bp",
+        keep_bp.alias("keep_bp"),
+        "expected_tokens",
+    )
+
+
+def source_mix_plan_oracle_sql(
+    targets: dict[str, int],
+    text_col: str = "text",
+    source_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB mirror of source_mix_plan — the identical frozen integer rule
+    (same token split, same decomposed budget product, `//` for div), with
+    the targets inlined as a VALUES table."""
+    tgt_rows = ",\n".join(
+        f"('{s}', {int(bp)})" for s, bp in targets.items()
+    )
+    return f"""
+        WITH tok AS (
+            SELECT {source_col} AS source,
+                   CASE WHEN length(trim(coalesce({text_col}, ''))) = 0 THEN 0
+                        ELSE len(string_split_regex(trim({text_col}), '\\s+'))
+                   END AS nt
+            FROM {table}
+        ),
+        per AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens
+            FROM tok GROUP BY source
+        ),
+        tgt(source, target_bp) AS (VALUES
+            {tgt_rows}
+        ),
+        j AS (
+            SELECT p.source, p.n_docs, p.n_tokens,
+                   CAST(COALESCE(t.target_bp, 0) AS BIGINT) AS target_bp
+            FROM per p LEFT JOIN tgt t ON p.source = t.source
+        ),
+        b AS (
+            SELECT j.*,
+                   MIN(CASE WHEN target_bp > 0
+                            THEN n_tokens * 10000 // target_bp END)
+                       OVER () AS budget
+            FROM j
+        ),
+        e AS (
+            SELECT b.*,
+                   CASE WHEN target_bp > 0
+                        THEN (budget // 10000) * target_bp
+                             + ((budget % 10000) * target_bp) // 10000
+                        ELSE CAST(0 AS BIGINT) END AS expected_tokens
+            FROM b
+        )
+        SELECT source, n_docs, n_tokens, target_bp,
+               CAST(CASE WHEN n_tokens > 0
+                         THEN expected_tokens * 10000 // n_tokens
+                         ELSE 0 END AS BIGINT) AS keep_bp,
+               CAST(expected_tokens AS BIGINT) AS expected_tokens
+        FROM e
+    """

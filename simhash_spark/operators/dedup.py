@@ -532,6 +532,115 @@ def embedding_near_dup(
     )
 
 
+def semdedup_keep(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    small_graph_limit: int = 200_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-local
+    semantic deduplication: k-means-partition the embedding space, compare
+    pairs ONLY within a cluster, group members connected by cosine >= tau,
+    and keep each duplicate group's member with the LOWEST cosine to its
+    cluster centroid (the paper's rule: the least-prototypical example is
+    the most informative survivor; ties break by minimum id — frozen).
+
+    Returns every corpus row: (id, group_id, is_kept) with group_id = the
+    duplicate group's minimum member id (singletons label themselves,
+    is_kept = 1) — the same label/decision shape as near_dup_keep_list, so
+    downstream weighting/split operators apply unchanged.
+
+    This is a THIRD embedding-dedup algebra next to embedding_near_dup's
+    exact baseline and its SRP-LSH scale path: the quantizer bounds the
+    comparison volume to sum_c m_c^2 instead of n^2 (the paper's point), and
+    the centroid-distance keep rule differs from min-id / keep-best.
+
+    Scale shape: centroids ride in the UDF closure (ivf_fit trains them on a
+    bounded driver sample — never a corpus pass); assignment + centroid
+    cosine is one matmul per Arrow batch (make_ivf_assign_sim_udf). The
+    within-cluster self-join shuffles the corpus ONCE on list_id — both join
+    inputs are the identical subplan (same column set, deliberately: column
+    pruning would defeat ReuseExchange, see candidates.py), so the UDF runs
+    once and the exchange is reused for both sides. Unlike the LSH families
+    there is NO pair-dedup exchange and no vector re-attach join: each vector
+    lives in exactly one inverted list (nprobe=1 both sides), so a pair can
+    only arise once and vectors ride the single exchange they already need.
+    Member centroid-similarities are recovered edge-side (edge-volume rows,
+    not corpus-volume), the group rule is one cluster_id window, and the
+    corpus-wide decision is a left join against the edge-derived ranks
+    (AQE broadcasts it when the duplicate set is small). Connected
+    components is the shared O(log n) star loop with the bounded driver
+    fast path; components never straddle k-means cells by construction.
+    """
+    from simhash_spark.operators.ann import make_ivf_assign_sim_udf
+    from simhash_spark.operators.connected_components import connected_components
+
+    # UDF evaluation count MEASURED with an accumulator (don't trust the
+    # ArrowEvalPython node count — ExtractPythonUDFs renders nested nodes
+    # that still evaluate once): at the at-scale SMJ shape the self-join's
+    # two sides are the same canonicalized subplan, AQE reuses the shuffle
+    # stage and the assign matmul runs EXACTLY ONCE over the corpus; at the
+    # small-corpus broadcast shape it runs once per join side (inherent to
+    # broadcasting a self-join's build side, and that regime is tiny by
+    # definition).
+    assign = make_ivf_assign_sim_udf(centroids)
+    v = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_a", assign(F.col("vec")))
+        .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.csim").alias("csim"))
+    )
+    edges = (
+        v.alias("x")
+        .join(v.alias("y"), "list_id")
+        .where(F.col("x.id") < F.col("y.id"))
+        .where(cosine_col(F.col("x.vec"), F.col("y.vec")) >= F.lit(float(threshold)))
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.csim").alias("ca"),
+            F.col("y.csim").alias("cb"),
+        )
+    )
+    # edge-sized pin: member_csim and connected_components both consume the
+    # edge set, and two branches would recompute the whole corpus self-join
+    # each (ReuseExchange never fires across the CC loop's checkpoints).
+    # localCheckpoint is the right tool at EDGE volume — the same call CC
+    # itself makes on this data; the corpus-sized stages never pin.
+    edges = edges.localCheckpoint(eager=False)
+    # every multi-member-group id appears in >= 1 edge, so member centroid
+    # similarity is recoverable from the edge set alone (csim per id is a
+    # single value — computed once behind the reused exchange)
+    member_csim = (
+        edges.select(F.col("a").alias("id"), F.col("ca").alias("csim"))
+        .unionByName(edges.select(F.col("b").alias("id"), F.col("cb").alias("csim")))
+        .dropDuplicates(["id"])
+    )
+    labels = connected_components(
+        edges.select("a", "b"), small_graph_limit=small_graph_limit
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("csim").asc(), F.col("id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked = (
+        labels.join(member_csim, "id")
+        .withColumn("_keep_id", F.first(F.col("id")).over(w))
+        .select("id", F.col("cluster_id").alias("group_id"), "_keep_id")
+    )
+    ids = emb.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(ranked, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("group_id"), F.col("id")).alias("group_id"),
+            F.coalesce(F.col("id") == F.col("_keep_id"), F.lit(True))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
 # ----------------------------------------------------------- dedup eval
 
 

@@ -850,6 +850,61 @@ def main() -> None:
     )
     print(f"ann_ivf_range: {len(ivf_range_rows)} pairs")
 
+    # semdedup_keep (Abbas'23): within-cell cosine >= 0.4 duplicate groups
+    # over the SAME ivf quantizer/assignment as ivf_topk (cent / c_list /
+    # sims reused above); union-find by min vec_id; keep = the member with
+    # the LOWEST cosine to its cell centroid, ties by min id. Margins at
+    # this sf: min |cos - 0.4| within cells 1.3e-3, min csim gap inside a
+    # group 4.1e-3 — both far beyond cross-engine float reduction noise.
+    sd_csim = sims[np.arange(len(vecs)), c_list]
+    sd_cells: dict[int, list[int]] = defaultdict(list)
+    for i, l in enumerate(c_list):
+        sd_cells[int(l)].append(i)
+    sd_parent: dict[int, int] = {i: i for i in range(len(vecs))}
+
+    def sd_find(x: int) -> int:
+        while sd_parent[x] != x:
+            sd_parent[x] = sd_parent[sd_parent[x]]
+            x = sd_parent[x]
+        return x
+
+    for mem in sd_cells.values():
+        for xi in range(len(mem)):
+            for yi in range(xi + 1, len(mem)):
+                i, j = mem[xi], mem[yi]
+                cos = vecs64[i] @ vecs64[j] / (norms[i] * norms[j])
+                if cos >= 0.4:
+                    # union by min VEC_ID (the engine's frozen label rule)
+                    ri, rj = sd_find(i), sd_find(j)
+                    if ri != rj:
+                        lo, hi = (ri, rj) if vids[ri] < vids[rj] else (rj, ri)
+                        sd_parent[hi] = lo
+    sd_groups: dict[int, list[int]] = defaultdict(list)
+    for i in range(len(vecs)):
+        sd_groups[sd_find(i)].append(i)
+    sd_rows = []
+    for mem in sd_groups.values():
+        gid = int(min(vids[m] for m in mem))
+        if len(mem) == 1:
+            sd_rows.append((int(vids[mem[0]]), gid, 1))
+            continue
+        keep = min(mem, key=lambda m: (sd_csim[m], vids[m]))
+        for m in mem:
+            sd_rows.append((int(vids[m]), gid, int(m == keep)))
+    sd_rows.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.array([r[0] for r in sd_rows], np.int64),
+                "group_id": np.array([r[1] for r in sd_rows], np.int64),
+                "is_kept": np.array([r[2] for r in sd_rows], np.int32),
+            }
+        ),
+        OUT / "semdedup_keep.parquet",
+    )
+    n_dropped = sum(1 for r in sd_rows if r[2] == 0)
+    print(f"semdedup_keep: {len(sd_rows)} rows, {n_dropped} dropped")
+
     # embedding_near_dup_lsh: 4 tables, 8 planes, ONE-SIDED multi-probe
     # (r3 plan fix): raw-signature buckets on one side, signature + all
     # one-bit flips probed on the other — a pair collides iff its signatures

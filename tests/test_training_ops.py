@@ -1397,3 +1397,139 @@ def test_image_near_dup_from_bytes_composition(spark):
     lab = dict(zip(got["image_id"], got["cluster_id"]))
     for i in range(3, 100, 7):  # the planted re-upload rule
         assert lab[f"img{i:09d}"] == lab[f"img{i - 3:09d}"]
+
+
+# ------------------------------------------------------------------ semdedup
+
+
+def test_semdedup_keep_matches_numpy_mirror(spark, emb):
+    """Engine vs an in-test brute-force mirror (independent of the
+    gen_expected one): same quantizer, within-cell O(m^2) pairs, union-find
+    by min id, lowest-centroid-cosine keep rule. Also asserts the decision
+    margins are real (threshold + keep gaps far above float noise)."""
+    from simhash_spark.operators.ann import ivf_fit, ivf_fit_core
+    from simhash_spark.operators.dedup import semdedup_keep
+
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    out = semdedup_keep(emb, cent, threshold=0.4).toPandas()
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    vids = pdf["vec_id"].to_numpy(np.int64)
+    vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+    sims = mat @ cent.T
+    assign = np.argpartition(-sims, 0, axis=1)[:, 0]
+    csim = sims[np.arange(len(mat)), assign]
+
+    parent = {i: i for i in range(len(mat))}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    margins = []
+    for cell in set(assign.tolist()):
+        mem = np.flatnonzero(assign == cell)
+        sub = mat[mem] @ mat[mem].T
+        for xi in range(len(mem)):
+            for yi in range(xi + 1, len(mem)):
+                margins.append(abs(sub[xi, yi] - 0.4))
+                if sub[xi, yi] >= 0.4:
+                    ri, rj = find(int(mem[xi])), find(int(mem[yi]))
+                    if ri != rj:
+                        lo, hi = (ri, rj) if vids[ri] < vids[rj] else (rj, ri)
+                        parent[hi] = lo
+    groups: dict[int, list[int]] = {}
+    for i in range(len(mat)):
+        groups.setdefault(find(i), []).append(i)
+    truth = {}
+    keep_gaps = []
+    for mem in groups.values():
+        gid = int(min(vids[m] for m in mem))
+        keep = min(mem, key=lambda m: (csim[m], vids[m]))
+        if len(mem) > 1:
+            cs = sorted(csim[m] for m in mem)
+            keep_gaps.append(cs[1] - cs[0])
+        for m in mem:
+            truth[int(vids[m])] = (gid, int(m == keep) if len(mem) > 1 else 1)
+
+    assert len(out) == len(truth)
+    for r in out.itertuples():
+        assert truth[r.vec_id] == (r.group_id, r.is_kept), r
+    # at least one real duplicate group at this sf, and healthy margins
+    assert (out.is_kept == 0).sum() > 0
+    assert min(margins) > 1e-6 and min(keep_gaps) > 1e-6
+    # exactly one keeper per group; every group label is a member min
+    g = out.groupby("group_id")
+    assert (g.is_kept.sum() == 1).all()
+    assert (g.vec_id.min() == [gid for gid, _ in g]).all()
+
+
+def test_semdedup_groups_never_straddle_cells(spark, emb):
+    """Pairs are compared only within a k-means cell, so every duplicate
+    group must be cell-local — the property that makes the comparison
+    volume sum m_c^2 instead of n^2."""
+    from simhash_spark.operators.ann import ivf_fit, make_ivf_assign_sim_udf
+    from simhash_spark.operators.dedup import semdedup_keep
+
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    out = semdedup_keep(emb, cent, threshold=0.4)
+    assign = make_ivf_assign_sim_udf(cent)
+    cells = emb.select(
+        F.col("vec_id"), assign(F.col("embedding")).getField("list_id").alias("cell")
+    )
+    n_cells_per_group = (
+        out.join(cells, "vec_id")
+        .groupBy("group_id")
+        .agg(F.countDistinct("cell").alias("nc"))
+    )
+    assert n_cells_per_group.where(F.col("nc") > 1).count() == 0
+
+
+# ------------------------------------------------------------- source mixing
+
+
+def test_source_mix_plan_binding_source_and_rates(spark, docs):
+    from simhash_spark.operators.curation import source_mix_plan
+
+    targets = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
+    out = source_mix_plan(docs, targets).toPandas().set_index("source")
+
+    pdf = docs.select("source", "text").toPandas()
+    ntok = pdf.text.fillna("").str.strip().map(lambda t: len(t.split()) if t else 0)
+    T = ntok.groupby(pdf.source).sum()
+    budget = min((int(T[s]) * 10000) // bp for s, bp in targets.items() if s in T.index)
+    for s in T.index:
+        row = out.loc[s]
+        assert row.n_tokens == int(T[s])
+        bp = targets.get(s, 0)
+        exp = (budget // 10000) * bp + ((budget % 10000) * bp) // 10000 if bp else 0
+        assert row.expected_tokens == exp
+        assert row.keep_bp == (exp * 10000 // int(T[s]) if T[s] else 0)
+        assert 0 <= row.keep_bp <= 10000
+    # the binding source saturates (integer floors allow a hair below 10000)
+    assert out.keep_bp.max() >= 9990
+    # untargeted sources are excluded
+    assert (out.loc[[s for s in T.index if s not in targets]].keep_bp == 0).all()
+
+
+def test_source_mix_plan_null_and_empty_text(spark):
+    from simhash_spark.operators.curation import source_mix_plan
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("a", None), ("b", "   "), ("b", "x")],
+        "source string, text string",
+    )
+    out = {r["source"]: r for r in source_mix_plan(df, {"a": 5000, "b": 5000}).collect()}
+    assert out["a"]["n_tokens"] == 3 and out["b"]["n_tokens"] == 1
+    # budget bound by b: 1 token at 50% -> budget 2 -> a expects 1 of 3
+    assert out["b"]["keep_bp"] == 10000 and out["a"]["expected_tokens"] == 1
+
+
+def test_source_mix_plan_no_targets_zero_plan(spark, docs):
+    from simhash_spark.operators.curation import source_mix_plan
+
+    out = source_mix_plan(docs, {"not_a_source": 10000}).toPandas()
+    assert (out.keep_bp == 0).all() and (out.expected_tokens == 0).all()
