@@ -1124,6 +1124,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup_keep"] = semdedup_keep
 
+    def semdedup_tau_sweep(spark, sf):
+        # SemDeDup threshold-calibration curve (how Abbas'23 picks tau per
+        # corpus): keep rate at each tau_bp over the SAME quantizer as
+        # semdedup_keep, the whole grid from ONE corpus pass (per-cell
+        # multi-tau union-find inside the group kernel). Frozen comparison
+        # rule cos * 10000.0 >= tau_bp; min |cos*1e4 - tau| margin measured
+        # 0.286 bp at this sf (~2.9e-5 cosine, far above float noise).
+        # Oracle = the independent numpy mirror (tests/gen_expected.py).
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.dedup import semdedup_tau_sweep as op
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+        return op(emb, cent, tau_bps=[3000, 3500, 4000, 4500, 5000])
+
+    q["semdedup_tau_sweep"] = semdedup_tau_sweep
+
     def source_mix_plan(spark, sf):
         # training-mixture planning (Pile/DoReMi domain-weights shape):
         # per-source token totals -> binding-source epoch budget ->
@@ -1432,6 +1449,7 @@ _MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "semdedup_keep",
+    "semdedup_tau_sweep",
     "source_mix_plan",
     "image_near_dup_from_bytes",
     "image_exact_dup_bytes",
@@ -1545,6 +1563,11 @@ _CHECK_LAST = [
     # the local sweep
     "substring_pairs_docs",
     "ann_ivf_topk",
+    # demoted for semdedup_tau_sweep: QUADRUPLE-green (r1-r4) and bit-exact
+    # vs the FROZEN vectors every session (tests/test_spec.py); every checked
+    # cluster query's hash match depends on the same kernel, so a fingerprint
+    # regression cannot pass the driver silently even without its own row
+    "simhash_fingerprints",
 ]
 
 
@@ -2284,6 +2307,18 @@ def oracle_sql() -> dict[str, str]:
     o["semdedup_keep"] = _expected_values_sql(
         "semdedup_keep.parquet",
         {"vec_id": "BIGINT", "group_id": "BIGINT", "is_kept": "INT"},
+    )
+    # tau-sweep curve: expected rows from the same numpy mirror (multi-tau
+    # union-find over the identical cells and frozen comparison rule)
+    o["semdedup_tau_sweep"] = _expected_values_sql(
+        "semdedup_tau_sweep.parquet",
+        {
+            "tau_bp": "INT",
+            "n_rows": "BIGINT",
+            "n_kept": "BIGINT",
+            "n_dropped": "BIGINT",
+            "keep_bp": "BIGINT",
+        },
     )
     # source mixing plan: the identical frozen integer rule in pure SQL
     from simhash_spark.operators.curation import source_mix_plan_oracle_sql

@@ -135,6 +135,17 @@ def main() -> None:
         "vs the exact baseline on a probe subsample",
     )
     ap.add_argument(
+        "--semdedup",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="SemDeDup plan A/B at regime: the shipped group-kernel shape "
+        "(groupBy(cell).applyInPandas — one exchange, zero joins) vs the "
+        "equivalent within-cell self-join + distributed-CC formulation, on "
+        "a ROWS/4, ROWS/2, ROWS embedding-corpus ladder; asserts identical "
+        "output (row-set hash) and reports the wall ratio per rung",
+    )
+    ap.add_argument(
         "--wide",
         type=int,
         default=0,
@@ -155,6 +166,10 @@ def main() -> None:
     wide_paths = {n: ensure_images_corpus(n) for n in wide_rungs}
     ann_rungs = [args.ann // 4, args.ann // 2, args.ann] if args.ann else []
     ann_paths = {n: ensure_embeddings_corpus(n, args.dim) for n in ann_rungs}
+    sd_rungs = (
+        [args.semdedup // 4, args.semdedup // 2, args.semdedup] if args.semdedup else []
+    )
+    sd_paths = {n: ensure_embeddings_corpus(n, args.dim) for n in sd_rungs}
     e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
     if args.wide:
         # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
@@ -456,6 +471,117 @@ def main() -> None:
             fixed_out.append(row)
             print(json.dumps({"stage": "ann_fixed_width", **row}), flush=True)
         results["ann_fixed_width"] = fixed_out
+
+    if sd_rungs:
+        # SemDeDup execution-shape A/B at regime: the shipped group-kernel
+        # plan (groupBy(cell).applyInPandas — ONE exchange, zero joins, the
+        # paper's own per-cluster-in-memory shape) vs the equivalent
+        # formulation as a within-cell self-join + distributed CC + window +
+        # re-attach join (the r5 first cut, kept HERE as the measured
+        # reference). Same quantizer, same frozen rules — output asserted
+        # identical per rung via a row-set hash before walls are compared.
+        # The join variant's cost driver is Arrow-shipping sum m_c^2 / 2
+        # joined rows, each carrying TWO vectors, through the cosine UDF;
+        # the kernel compares the same pairs as numpy gram blocks in place.
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.connected_components import connected_components
+        from simhash_spark.operators.dedup import cosine_col, semdedup_keep
+
+        def semdedup_join_reference(emb, cent, threshold):
+            from simhash_spark.operators.ann import make_ivf_assign_sim_udf
+            from pyspark.sql import Window
+
+            assign = make_ivf_assign_sim_udf(cent)
+            v = (
+                emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+                .withColumn("_a", assign(F.col("vec")))
+                .select(
+                    "id", "vec",
+                    F.col("_a.list_id").alias("list_id"),
+                    F.col("_a.csim").alias("csim"),
+                )
+            )
+            edges = (
+                v.alias("x")
+                .join(v.alias("y"), "list_id")
+                .where(F.col("x.id") < F.col("y.id"))
+                .where(cosine_col(F.col("x.vec"), F.col("y.vec")) >= F.lit(float(threshold)))
+                .select(
+                    F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+                    F.col("x.csim").alias("ca"), F.col("y.csim").alias("cb"),
+                )
+            ).localCheckpoint(eager=False)
+            member_csim = (
+                edges.select(F.col("a").alias("id"), F.col("ca").alias("csim"))
+                .unionByName(edges.select(F.col("b").alias("id"), F.col("cb").alias("csim")))
+                .dropDuplicates(["id"])
+            )
+            labels = connected_components(edges.select("a", "b"))
+            w = Window.partitionBy("cluster_id").orderBy(
+                F.col("csim").asc(), F.col("id").asc()
+            ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+            ranked = (
+                labels.join(member_csim, "id")
+                .withColumn("_keep_id", F.first(F.col("id")).over(w))
+                .select("id", F.col("cluster_id").alias("group_id"), "_keep_id")
+            )
+            ids = emb.select(F.col("vec_id").alias("id"))
+            return ids.join(ranked, "id", "left").select(
+                F.col("id").alias("vec_id"),
+                F.coalesce(F.col("group_id"), F.col("id")).alias("group_id"),
+                F.coalesce(F.col("id") == F.col("_keep_id"), F.lit(True))
+                .cast("int")
+                .alias("is_kept"),
+            )
+
+        SD_TAU, SD_TARGET_LIST, SD_REPS = 0.9, 1000, 2
+        sd_out = []
+        for n in sd_rungs:
+            emb = spark.read.parquet(str(sd_paths[n]))
+            cents = ivf_fit(emb, n_centroids=max(16, n // SD_TARGET_LIST))
+            walls, sigs = {}, {}
+            for vname, vfn in (
+                ("kernel", lambda: semdedup_keep(emb, cents, threshold=SD_TAU)),
+                ("join", lambda: semdedup_join_reference(emb, cents, SD_TAU)),
+            ):
+                best = float("inf")
+                for _ in range(SD_REPS):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    sink(vfn())
+                    best = min(best, time.time() - t0)
+                walls[vname] = best
+                sigs[vname] = tuple(
+                    vfn()
+                    .agg(
+                        F.count(F.lit(1)),
+                        # xor-fold, not sum: ANSI mode overflows a sum of
+                        # 64-bit hashes; rows are unique so xor is a sound
+                        # order-independent set signature
+                        F.bit_xor(F.xxhash64("vec_id", "group_id", "is_kept")),
+                        F.sum(1 - F.col("is_kept")),
+                    )
+                    .collect()[0]
+                )
+            assert sigs["kernel"] == sigs["join"], (
+                f"variant outputs diverge at n={n}: {sigs}"
+            )
+            rec = {
+                "rows": n,
+                "dim": args.dim,
+                "tau": SD_TAU,
+                "centroids": max(16, n // SD_TARGET_LIST),
+                "kernel_wall_s": round(walls["kernel"], 1),
+                "join_wall_s": round(walls["join"], 1),
+                "join_over_kernel": round(walls["join"] / walls["kernel"], 2),
+                "kernel_rows_per_s": round(n / walls["kernel"], 1),
+                "n_dropped": int(sigs["kernel"][2]),
+                "outputs_identical": True,
+            }
+            sd_out.append(rec)
+            print(json.dumps({"stage": "semdedup_ab", **rec}), flush=True)
+        results["semdedup_ab"] = sd_out
 
     if delta_path is not None:
         import shutil

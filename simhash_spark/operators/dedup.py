@@ -538,7 +538,6 @@ def semdedup_keep(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    small_graph_limit: int = 200_000,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-local
     semantic deduplication: k-means-partition the embedding space, compare
@@ -557,87 +556,219 @@ def semdedup_keep(
     comparison volume to sum_c m_c^2 instead of n^2 (the paper's point), and
     the centroid-distance keep rule differs from min-id / keep-best.
 
-    Scale shape: centroids ride in the UDF closure (ivf_fit trains them on a
-    bounded driver sample — never a corpus pass); assignment + centroid
-    cosine is one matmul per Arrow batch (make_ivf_assign_sim_udf). The
-    within-cluster self-join shuffles the corpus ONCE on list_id — both join
-    inputs are the identical subplan (same column set, deliberately: column
-    pruning would defeat ReuseExchange, see candidates.py), so the UDF runs
-    once and the exchange is reused for both sides. Unlike the LSH families
-    there is NO pair-dedup exchange and no vector re-attach join: each vector
-    lives in exactly one inverted list (nprobe=1 both sides), so a pair can
-    only arise once and vectors ride the single exchange they already need.
-    Member centroid-similarities are recovered edge-side (edge-volume rows,
-    not corpus-volume), the group rule is one cluster_id window, and the
-    corpus-wide decision is a left join against the edge-derived ranks
-    (AQE broadcasts it when the duplicate set is small). Connected
-    components is the shared O(log n) star loop with the bounded driver
-    fast path; components never straddle k-means cells by construction.
+    Plan shape — ONE exchange, zero joins: centroids ride in the UDF closure
+    (ivf_fit trains them on a bounded driver sample — never a corpus pass);
+    assignment + centroid cosine is one matmul per Arrow batch
+    (make_ivf_assign_sim_udf); then groupBy(list_id).applyInPandas runs the
+    whole per-cell decision — blocked gram matrix (numpy, memory bounded at
+    _GRAM_BLOCK_ELEMS regardless of cell size), union-find over the
+    qualifying pairs only, keep rule, labels — inside the group kernel.
+    Groups cannot straddle k-means cells (nprobe=1), so the decision is
+    complete per cell and every corpus row is emitted directly: no pair
+    materialization, no CC loop, no window, no re-attach join. This is the
+    paper's own execution shape (per-cluster in-memory similarity), measured
+    17-42x faster than the equivalent self-join + distributed-CC formulation
+    on a 200k/400k/800k ladder with bit-identical output at every rung
+    (BENCH/SEMDEDUP_AB.md; reproduce: design_regime.py --semdedup).
+
+    Scale/skew: one task per cell; parallelism and per-task memory are both
+    set by the quantizer's k (the paper's regime — pick k so cells average
+    ~corpus/k rows; the gram block keeps compute memory flat even on a hot
+    cell, and cell payload is m*dim*8 bytes, e.g. ~0.5 GB for 1M x 64-dim).
     """
     from simhash_spark.operators.ann import make_ivf_assign_sim_udf
-    from simhash_spark.operators.connected_components import connected_components
 
-    # UDF evaluation count MEASURED with an accumulator (don't trust the
-    # ArrowEvalPython node count — ExtractPythonUDFs renders nested nodes
-    # that still evaluate once): at the at-scale SMJ shape the self-join's
-    # two sides are the same canonicalized subplan, AQE reuses the shuffle
-    # stage and the assign matmul runs EXACTLY ONCE over the corpus; at the
-    # small-corpus broadcast shape it runs once per join side (inherent to
-    # broadcasting a self-join's build side, and that regime is tiny by
-    # definition).
     assign = make_ivf_assign_sim_udf(centroids)
     v = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .withColumn("_a", assign(F.col("vec")))
         .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.csim").alias("csim"))
     )
-    edges = (
-        v.alias("x")
-        .join(v.alias("y"), "list_id")
-        .where(F.col("x.id") < F.col("y.id"))
-        .where(cosine_col(F.col("x.vec"), F.col("y.vec")) >= F.lit(float(threshold)))
-        .select(
-            F.col("x.id").alias("a"),
-            F.col("y.id").alias("b"),
-            F.col("x.csim").alias("ca"),
-            F.col("y.csim").alias("cb"),
-        )
+    thr = float(threshold)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("group_id", T.LongType()),
+            T.StructField("is_kept", T.IntegerType()),
+        ]
     )
-    # edge-sized pin: member_csim and connected_components both consume the
-    # edge set, and two branches would recompute the whole corpus self-join
-    # each (ReuseExchange never fires across the CC loop's checkpoints).
-    # localCheckpoint is the right tool at EDGE volume — the same call CC
-    # itself makes on this data; the corpus-sized stages never pin.
-    edges = edges.localCheckpoint(eager=False)
-    # every multi-member-group id appears in >= 1 edge, so member centroid
-    # similarity is recoverable from the edge set alone (csim per id is a
-    # single value — computed once behind the reused exchange)
-    member_csim = (
-        edges.select(F.col("a").alias("id"), F.col("ca").alias("csim"))
-        .unionByName(edges.select(F.col("b").alias("id"), F.col("cb").alias("csim")))
-        .dropDuplicates(["id"])
-    )
-    labels = connected_components(
-        edges.select("a", "b"), small_graph_limit=small_graph_limit
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col("csim").asc(), F.col("id").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    ranked = (
-        labels.join(member_csim, "id")
-        .withColumn("_keep_id", F.first(F.col("id")).over(w))
-        .select("id", F.col("cluster_id").alias("group_id"), "_keep_id")
-    )
-    ids = emb.select(F.col(id_col).alias("id"))
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        ids = pdf["id"].to_numpy(np.int64)
+        if m == 1:
+            return pd.DataFrame(
+                {"id": ids, "group_id": ids, "is_kept": np.ones(1, np.int32)}
+            )
+        # ascending-id order makes the union-to-min-index rule below yield
+        # min-ID roots directly (the engine's frozen group-label rule)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        csim = pdf["csim"].to_numpy(np.float64)[order]
+        mat = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+        parent = np.arange(m, dtype=np.int64)
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        # blocked gram rows: the O(m^2) compare stays one numpy matmul per
+        # block; only pairs >= tau (edge volume) reach the Python loop
+        blk = max(1, min(4096, _GRAM_BLOCK_ELEMS // m))
+        for s in range(0, m, blk):
+            g = mat[s : s + blk] @ mat.T
+            rows, cols = np.nonzero(g >= thr)
+            for r, c in zip(rows.tolist(), cols.tolist()):
+                i = s + r
+                if c <= i:  # upper triangle only (skips self-pairs too)
+                    continue
+                ri, rj = find(i), find(c)
+                if ri != rj:
+                    lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                    parent[hi] = lo
+        roots = np.fromiter((find(i) for i in range(m)), np.int64, m)
+        # keeper = first member in (csim asc, id asc) order per group;
+        # singletons keep themselves — same rule, group of one
+        keep = np.zeros(m, np.int32)
+        seen: set[int] = set()
+        for i in np.lexsort((np.arange(m), csim)):
+            r = int(roots[i])
+            if r not in seen:
+                seen.add(r)
+                keep[i] = 1
+        return pd.DataFrame({"id": ids, "group_id": ids[roots], "is_kept": keep})
+
     return (
-        ids.join(ranked, "id", "left")
-        .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col("group_id"), F.col("id")).alias("group_id"),
-            F.coalesce(F.col("id") == F.col("_keep_id"), F.lit(True))
-            .cast("int")
-            .alias("is_kept"),
+        v.groupBy("list_id")
+        .applyInPandas(cell_kernel, out_schema)
+        .select(F.col("id").alias(id_col), "group_id", "is_kept")
+    )
+
+
+# per-gram-block element budget for semdedup_keep's blocked matmul:
+# 32M float64 = 256 MB per block regardless of cell size
+_GRAM_BLOCK_ELEMS = 32 << 20
+
+
+def semdedup_tau_sweep(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    tau_bps: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup threshold-calibration curve (the semantic-axis analog of
+    phash_distance_histogram's radius margin): for each candidate threshold
+    tau (basis points), the corpus-wide keep rate semdedup_keep WOULD
+    produce at that tau — Abbas'23 picks tau per corpus by exactly this
+    retention sweep, so a production run needs the curve as a first-class
+    (monitorable, oracle-checkable) operator, not a notebook loop.
+
+    One row per tau: (tau_bp, n_rows, n_kept, n_dropped, keep_bp), all
+    integers (keep_bp = n_kept * 10000 div n_rows — floor division, so the
+    row is bit-equal across engines). n_kept == the number of duplicate
+    groups: every group keeps exactly one member (singletons keep
+    themselves), hence n_dropped per cell == successful union-find merges,
+    which is ALL the kernel has to count — no keep rule, no labels.
+
+    Scale shape: the whole grid costs ONE corpus pass — the same
+    groupBy(cell).applyInPandas kernel as semdedup_keep, gram blocks
+    computed once at min(tau), each qualifying pair unioned into every
+    tau <= its cosine (pair volume is edge volume, the matmul dominates).
+    Plan = the kernel's one corpus exchange plus a k_taus*k_cells-row final
+    agg — grid width never re-scans the corpus.
+
+    FROZEN comparison rule: a pair matches tau iff cos * 10000.0 >= tau_bp
+    (float64 product vs the integer, exactly this expression — the numpy
+    oracle mirror evaluates the identical form).
+    """
+    from simhash_spark.operators.ann import make_ivf_assign_sim_udf
+
+    if not tau_bps:
+        raise ValueError("tau_bps must be non-empty")
+    taus = sorted({int(t) for t in tau_bps})
+    thr_min = min(taus) / 10000.0
+
+    assign = make_ivf_assign_sim_udf(centroids)
+    v = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_a", assign(F.col("vec")))
+        .select("vec", F.col("_a.list_id").alias("list_id"))
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("tau_bp", T.IntegerType()),
+            T.StructField("m", T.LongType()),
+            T.StructField("n_merges", T.LongType()),
+        ]
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m == 1:
+            return pd.DataFrame(
+                {
+                    "tau_bp": np.array(taus, np.int32),
+                    "m": np.ones(len(taus), np.int64),
+                    "n_merges": np.zeros(len(taus), np.int64),
+                }
+            )
+        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        parents = {t: np.arange(m, dtype=np.int64) for t in taus}
+        merges = {t: 0 for t in taus}
+
+        def find(parent: np.ndarray, x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        blk = max(1, min(4096, _GRAM_BLOCK_ELEMS // m))
+        for s in range(0, m, blk):
+            g = mat[s : s + blk] @ mat.T
+            rows, cols = np.nonzero(g >= thr_min)
+            if not len(rows):
+                continue
+            cos_bp = g[rows, cols] * 10000.0
+            for r, c, cb in zip(rows.tolist(), cols.tolist(), cos_bp.tolist()):
+                i = s + r
+                if c <= i:
+                    continue
+                for t in taus:
+                    if cb < t:
+                        break  # taus ascending: higher taus can't match either
+                    parent = parents[t]
+                    ri, rj = find(parent, i), find(parent, c)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+                        merges[t] += 1
+        return pd.DataFrame(
+            {
+                "tau_bp": np.array(taus, np.int32),
+                "m": np.full(len(taus), m, np.int64),
+                "n_merges": np.array([merges[t] for t in taus], np.int64),
+            }
         )
+
+    return (
+        v.groupBy("list_id")
+        .applyInPandas(cell_kernel, out_schema)
+        .groupBy("tau_bp")
+        .agg(F.sum("m").alias("n_rows"), F.sum("n_merges").alias("n_dropped"))
+        .select(
+            "tau_bp",
+            "n_rows",
+            (F.col("n_rows") - F.col("n_dropped")).alias("n_kept"),
+            "n_dropped",
+            # integer floor division — bit-equal across engines (house rule)
+            F.expr("(n_rows - n_dropped) * 10000 div n_rows").alias("keep_bp"),
+        )
+        .orderBy("tau_bp")
     )
 
 

@@ -905,6 +905,60 @@ def main() -> None:
     n_dropped = sum(1 for r in sd_rows if r[2] == 0)
     print(f"semdedup_keep: {len(sd_rows)} rows, {n_dropped} dropped")
 
+    # semdedup_tau_sweep: keep-rate curve over a tau grid, same quantizer/
+    # cells as semdedup_keep. FROZEN comparison rule (matches the kernel
+    # exactly): cos * 10000.0 >= tau_bp, cosine on the NORMALIZED rows
+    # (mat[i] @ mat[j]). n_kept per tau = rows - successful union merges.
+    sweep_taus = [3000, 3500, 4000, 4500, 5000]
+    sweep_merges = {t: 0 for t in sweep_taus}
+    sweep_parent = {t: list(range(len(vecs))) for t in sweep_taus}
+
+    def sw_find(par: list, x: int) -> int:
+        while par[x] != x:
+            par[x] = par[par[x]]
+            x = par[x]
+        return x
+
+    sweep_margin = float("inf")
+    for mem in sd_cells.values():
+        for xi in range(len(mem)):
+            for yi in range(xi + 1, len(mem)):
+                i, j = mem[xi], mem[yi]
+                cb = float(mat[i] @ mat[j]) * 10000.0
+                for t in sweep_taus:
+                    sweep_margin = min(sweep_margin, abs(cb - t))
+                    if cb >= t:
+                        par = sweep_parent[t]
+                        ri, rj = sw_find(par, i), sw_find(par, j)
+                        if ri != rj:
+                            par[max(ri, rj)] = min(ri, rj)
+                            sweep_merges[t] += 1
+    n_sw = len(vecs)
+    pq.write_table(
+        pa.table(
+            {
+                "tau_bp": np.array(sweep_taus, np.int32),
+                "n_rows": np.full(len(sweep_taus), n_sw, np.int64),
+                "n_kept": np.array(
+                    [n_sw - sweep_merges[t] for t in sweep_taus], np.int64
+                ),
+                "n_dropped": np.array(
+                    [sweep_merges[t] for t in sweep_taus], np.int64
+                ),
+                "keep_bp": np.array(
+                    [(n_sw - sweep_merges[t]) * 10000 // n_sw for t in sweep_taus],
+                    np.int64,
+                ),
+            }
+        ),
+        OUT / "semdedup_tau_sweep.parquet",
+    )
+    print(
+        f"semdedup_tau_sweep: dropped per tau "
+        f"{[sweep_merges[t] for t in sweep_taus]}, min |cos*1e4 - tau| = "
+        f"{sweep_margin:.3f}"
+    )
+
     # embedding_near_dup_lsh: 4 tables, 8 planes, ONE-SIDED multi-probe
     # (r3 plan fix): raw-signature buckets on one side, signature + all
     # one-bit flips probed on the other — a pair collides iff its signatures

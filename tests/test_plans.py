@@ -237,6 +237,24 @@ def test_no_cartesian_product_on_any_scale_path(spark):
     assert not offenders, f"cartesian product planned in: {offenders}"
 
 
+def test_semdedup_one_exchange_no_joins(spark):
+    """semdedup_keep's docstring claims ONE exchange and ZERO joins: the
+    whole per-cell decision (gram matrix, union-find, keep rule) runs inside
+    groupBy(list_id).applyInPandas, so the only shuffle is the list_id
+    groupBy — each vector moves exactly once — and no pair join, CC loop,
+    window, or re-attach join may reappear."""
+    import re
+
+    df = entrymod.queries()["semdedup_keep"](spark, SF)
+    df.collect()  # finalize the adaptive plan
+    final = _plan(df).split("== Initial Plan ==")[0]
+    ex = re.findall(r"Exchange hashpartitioning\(", final)
+    assert len(ex) == 1, f"semdedup_keep: {len(ex)} hash exchanges, want 1:\n{final}"
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin", "Window"):
+        assert node not in final, f"semdedup_keep plans a {node}:\n{final}"
+    assert "FlatMapGroupsInPandas" in final
+
+
 @pytest.mark.parametrize(
     "query,n_hash_exchanges,want_takeordered",
     [
@@ -252,6 +270,9 @@ def test_no_cartesian_product_on_any_scale_path(spark):
         # groupBy(k) — the same exchange unit the candidates stage runs —
         # plus the tiny (src, size) final agg; never a third shuffle
         ("lsh_bucket_stats", 2, False),
+        # the ONE semdedup kernel exchange plus the k_taus*k_cells-row final
+        # agg; the tau grid must never re-scan or re-shuffle the corpus
+        ("semdedup_tau_sweep", 2, False),
     ],
 )
 def test_term_stats_exchange_budget(spark, query, n_hash_exchanges, want_takeordered):

@@ -1467,6 +1467,27 @@ def test_semdedup_keep_matches_numpy_mirror(spark, emb):
     assert (g.vec_id.min() == [gid for gid, _ in g]).all()
 
 
+def test_semdedup_tau_sweep_consistent_with_keep(spark, emb):
+    """The sweep's row at a tau must agree with an actual semdedup_keep run
+    at that threshold (n_dropped = rows - groups), and keep rate must be
+    non-decreasing in tau (higher bar -> fewer merges). Exactness vs the
+    independent numpy mirror is pinned by the oracle sweep
+    (tests/test_entry_oracle.py over tests/expected/semdedup_tau_sweep)."""
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.dedup import semdedup_keep, semdedup_tau_sweep
+
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    taus = [3000, 4000, 5000]
+    sweep = semdedup_tau_sweep(emb, cent, tau_bps=taus).toPandas()
+    assert list(sweep.tau_bp) == taus  # ordered output, one row per tau
+    assert sweep.n_rows.nunique() == 1
+    assert (sweep.n_kept + sweep.n_dropped == sweep.n_rows).all()
+    assert sweep.keep_bp.is_monotonic_increasing
+    keep = semdedup_keep(emb, cent, threshold=0.4).toPandas()
+    n_dropped_at_4000 = int((keep.is_kept == 0).sum())
+    assert int(sweep.set_index("tau_bp").loc[4000, "n_dropped"]) == n_dropped_at_4000
+
+
 def test_semdedup_groups_never_straddle_cells(spark, emb):
     """Pairs are compared only within a k-means cell, so every duplicate
     group must be cell-local — the property that makes the comparison
