@@ -1141,6 +1141,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup_tau_sweep"] = semdedup_tau_sweep
 
+    def dedup_tier_labels(spark, sf):
+        # the production dedup LADDER as one per-doc table: exact (md5) ->
+        # near (SimHash/MinHash pipeline) -> semantic (SemDeDup), each tier
+        # on the prior tier's survivors, each dropped doc labeled with the
+        # ONE tier that removed it ('kept' otherwise). Same quantizer/tau as
+        # the semdedup queries, same cfg as the text cluster queries.
+        # Oracle = the independent per-tier numpy mirrors composed in the
+        # same survivor order (tests/gen_expected.py).
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.dedup import dedup_tier_labels as op
+
+        docs = spark.read.parquet(_t(sf, "documents"))
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+        return op(docs, emb, cent, cfg=CFG, tau=0.4)
+
+    q["dedup_tier_labels"] = dedup_tier_labels
+
     def source_mix_plan(spark, sf):
         # training-mixture planning (Pile/DoReMi domain-weights shape):
         # per-source token totals -> binding-source epoch budget ->
@@ -1450,6 +1468,7 @@ _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "semdedup_keep",
     "semdedup_tau_sweep",
+    "dedup_tier_labels",
     "source_mix_plan",
     "image_near_dup_from_bytes",
     "image_exact_dup_bytes",
@@ -1568,6 +1587,10 @@ _CHECK_LAST = [
     # cluster query's hash match depends on the same kernel, so a fingerprint
     # regression cannot pass the driver silently even without its own row
     "simhash_fingerprints",
+    # demoted for dedup_tier_labels: QUADRUPLE-green (r1-r4) hash-exact
+    # banding core; the same band keys drive every checked cluster query and
+    # lsh_bucket_stats' checked rows, and the local sweep stays bit-exact
+    "minhash_lsh_candidates",
 ]
 
 
@@ -2307,6 +2330,13 @@ def oracle_sql() -> dict[str, str]:
     o["semdedup_keep"] = _expected_values_sql(
         "semdedup_keep.parquet",
         {"vec_id": "BIGINT", "group_id": "BIGINT", "is_kept": "INT"},
+    )
+    # tier ladder: expected rows from the composed per-tier mirrors (md5
+    # groups -> text kernel mirror on survivors -> semdedup union-find on
+    # the remainder), tests/gen_expected.py
+    o["dedup_tier_labels"] = _expected_values_sql(
+        "dedup_tier_labels.parquet",
+        {"doc_id": "BIGINT", "tier": "VARCHAR", "is_kept": "INT"},
     )
     # tau-sweep curve: expected rows from the same numpy mirror (multi-tau
     # union-find over the identical cells and frozen comparison rule)

@@ -335,6 +335,95 @@ def near_dup_keep_best(
     )
 
 
+def dedup_tier_labels(
+    docs: DataFrame,
+    emb: DataFrame,
+    centroids: np.ndarray,
+    cfg=None,
+    tau: float = 0.95,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Tiered dedup attribution — the production dedup LADDER as one table:
+    exact (md5) -> near (SimHash/MinHash pipeline) -> semantic (SemDeDup),
+    each tier running ONLY on the survivors of the previous one (the
+    curation CLI's frozen stage order), and every dropped doc labeled with
+    the ONE tier that removed it. This is what a 100 TB curation run
+    publishes to answer "which mechanism removed how much, and which doc
+    fell to which rule" — the per-doc face of the funnel report.
+
+    Output: one row per input doc, (id_col, tier, is_kept) with tier in
+    {'exact','near','semantic'} for dropped docs and 'kept' for survivors
+    (is_kept = 1 iff tier = 'kept').
+
+    FROZEN per-tier rules (each tier's own frozen rule, unchanged):
+    - exact: keeper = min id per md5(text) group; NULL-text rows never
+      group (they pass this tier).
+    - near: the shared text_near_dup_clusters min-STRING-id label rule;
+      keeper = the member whose string id IS the cluster label.
+    - semantic: semdedup_keep's lowest-centroid-cosine rule over the
+      embedding rows of the remaining survivors; docs with no embedding
+      row pass this tier.
+    Tiers are disjoint by construction (each runs on the prior survivors),
+    so the final assembly is a union of drop sets + one left join.
+
+    Scale shape: tier 1 is one md5-keyed window exchange; tier 2 is the
+    audited one-exchange candidates pipeline on the (smaller) survivor set;
+    tier 3 is the one-exchange SemDeDup group kernel on the yet-smaller
+    remainder — the funnel ordering exists precisely so the expensive
+    tiers see the fewest rows.
+    """
+    from simhash_spark.config import DEFAULT_CONFIG
+    from simhash_spark.plans.text_dedup import text_near_dup_clusters
+
+    cfg = cfg or DEFAULT_CONFIG
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+
+    # tier 1 — exact: min id per md5 group via one window count (the
+    # exchange-reuse pattern); NULL hash partitions are exempted row-wise
+    w = Window.partitionBy("h")
+    ex = base.withColumn("h", F.md5(F.col("t"))).withColumn(
+        "_keep",
+        F.when(F.col("h").isNull(), F.col("id")).otherwise(F.min("id").over(w)),
+    )
+    exact_drops = ex.where(F.col("id") != F.col("_keep")).select(
+        "id", F.lit("exact").alias("tier")
+    )
+    surv1 = ex.where(F.col("id") == F.col("_keep")).select("id", "t")
+
+    # tier 2 — near: the pipeline's cluster labels over tier-1 survivors;
+    # label = min string id, so the keeper is the member equal to its label
+    clus = text_near_dup_clusters(surv1, "id", "t", cfg)  # -> (id str, cluster_id str)
+    near_drops = (
+        clus.where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").cast("long").alias("id"), F.lit("near").alias("tier"))
+    )
+
+    # tier 3 — semantic: SemDeDup over the remaining survivors' embeddings
+    surv2 = surv1.select("id").join(near_drops.select("id"), "id", "left_anti")
+    emb2 = (
+        emb.select(F.col(vec_id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .join(surv2, "id", "left_semi")
+    )
+    sem = semdedup_keep(emb2, centroids, threshold=tau, id_col="id", vec_col="vec")
+    sem_drops = sem.where(F.col("is_kept") == 0).select(
+        "id", F.lit("semantic").alias("tier")
+    )
+
+    drops = exact_drops.unionByName(near_drops).unionByName(sem_drops)
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(drops, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
+            F.col("tier").isNull().cast("int").alias("is_kept"),
+        )
+    )
+
+
 def cluster_size_histogram(clusters: DataFrame) -> DataFrame:
     """(id, cluster_id) labels -> (cluster_size, n_clusters, n_rows): the
     dedup report a 100 TB run publishes (how much of the corpus is

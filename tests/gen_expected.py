@@ -1115,6 +1115,82 @@ def main() -> None:
     n_dirty = sum(1 for r in raw_rows if r[2] > 0)
     print(f"decontaminate_excise_raw: {len(raw_rows)} docs, {n_dirty} contaminated")
 
+    # ---- dedup_tier_labels: exact -> near -> semantic tier ladder --------
+    # Each tier mirrors its own frozen rule on the PRIOR tier's survivors:
+    # exact = min doc_id per md5(text) group (hashlib == Spark md5 on utf-8);
+    # near = text_kernel_mirror cluster labels (min STRING id) over tier-1
+    # survivors; semantic = the semdedup union-find (tau 0.4, same cent /
+    # c_list / sd_csim as semdedup_keep above) restricted to tier-2-survivor
+    # vec_ids, keep = lowest centroid cosine then min id.
+    import hashlib
+
+    md5_groups: dict[str, list[int]] = defaultdict(list)
+    for did, txt in zip(docs["doc_id"].tolist(), docs["text"].tolist()):
+        md5_groups[hashlib.md5(str(txt).encode("utf-8")).hexdigest()].append(int(did))
+    tier_of: dict[int, str] = {}
+    for mem in md5_groups.values():
+        keep_id = min(mem)
+        for d in mem:
+            if d != keep_id:
+                tier_of[d] = "exact"
+    surv1_df = docs[~docs["doc_id"].isin(tier_of)].reset_index(drop=True)
+    m_t = text_kernel_mirror(surv1_df, CFG)
+    for sid, lab in m_t["clusters"].items():
+        if sid != lab:
+            tier_of[int(sid)] = "near"
+    surv2_ids = {int(d) for d in surv1_df["doc_id"] if int(d) not in tier_of}
+    t_parent: dict[int, int] = {}  # over embedding row indices
+
+    def t_find(x: int) -> int:
+        while t_parent[x] != x:
+            t_parent[x] = t_parent[t_parent[x]]
+            x = t_parent[x]
+        return x
+
+    for mem in sd_cells.values():
+        smem = [i for i in mem if int(vids[i]) in surv2_ids]
+        for i in smem:
+            t_parent.setdefault(i, i)
+        for xi in range(len(smem)):
+            for yi in range(xi + 1, len(smem)):
+                i, j = smem[xi], smem[yi]
+                if float(mat[i] @ mat[j]) >= 0.4:
+                    ri, rj = t_find(i), t_find(j)
+                    if ri != rj:
+                        lo, hi = (ri, rj) if vids[ri] < vids[rj] else (rj, ri)
+                        t_parent[hi] = lo
+    t_groups: dict[int, list[int]] = defaultdict(list)
+    for i in t_parent:
+        t_groups[t_find(i)].append(i)
+    for mem in t_groups.values():
+        if len(mem) == 1:
+            continue
+        keep = min(mem, key=lambda m_: (sd_csim[m_], vids[m_]))
+        for m_ in mem:
+            if m_ != keep:
+                tier_of[int(vids[m_])] = "semantic"
+    tier_rows = sorted(
+        (int(d), tier_of.get(int(d), "kept")) for d in docs["doc_id"].tolist()
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.array([d for d, _ in tier_rows], np.int64),
+                "tier": [t for _, t in tier_rows],
+                "is_kept": np.array(
+                    [int(t == "kept") for _, t in tier_rows], np.int32
+                ),
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("tier", pa.string()), ("is_kept", pa.int32())]
+            ),
+        ),
+        OUT / "dedup_tier_labels.parquet",
+    )
+    from collections import Counter
+
+    print(f"dedup_tier_labels: {Counter(t for _, t in tier_rows)}")
+
 
 if __name__ == "__main__":
     main()

@@ -1488,6 +1488,56 @@ def test_semdedup_tau_sweep_consistent_with_keep(spark, emb):
     assert int(sweep.set_index("tau_bp").loc[4000, "n_dropped"]) == n_dropped_at_4000
 
 
+def test_dedup_tier_labels_precedence_and_rules(spark, docs, emb):
+    """Tier attribution over a corpus WITH planted exact dups (the sf tables
+    carry none, so the exact tier is exercised here): every doc gets exactly
+    one row; a doc dropped at a tier is invisible to later tiers; each
+    tier's own frozen rule decides its drops. Exactness vs the composed
+    numpy mirrors is pinned by the oracle sweep (tests/test_entry_oracle)."""
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.dedup import dedup_tier_labels, semdedup_keep
+
+    # plant exact dups: docs 900+i byte-copy doc i's text (i = 0, 7, 14)
+    base = docs.select("doc_id", "text")
+    copies = base.where(F.col("doc_id").isin(0, 7, 14)).select(
+        (F.col("doc_id") + 900).alias("doc_id"), "text"
+    )
+    planted = base.unionByName(copies)
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    out = dedup_tier_labels(planted, emb, cent, tau=0.4).toPandas()
+
+    assert len(out) == planted.count() and out.doc_id.is_unique
+    assert ((out.tier == "kept") == (out.is_kept == 1)).all()
+    by_id = dict(zip(out.doc_id, out.tier))
+    # the byte-copies lose to their min-id originals at the exact tier
+    for i in (0, 7, 14):
+        assert by_id[900 + i] == "exact"
+        assert by_id[i] != "exact"
+    # tier counts on the unplanted part must match the expected mirror
+    # the planted copies cannot change the originals' decisions: copies
+    # lose at tier 1 (higher id), so tiers 2/3 see exactly the unplanted
+    # corpus — the run WITHOUT copies must agree on every original doc
+    # (sf0.01 exactness vs the composed numpy mirrors is pinned separately
+    # by the oracle sweep, tests/test_entry_oracle.py)
+    plain = dedup_tier_labels(base, emb, cent, tau=0.4).toPandas()
+    plain_by_id = dict(zip(plain.doc_id, plain.tier))
+    for d, t in plain_by_id.items():
+        assert by_id[d] == t, (d, t, by_id[d])
+    # semantic drops agree with a direct semdedup run on the survivor set
+    surv2 = [d for d, t in by_id.items() if t in ("kept", "semantic")]
+    sem = semdedup_keep(
+        emb.join(
+            spark.createDataFrame([(d,) for d in surv2], "vec_id long"),
+            "vec_id",
+            "left_semi",
+        ),
+        cent,
+        threshold=0.4,
+    ).toPandas()
+    sem_drops = set(sem[sem.is_kept == 0].vec_id)
+    assert sem_drops == {d for d, t in by_id.items() if t == "semantic"}
+
+
 def test_semdedup_groups_never_straddle_cells(spark, emb):
     """Pairs are compared only within a k-means cell, so every duplicate
     group must be cell-local — the property that makes the comparison
