@@ -10,6 +10,11 @@ rows, so the order is load-bearing and recorded in the stats output):
                          so rows differing only in redacted PII collapse)
     4. near-dup dedup   (SimHash+MinHash-LSH clusters -> keep min id;
                          --substring adds the winnowing substring stage)
+    4b. semantic dedup  (optional --embeddings <parquet>: SemDeDup over the
+                         survivors' embedding rows — the full dedup TIER
+                         LADDER exact -> near -> semantic; with quality/PII
+                         off, survivors equal dedup_tier_labels' kept set,
+                         test-gated)
     5. stratified sample (optional --sample-rate, deterministic md5
                          threshold — reproducible at any parallelism)
 
@@ -69,6 +74,9 @@ def run_curation(
     pii: bool = True,
     near_dup: bool = True,
     near_dup_policy: str = "keep",
+    embeddings_path: str | None = None,
+    semantic_tau: float = 0.95,
+    semantic_centroids: int | None = None,
     sample_rate: float | None = None,
     sample_rates: dict | None = None,
     stratum_col: str | None = None,
@@ -213,6 +221,43 @@ def run_curation(
             "wall_s": round(time.time() - ts, 2),
         })
 
+    if embeddings_path:
+        # 4b — semantic dedup (SemDeDup) over the CURRENT survivors'
+        # embedding rows: the tier ladder's last rung (dedup_tier_labels is
+        # the per-doc attribution face of this same composition; with
+        # quality/PII off the surviving sets are equal, test-gated).
+        # Quantizer fit on the FULL embeddings table (assignment is
+        # per-row, so restricting members afterwards is consistent — the
+        # same frozen choice as dedup_tier_labels); centroid count is
+        # corpus-size-adaptive at the IVF family's fixed target list size.
+        ts = time.time()
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.dedup import semdedup_keep
+
+        emb = spark.read.parquet(embeddings_path)
+        n_cent = semantic_centroids or max(16, emb.count() // 1000)
+        cent = ivf_fit(emb, n_centroids=n_cent)
+        id_type = df.schema[id_col].dataType
+        emb_surv = emb.select(
+            F.col("vec_id").cast(id_type).alias(id_col),
+            F.col("embedding").alias("vec"),
+        ).join(df.select(id_col), id_col, "left_semi")
+        sem = semdedup_keep(
+            emb_surv, cent, threshold=semantic_tau, id_col=id_col, vec_col="vec"
+        )
+        sem_drops = sem.where("is_kept = 0").select(id_col)
+        # pinned: the anti-joined survivors feed sample/split/write/pack —
+        # lazy recompute would re-run the semdedup kernel per action
+        df = _pin(df.join(sem_drops, id_col, "left_anti"), "04b_semantic")
+        n_out = df.count()
+        stats["stages"].append({
+            "stage": "semantic_dedup",
+            "rows_out": n_out,
+            "tau": semantic_tau,
+            "centroids": n_cent,
+            "wall_s": round(time.time() - ts, 2),
+        })
+
     if sample_rate is not None or sample_rates:
         ts = time.time()
         default_rate = 1.0 if sample_rate is None else sample_rate
@@ -318,6 +363,15 @@ def main(argv: list[str] | None = None) -> int:
                     "(requires --stratum-col; strata not listed keep "
                     "--sample-rate, default 1.0)")
     ap.add_argument("--stratum-col", default=None)
+    ap.add_argument("--embeddings", default=None,
+                    help="embeddings parquet (vec_id, embedding) keyed by the "
+                    "id column: adds the SemDeDup semantic-dedup stage over "
+                    "the near-dup survivors (the full dedup tier ladder)")
+    ap.add_argument("--semantic-tau", type=float, default=0.95,
+                    help="SemDeDup cosine threshold for --embeddings")
+    ap.add_argument("--semantic-centroids", type=int, default=None,
+                    help="SemDeDup k-means cell count; default adaptive "
+                    "(embedding rows / 1000, min 16)")
     ap.add_argument("--near-dup-policy", choices=("keep", "weight"), default="keep",
                     help="keep = one representative per cluster (default); "
                     "weight = keep all rows, attach cluster_size/weight_bp")
@@ -360,6 +414,9 @@ def main(argv: list[str] | None = None) -> int:
         pii=not args.no_pii,
         near_dup=not args.no_near_dup,
         near_dup_policy=args.near_dup_policy,
+        embeddings_path=args.embeddings,
+        semantic_tau=args.semantic_tau,
+        semantic_centroids=args.semantic_centroids,
         sample_rate=args.sample_rate,
         sample_rates=json.loads(args.sample_rates) if args.sample_rates else None,
         stratum_col=args.stratum_col,

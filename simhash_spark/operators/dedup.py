@@ -373,7 +373,12 @@ def dedup_tier_labels(
     audited one-exchange candidates pipeline on the (smaller) survivor set;
     tier 3 is the one-exchange SemDeDup group kernel on the yet-smaller
     remainder — the funnel ordering exists precisely so the expensive
-    tiers see the fewest rows.
+    tiers see the fewest rows. Query-face caveat (same reasoning as
+    dedup_pipeline_report): the cheap md5-window/survivor filters feed 2-3
+    branches and recompute per branch, while the expensive near-tier labels
+    are checkpoint-severed inside connected_components and materialize
+    once; production runs materialize tier boundaries through the
+    CheckpointCatalog instead of this composed query face.
     """
     from simhash_spark.config import DEFAULT_CONFIG
     from simhash_spark.plans.text_dedup import text_near_dup_clusters

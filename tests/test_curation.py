@@ -612,6 +612,45 @@ def test_run_curation_cli_stage_accounting(spark, tmp_path, capsys):
     assert {r["doc_id"] for r in resample.collect()} == pre_sample_ids  # idempotent
 
 
+def test_run_curation_semantic_stage_is_the_tier_ladder(spark, tmp_path):
+    """--embeddings adds SemDeDup as stage 4b, completing the dedup tier
+    ladder: with quality/PII off, the CLI's surviving set must equal
+    dedup_tier_labels' kept set EXACTLY (same md5 rule, same near-dup
+    pipeline, same quantizer/tau), and the stage accounting must agree."""
+    from jobs.run_curation import run_curation
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.dedup import dedup_tier_labels
+
+    sfd = "/root/testdata/sf0.001"
+    stats = run_curation(
+        spark,
+        f"{sfd}/documents.parquet",
+        str(tmp_path / "out"),
+        quality=False,
+        pii=False,
+        embeddings_path=f"{sfd}/embeddings.parquet",
+        semantic_tau=0.4,
+        semantic_centroids=16,
+    )
+    assert [s["stage"] for s in stats["stages"]] == [
+        "exact_dedup", "near_dup", "semantic_dedup", "write",
+    ]
+    out = spark.read.parquet(str(tmp_path / "out" / "documents"))
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    docs = spark.read.parquet(f"{sfd}/documents.parquet")
+    emb = spark.read.parquet(f"{sfd}/embeddings.parquet")
+    cent = ivf_fit(emb, n_centroids=16)  # same fit defaults as the CLI
+    tiers = dedup_tier_labels(docs, emb, cent, tau=0.4).toPandas()
+    exp_ids = set(tiers[tiers.is_kept == 1].doc_id)
+    assert got_ids == exp_ids
+    by_stage = {s["stage"]: s for s in stats["stages"]}
+    assert by_stage["semantic_dedup"]["rows_out"] == len(exp_ids)
+    assert stats["rows_out"] == len(exp_ids)
+    # the stage dropped someone (the sf corpus has semantic dups at 0.4)
+    assert by_stage["semantic_dedup"]["rows_out"] < by_stage["near_dup"]["rows_out"]
+
+
 def test_run_curation_weight_policy_splits_and_shards(spark, tmp_path):
     """The three production faces on the frozen 5-stage core:
     --near-dup-policy weight keeps EVERY near-dup row (downweight, don't
