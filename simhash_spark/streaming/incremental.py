@@ -431,3 +431,151 @@ def stream_sessionize(
             (F.col("end_s") - F.col("start_s")).alias("duration_s"),
         )
     )
+
+
+def start_stream_semantic_dedup(
+    stream_df: DataFrame,
+    centroids,
+    accepted_path: str,
+    decisions_path: str,
+    checkpoint_path: str,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_once: bool = True,
+):
+    """SEMANTIC dedup on ingest — the streaming face of the embedding axis
+    (the online/greedy variant of SemDeDup, operators/dedup.py::
+    semdedup_keep). Per micro-batch:
+
+    1. assign each arriving vector its k-means cell + centroid cosine (the
+       same one-matmul-per-Arrow-batch UDF the batch operator uses;
+       centroids ride in the closure, fit offline by ivf_fit),
+    2. read the ACCEPTED-state rows of the touched cells only (semi-join on
+       cell) and decide each batch row inside one per-cell group kernel,
+    3. write the batch's decisions, THEN append its accepted rows to the
+       state table (the near-dup module's ordering: state append last, so a
+       replay's read never sees its own output).
+
+    FROZEN decision rule: batch rows are decided in ascending id order; a
+    row is ACCEPTED iff its cosine to EVERY already-accepted row of its
+    cell — prior batches' and earlier-id accepted rows of this batch — is
+    < tau. Arrival-order-greedy is the only causal keep rule online; the
+    resulting accepted set carries the SAME pairwise guarantee as the batch
+    operator's keeper set (no two accepted rows of a cell within tau —
+    batch keepers of distinct groups are < tau apart by CC maximality), but
+    WHICH member of a duplicate group survives differs: first-arrival here,
+    lowest-centroid-cosine in batch. Differential-tested against an
+    independent python mirror of the greedy rule, plus the pairwise-< tau
+    invariant, across multiple micro-batches (tests/test_streaming.py).
+
+    Replay safety: decisions and state are per-batch subdirectories with
+    mode=overwrite, and the state read excludes the batch's OWN directory —
+    the module's byte-idempotent at-least-once discipline. Per-batch cost:
+    one cell-keyed exchange of (batch + touched-cell state) rows; the
+    accumulated table is scanned, filtered to touched cells, never shuffled
+    wholesale. At 10^12-row scale state lives in an Iceberg table
+    partitioned by cell, so the touched-cell read is partition pruning.
+    """
+    import pathlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from simhash_spark.operators.ann import make_ivf_assign_sim_udf
+
+    assign = make_ivf_assign_sim_udf(centroids)
+    vstream = (
+        stream_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_a", assign(F.col("vec")))
+        .select("id", "vec", F.col("_a.list_id").alias("cell"))
+    )
+    thr = float(tau)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("is_kept", T.IntegerType()),
+        ]
+    )
+
+    def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        new = pdf[pdf["_new"] == 1].sort_values("id", kind="stable")
+        old = pdf[pdf["_new"] == 0]
+        ids = new["id"].to_numpy(np.int64)
+        if not len(ids):
+            return pd.DataFrame(
+                {"id": ids, "cell": ids.astype(np.int32), "is_kept": ids.astype(np.int32)}
+            )
+        nm = np.stack(new["vec"].to_numpy()).astype(np.float64)
+        nm /= np.maximum(np.linalg.norm(nm, axis=1, keepdims=True), 1e-12)
+        # one gram pass vs prior-accepted state, one within-batch gram —
+        # the greedy scan below touches precomputed rows only
+        if len(old):
+            om = np.stack(old["vec"].to_numpy()).astype(np.float64)
+            om /= np.maximum(np.linalg.norm(om, axis=1, keepdims=True), 1e-12)
+            old_hit = (nm @ om.T >= thr).any(axis=1)
+        else:
+            old_hit = np.zeros(len(ids), bool)
+        g_new = nm @ nm.T
+        kept_idx: list[int] = []
+        keep = np.zeros(len(ids), np.int32)
+        for i in range(len(ids)):
+            if old_hit[i]:
+                continue
+            if any(g_new[i, j] >= thr for j in kept_idx):
+                continue
+            keep[i] = 1
+            kept_idx.append(i)
+        return pd.DataFrame(
+            {
+                "id": ids,
+                "cell": new["cell"].to_numpy(np.int32),
+                "is_kept": keep,
+            }
+        )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)  # pin: used 3 ways
+        base = pathlib.Path(accepted_path)
+        # crash-replay rule: exclude this batch's OWN state directory
+        sibling_dirs = [
+            str(p)
+            for p in sorted(base.glob("batch=*"))
+            if p.name != f"batch={batch_id}" and any(p.glob("*.parquet"))
+        ] if base.exists() else []
+        if sibling_dirs:
+            state = (
+                spark.read.option("recursiveFileLookup", "true")
+                .parquet(*sibling_dirs)
+                .select("id", "vec", "cell")
+                .join(batch_df.select("cell").distinct(), "cell", "left_semi")
+                .withColumn("_new", F.lit(0))
+            )
+            union = state.unionByName(batch_df.withColumn("_new", F.lit(1)))
+        else:
+            union = batch_df.withColumn("_new", F.lit(1))
+        decisions = union.groupBy("cell").applyInPandas(cell_kernel, out_schema)
+        decisions.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).parquet(f"{decisions_path}/batch={batch_id}")
+        # state append AFTER the decision write (replay reads pre-append)
+        accepted = batch_df.join(
+            spark.read.parquet(f"{decisions_path}/batch={batch_id}")
+            .where("is_kept = 1")
+            .select("id"),
+            "id",
+            "left_semi",
+        )
+        accepted.select("id", "vec", "cell").write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}"
+        )
+
+    writer = vstream.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -585,3 +585,86 @@ def test_first_seen_distinct_blank_captions_not_glued(spark, tmp_path):
         src / "f2.parquet",
     )
     assert run_once() == {"e4"}
+
+
+def test_stream_semantic_dedup_matches_greedy_mirror(spark, tmp_path):
+    """Semantic dedup on ingest: per-batch decisions equal an independent
+    python mirror of the frozen greedy rule (ascending-id within batch,
+    accept iff cosine < tau to every already-accepted row of the cell,
+    across batches), and the accepted set is pairwise < tau within every
+    cell — the same guarantee the batch keeper set carries. State persists
+    across query restarts through the per-batch parquet table."""
+    import numpy as np
+    import pandas as pd
+
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.streaming.incremental import start_stream_semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    vids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ cent.T
+    cells = np.argpartition(-sims, 0, axis=1)[:, 0]
+    TAU = 0.4
+
+    src = tmp_path / "sem_src"
+    src.mkdir()
+    acc, dec, ckpt = (
+        str(tmp_path / "sem_acc"), str(tmp_path / "sem_dec"), str(tmp_path / "sem_ckpt"),
+    )
+    schema = "vec_id long, embedding array<float>"
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = start_stream_semantic_dedup(
+            stream, cent, acc, dec, ckpt, tau=TAU,
+        )
+        q.awaitTermination(timeout=180)
+
+    # three arrival chunks, deliberately NOT in global id order
+    chunks = [np.arange(200, 350), np.arange(0, 200), np.arange(350, len(vids))]
+    accepted_mirror: dict[int, list[int]] = {}  # cell -> row indices
+    expect: dict[int, int] = {}
+    for ci, chunk in enumerate(chunks):
+        rows = pdf.iloc[chunk]
+        pq.write_table(
+            pa.Table.from_pandas(rows, preserve_index=False), src / f"c{ci}.parquet"
+        )
+        run_once()
+        # mirror the greedy rule for this batch (ascending id)
+        for i in sorted(chunk.tolist(), key=lambda i_: vids[i_]):
+            cell = int(cells[i])
+            prior = accepted_mirror.setdefault(cell, [])
+            hit = any(float(mat[i] @ mat[j]) >= TAU for j in prior)
+            expect[int(vids[i])] = 0 if hit else 1
+            if not hit:
+                prior.append(i)
+
+    got = (
+        spark.read.option("recursiveFileLookup", "true").parquet(dec).toPandas()
+    )
+    assert len(got) == len(vids) and got.id.is_unique
+    for r in got.itertuples():
+        assert expect[r.id] == r.is_kept, (r.id, expect[r.id], r.is_kept)
+    # cells agree with the assignment math
+    got_cells = dict(zip(got.id, got.cell))
+    for i in range(len(vids)):
+        assert got_cells[int(vids[i])] == int(cells[i])
+    # pairwise-< tau invariant over the final accepted set, per cell
+    by_id = {int(vids[i]): i for i in range(len(vids))}
+    kept_ids = got[got.is_kept == 1].id.tolist()
+    from collections import defaultdict as _dd
+
+    per_cell = _dd(list)
+    for kid in kept_ids:
+        per_cell[int(cells[by_id[kid]])].append(by_id[kid])
+    for mem in per_cell.values():
+        for x in range(len(mem)):
+            for y in range(x + 1, len(mem)):
+                assert float(mat[mem[x]] @ mat[mem[y]]) < TAU
+    # the state table holds exactly the accepted rows
+    state = spark.read.option("recursiveFileLookup", "true").parquet(acc)
+    assert {r["id"] for r in state.select("id").collect()} == set(kept_ids)
