@@ -400,10 +400,11 @@ def dedup_tier_labels(
 
     # tier 2 — near: the pipeline's cluster labels over tier-1 survivors;
     # label = min string id, so the keeper is the member equal to its label
+    id_type = docs.schema[id_col].dataType
     clus = text_near_dup_clusters(surv1, "id", "t", cfg)  # -> (id str, cluster_id str)
     near_drops = (
         clus.where(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").cast("long").alias("id"), F.lit("near").alias("tier"))
+        .select(F.col("id").cast(id_type).alias("id"), F.lit("near").alias("tier"))
     )
 
     # tier 3 — semantic: SemDeDup over the remaining survivors' embeddings
