@@ -48,11 +48,23 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """The deduplicated corpus: keep exactly the min-id row per content hash.
-    Implemented as a window-free semi-join (groups are tiny; no sort)."""
-    keep = exact_dedup_groups(df, id_col, text_col).select(
+    Implemented as a window-free semi-join (groups are tiny; no sort).
+
+    FROZEN NULL-text rule: a NULL text is ABSENT content, not equal content —
+    NULL-text rows never group and always survive this stage (the same rule
+    dedup_tier_labels' tier 1 applies, so the curation CLI and the tier
+    ladder agree on every corpus). Note the funnel REPORT's
+    n_exact_dup_extra counter (dedup_funnel_report) still counts NULL rows
+    as extras because countDistinct skips NULLs — that is a monitoring
+    count, not this decision surface.
+    """
+    nn = df.where(F.col(text_col).isNotNull())
+    keep = exact_dedup_groups(nn, id_col, text_col).select(
         F.col("keep_id").alias(id_col)
     )
-    return df.join(keep, id_col, "left_semi")
+    return df.where(F.col(text_col).isNull()).unionByName(
+        nn.join(keep, id_col, "left_semi")
+    )
 
 
 # --------------------------------------------------------- n-gram Jaccard
@@ -386,17 +398,24 @@ def dedup_tier_labels(
     cfg = cfg or DEFAULT_CONFIG
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
 
-    # tier 1 — exact: min id per md5 group via one window count (the
-    # exchange-reuse pattern); NULL hash partitions are exempted row-wise
+    # tier 1 — exact: min id per md5 group via one window min; NULL-text
+    # rows are SPLIT OUT before the window (the frozen absent-content rule:
+    # they never group and always survive) — routing them through
+    # partitionBy(h) would funnel every null row into one wasted hot
+    # partition just to discard its min
     w = Window.partitionBy("h")
-    ex = base.withColumn("h", F.md5(F.col("t"))).withColumn(
-        "_keep",
-        F.when(F.col("h").isNull(), F.col("id")).otherwise(F.min("id").over(w)),
+    nulls = base.where(F.col("t").isNull())
+    ex = (
+        base.where(F.col("t").isNotNull())
+        .withColumn("h", F.md5(F.col("t")))
+        .withColumn("_keep", F.min("id").over(w))
     )
     exact_drops = ex.where(F.col("id") != F.col("_keep")).select(
         "id", F.lit("exact").alias("tier")
     )
-    surv1 = ex.where(F.col("id") == F.col("_keep")).select("id", "t")
+    surv1 = (
+        ex.where(F.col("id") == F.col("_keep")).select("id", "t").unionByName(nulls)
+    )
 
     # tier 2 — near: the pipeline's cluster labels over tier-1 survivors;
     # label = min string id, so the keeper is the member equal to its label
@@ -680,28 +699,29 @@ def semdedup_keep(
         .select("id", "vec", F.col("_a.list_id").alias("list_id"), F.col("_a.csim").alias("csim"))
     )
     thr = float(threshold)
+    id_type = emb.schema[id_col].dataType  # id-type-generic, like the rest
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
-            T.StructField("group_id", T.LongType()),
+            T.StructField("id", id_type),
+            T.StructField("group_id", id_type),
             T.StructField("is_kept", T.IntegerType()),
         ]
     )
 
     def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
-        ids = pdf["id"].to_numpy(np.int64)
+        ids = pdf["id"].to_numpy()  # int64 for long ids, object for strings
         if m == 1:
             return pd.DataFrame(
                 {"id": ids, "group_id": ids, "is_kept": np.ones(1, np.int32)}
             )
         # ascending-id order makes the union-to-min-index rule below yield
-        # min-ID roots directly (the engine's frozen group-label rule)
+        # min-ID roots directly (the engine's frozen group-label rule;
+        # lexicographic for string ids, same as the near-dup family)
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         csim = pdf["csim"].to_numpy(np.float64)[order]
-        mat = np.stack(pdf["vec"].to_numpy()[order]).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        mat = _unit_rows(pdf["vec"].to_numpy()[order])
 
         parent = np.arange(m, dtype=np.int64)
 
@@ -711,20 +731,11 @@ def semdedup_keep(
                 x = parent[x]
             return x
 
-        # blocked gram rows: the O(m^2) compare stays one numpy matmul per
-        # block; only pairs >= tau (edge volume) reach the Python loop
-        blk = max(1, min(4096, _GRAM_BLOCK_ELEMS // m))
-        for s in range(0, m, blk):
-            g = mat[s : s + blk] @ mat.T
-            rows, cols = np.nonzero(g >= thr)
-            for r, c in zip(rows.tolist(), cols.tolist()):
-                i = s + r
-                if c <= i:  # upper triangle only (skips self-pairs too)
-                    continue
-                ri, rj = find(i), find(c)
-                if ri != rj:
-                    lo, hi = (ri, rj) if ri < rj else (rj, ri)
-                    parent[hi] = lo
+        for i, c, _cos in _iter_gram_pairs(mat, thr):
+            ri, rj = find(i), find(c)
+            if ri != rj:
+                lo, hi = (ri, rj) if ri < rj else (rj, ri)
+                parent[hi] = lo
         roots = np.fromiter((find(i) for i in range(m)), np.int64, m)
         # keeper = first member in (csim asc, id asc) order per group;
         # singletons keep themselves — same rule, group of one
@@ -744,9 +755,37 @@ def semdedup_keep(
     )
 
 
-# per-gram-block element budget for semdedup_keep's blocked matmul:
+# per-gram-block element budget for the similarity kernels' blocked matmuls:
 # 32M float64 = 256 MB per block regardless of cell size
 _GRAM_BLOCK_ELEMS = 32 << 20
+
+
+def _unit_rows(arrs) -> np.ndarray:
+    """Stack a sequence of vectors into float64 unit rows — the similarity
+    kernels' shared normalization (1e-12 floor guards zero vectors)."""
+    mat = np.stack(arrs).astype(np.float64)
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return mat
+
+
+def _iter_gram_pairs(mat: np.ndarray, thr: float):
+    """Yield (i, j, cos) for every upper-triangle pair of unit rows with
+    cos >= thr, via row-blocked gram matmuls bounded at _GRAM_BLOCK_ELEMS
+    elements: the O(m^2) compare stays in numpy; only qualifying pairs
+    (edge volume) reach the Python loop. Shared by semdedup_keep and
+    semdedup_tau_sweep so the block sizing and triangle rule live once."""
+    m = len(mat)
+    blk = max(1, min(4096, _GRAM_BLOCK_ELEMS // max(m, 1)))
+    for s in range(0, m, blk):
+        g = mat[s : s + blk] @ mat.T
+        rows, cols = np.nonzero(g >= thr)
+        if not len(rows):
+            continue
+        cos = g[rows, cols]
+        for r, c, cv in zip(rows.tolist(), cols.tolist(), cos.tolist()):
+            i = s + r
+            if c > i:  # upper triangle only (skips self-pairs too)
+                yield i, c, cv
 
 
 def semdedup_tau_sweep(
@@ -812,8 +851,7 @@ def semdedup_tau_sweep(
                     "n_merges": np.zeros(len(taus), np.int64),
                 }
             )
-        mat = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        mat = _unit_rows(pdf["vec"].to_numpy())
         parents = {t: np.arange(m, dtype=np.int64) for t in taus}
         merges = {t: 0 for t in taus}
 
@@ -823,25 +861,16 @@ def semdedup_tau_sweep(
                 x = parent[x]
             return x
 
-        blk = max(1, min(4096, _GRAM_BLOCK_ELEMS // m))
-        for s in range(0, m, blk):
-            g = mat[s : s + blk] @ mat.T
-            rows, cols = np.nonzero(g >= thr_min)
-            if not len(rows):
-                continue
-            cos_bp = g[rows, cols] * 10000.0
-            for r, c, cb in zip(rows.tolist(), cols.tolist(), cos_bp.tolist()):
-                i = s + r
-                if c <= i:
-                    continue
-                for t in taus:
-                    if cb < t:
-                        break  # taus ascending: higher taus can't match either
-                    parent = parents[t]
-                    ri, rj = find(parent, i), find(parent, c)
-                    if ri != rj:
-                        parent[max(ri, rj)] = min(ri, rj)
-                        merges[t] += 1
+        for i, c, cos in _iter_gram_pairs(mat, thr_min):
+            cb = cos * 10000.0  # the FROZEN comparison form
+            for t in taus:
+                if cb < t:
+                    break  # taus ascending: higher taus can't match either
+                parent = parents[t]
+                ri, rj = find(parent, i), find(parent, c)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+                    merges[t] += 1
         return pd.DataFrame(
             {
                 "tau_bp": np.array(taus, np.int32),

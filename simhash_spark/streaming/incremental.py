@@ -484,6 +484,7 @@ def start_stream_semantic_dedup(
     from pyspark.sql import types as T
 
     from simhash_spark.operators.ann import make_ivf_assign_sim_udf
+    from simhash_spark.operators.dedup import _GRAM_BLOCK_ELEMS, _unit_rows
 
     assign = make_ivf_assign_sim_udf(centroids)
     vstream = (
@@ -494,7 +495,7 @@ def start_stream_semantic_dedup(
     thr = float(tau)
     out_schema = T.StructType(
         [
-            T.StructField("id", T.LongType()),
+            T.StructField("id", stream_df.schema[id_col].dataType),  # id-generic
             T.StructField("cell", T.IntegerType()),
             T.StructField("is_kept", T.IntegerType()),
         ]
@@ -503,31 +504,40 @@ def start_stream_semantic_dedup(
     def cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         new = pdf[pdf["_new"] == 1].sort_values("id", kind="stable")
         old = pdf[pdf["_new"] == 0]
-        ids = new["id"].to_numpy(np.int64)
-        if not len(ids):
+        ids = new["id"].to_numpy()  # int64 for long ids, object for strings
+        n_new = len(ids)
+        if not n_new:
             return pd.DataFrame(
-                {"id": ids, "cell": ids.astype(np.int32), "is_kept": ids.astype(np.int32)}
+                {
+                    "id": ids,
+                    "cell": np.zeros(0, np.int32),
+                    "is_kept": np.zeros(0, np.int32),
+                }
             )
-        nm = np.stack(new["vec"].to_numpy()).astype(np.float64)
-        nm /= np.maximum(np.linalg.norm(nm, axis=1, keepdims=True), 1e-12)
-        # one gram pass vs prior-accepted state, one within-batch gram —
-        # the greedy scan below touches precomputed rows only
+        nm = _unit_rows(new["vec"].to_numpy())
+        # gram passes are ROW-BLOCKED at the shared 256 MB element budget
+        # (same defense as the batch kernel: a hot cell or a large
+        # availableNow backlog must bound compute memory, not trust m^2)
+        old_hit = np.zeros(n_new, bool)
         if len(old):
-            om = np.stack(old["vec"].to_numpy()).astype(np.float64)
-            om /= np.maximum(np.linalg.norm(om, axis=1, keepdims=True), 1e-12)
-            old_hit = (nm @ om.T >= thr).any(axis=1)
-        else:
-            old_hit = np.zeros(len(ids), bool)
-        g_new = nm @ nm.T
+            om = _unit_rows(old["vec"].to_numpy())
+            blk = max(1, min(4096, _GRAM_BLOCK_ELEMS // max(len(om), 1)))
+            for s in range(0, n_new, blk):
+                old_hit[s : s + blk] = (nm[s : s + blk] @ om.T >= thr).any(axis=1)
         kept_idx: list[int] = []
-        keep = np.zeros(len(ids), np.int32)
-        for i in range(len(ids)):
-            if old_hit[i]:
-                continue
-            if any(g_new[i, j] >= thr for j in kept_idx):
-                continue
-            keep[i] = 1
-            kept_idx.append(i)
+        keep = np.zeros(n_new, np.int32)
+        blk2 = max(1, min(4096, _GRAM_BLOCK_ELEMS // n_new))
+        for s in range(0, n_new, blk2):
+            g = nm[s : s + blk2] @ nm.T
+            for r in range(g.shape[0]):
+                i = s + r
+                if old_hit[i]:
+                    continue
+                row = g[r]
+                if any(row[j] >= thr for j in kept_idx):
+                    continue
+                keep[i] = 1
+                kept_idx.append(i)
         return pd.DataFrame(
             {
                 "id": ids,

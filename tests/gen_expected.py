@@ -1126,7 +1126,9 @@ def main() -> None:
 
     md5_groups: dict[str, list[int]] = defaultdict(list)
     for did, txt in zip(docs["doc_id"].tolist(), docs["text"].tolist()):
-        md5_groups[hashlib.md5(str(txt).encode("utf-8")).hexdigest()].append(int(did))
+        if not isinstance(txt, str):
+            continue  # FROZEN: NULL text never groups — such rows pass tier 1
+        md5_groups[hashlib.md5(txt.encode("utf-8")).hexdigest()].append(int(did))
     tier_of: dict[int, str] = {}
     for mem in md5_groups.values():
         keep_id = min(mem)

@@ -651,6 +651,53 @@ def test_run_curation_semantic_stage_is_the_tier_ladder(spark, tmp_path):
     assert by_stage["semantic_dedup"]["rows_out"] < by_stage["near_dup"]["rows_out"]
 
 
+def test_run_curation_tier_ladder_agrees_on_null_texts(spark, tmp_path):
+    """Review fix: exact_dedup used to collapse all NULL-text rows into one
+    md5(NULL) group while dedup_tier_labels passed them through — the CLI
+    and the ladder now share the frozen absent-content rule (NULL text
+    never groups, always survives the exact tier), so the surviving-set
+    equality holds on corpora WITH nulls too."""
+    import pandas as pd
+
+    from jobs.run_curation import run_curation
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.dedup import dedup_tier_labels, exact_dedup
+
+    sfd = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sfd}/documents.parquet").select("doc_id", "text")
+    planted = docs.unionByName(
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": [9001, 9002, 9003], "text": [None, None, None]}),
+            "doc_id long, text string",
+        )
+    )
+    # unit check of the shared rule: all three null rows survive exact_dedup
+    surv = exact_dedup(planted, "doc_id", "text")
+    assert {9001, 9002, 9003} <= {r["doc_id"] for r in surv.select("doc_id").collect()}
+
+    src = tmp_path / "null_docs"
+    planted.write.mode("overwrite").parquet(str(src))
+    emb = spark.read.parquet(f"{sfd}/embeddings.parquet")
+    stats = run_curation(
+        spark,
+        str(src),
+        str(tmp_path / "out"),
+        quality=False,
+        pii=False,
+        embeddings_path=f"{sfd}/embeddings.parquet",
+        semantic_tau=0.4,
+        semantic_centroids=16,
+    )
+    out = spark.read.parquet(str(tmp_path / "out" / "documents"))
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    cent = ivf_fit(emb, n_centroids=16)
+    tiers = dedup_tier_labels(planted, emb, cent, tau=0.4).toPandas()
+    exp_ids = set(tiers[tiers.is_kept == 1].doc_id)
+    assert got_ids == exp_ids
+    assert {9001, 9002, 9003} <= got_ids  # null texts survive every tier
+    assert stats["rows_out"] == len(exp_ids)
+
+
 def test_run_curation_weight_policy_splits_and_shards(spark, tmp_path):
     """The three production faces on the frozen 5-stage core:
     --near-dup-policy weight keeps EVERY near-dup row (downweight, don't

@@ -1538,6 +1538,26 @@ def test_dedup_tier_labels_precedence_and_rules(spark, docs, emb):
     assert sem_drops == {d for d, t in by_id.items() if t == "semantic"}
 
 
+def test_semdedup_keep_string_ids(spark, emb):
+    """The group kernel is id-type-generic (review fix): string-keyed
+    corpora run end to end, with the min-id rules lexicographic — exactly
+    the near-dup family's frozen string behavior."""
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.dedup import semdedup_keep
+
+    cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+    base = semdedup_keep(emb, cent, threshold=0.4).toPandas()
+    s_emb = emb.select(
+        F.format_string("doc%06d", F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    out = semdedup_keep(s_emb, cent, threshold=0.4).toPandas()
+    # zero-padded string ids order like the longs, so decisions must match
+    assert len(out) == len(base)
+    got = {r.vec_id: (r.group_id, r.is_kept) for r in out.itertuples()}
+    for r in base.itertuples():
+        assert got[f"doc{r.vec_id:06d}"] == (f"doc{r.group_id:06d}", r.is_kept)
+
+
 def test_semdedup_groups_never_straddle_cells(spark, emb):
     """Pairs are compared only within a k-means cell, so every duplicate
     group must be cell-local — the property that makes the comparison
