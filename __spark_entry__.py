@@ -1159,6 +1159,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_tier_labels"] = dedup_tier_labels
 
+    def semdedup_label_eval(spark, sf):
+        # external clustering quality of the SemDeDup groups vs the
+        # embeddings table's ground-truth label classes: exact pair-counting
+        # (precision/recall in bp) from the (group, label) contingency
+        # table — two hash aggs, never materialized pairs. Oracle = pure
+        # DuckDB SQL: the same contingency math over the frozen expected
+        # group rows joined to the embeddings view.
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.dedup import cluster_label_eval, semdedup_keep
+
+        emb = spark.read.parquet(_t(sf, "embeddings"))
+        cent = ivf_fit(emb, n_centroids=16, n_iter=8)
+        groups = semdedup_keep(emb, cent, threshold=0.4)
+        return cluster_label_eval(
+            groups, emb, id_col="vec_id", cluster_col="group_id", label_col="label"
+        )
+
+    q["semdedup_label_eval"] = semdedup_label_eval
+
     def source_mix_plan(spark, sf):
         # training-mixture planning (Pile/DoReMi domain-weights shape):
         # per-source token totals -> binding-source epoch budget ->
@@ -1468,6 +1487,7 @@ _CHECK_FIRST = [
     # never driver-checked (new in r5)
     "semdedup_keep",
     "semdedup_tau_sweep",
+    "semdedup_label_eval",
     "dedup_tier_labels",
     "source_mix_plan",
     "image_near_dup_from_bytes",
@@ -1591,6 +1611,10 @@ _CHECK_LAST = [
     # banding core; the same band keys drive every checked cluster query and
     # lsh_bucket_stats' checked rows, and the local sweep stays bit-exact
     "minhash_lsh_candidates",
+    # demoted for semdedup_label_eval: r4-green; the SRP signature/probing
+    # machinery stays in-budget via srp_topk, and the cosine range rule via
+    # ann_cosine_range; still bit-exact-checked every session locally
+    "ann_srp_range",
 ]
 
 
@@ -2338,6 +2362,46 @@ def oracle_sql() -> dict[str, str]:
         "dedup_tier_labels.parquet",
         {"doc_id": "BIGINT", "tier": "VARCHAR", "is_kept": "INT"},
     )
+    # label eval: pure SQL — the contingency pair-counting math over the
+    # FROZEN expected group rows (the semdedup mirror) joined to the
+    # embeddings view's ground-truth labels; every sum cast to BIGINT
+    # (DuckDB HUGEINT would break the value hash), floor division via //
+    _sd_groups = _expected_values_sql(
+        "semdedup_keep.parquet",
+        {"vec_id": "BIGINT", "group_id": "BIGINT", "is_kept": "INT"},
+    )
+    o["semdedup_label_eval"] = f"""
+        WITH groups AS ({_sd_groups}),
+        ct AS (
+            SELECT g.group_id AS g, e.label AS l, count(*) AS n
+            FROM groups g JOIN embeddings e ON e.vec_id = g.vec_id
+            GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+                   count(DISTINCT g) AS n_clusters,
+                   count(DISTINCT l) AS n_labels,
+                   CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS pairs_both
+            FROM ct
+        ),
+        pg AS (
+            SELECT CAST(sum(ng * (ng - 1)) // 2 AS BIGINT) AS pairs_same_cluster
+            FROM (SELECT sum(n) AS ng FROM ct GROUP BY g)
+        ),
+        pl AS (
+            SELECT CAST(sum(nl * (nl - 1)) // 2 AS BIGINT) AS pairs_same_label
+            FROM (SELECT sum(n) AS nl FROM ct GROUP BY l)
+        )
+        SELECT n_rows, n_clusters, n_labels,
+               pairs_same_cluster, pairs_same_label, pairs_both,
+               CASE WHEN pairs_same_cluster = 0 THEN 10000
+                    ELSE pairs_both * 10000 // pairs_same_cluster
+               END AS precision_bp,
+               CASE WHEN pairs_same_label = 0 THEN 10000
+                    ELSE pairs_both * 10000 // pairs_same_label
+               END AS recall_bp
+        FROM a, pg, pl
+    """
     # tau-sweep curve: expected rows from the same numpy mirror (multi-tau
     # union-find over the identical cells and frozen comparison rule)
     o["semdedup_tau_sweep"] = _expected_values_sql(

@@ -896,6 +896,79 @@ def semdedup_tau_sweep(
     )
 
 
+def cluster_label_eval(
+    assign: DataFrame,
+    truth: DataFrame,
+    id_col: str = "vec_id",
+    cluster_col: str = "group_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """External clustering quality vs a ground-truth class column — the
+    embedding axis's counterpart of dedup_truth_eval, via exact PAIR
+    COUNTING computed from the (cluster, label) CONTINGENCY TABLE, never
+    from materialized pairs: with n_gl = rows in cluster g with label l,
+
+        pairs_same_cluster = sum_g C(n_g., 2)
+        pairs_same_label   = sum_l C(n_.l, 2)
+        pairs_both         = sum_gl C(n_gl, 2)
+
+    so pair precision = both/cluster and pair recall = both/label (the
+    standard pair-counting decomposition behind the Rand index) cost two
+    map-combined hash aggs + one single-row agg — O(#clusters x #labels)
+    intermediate instead of O(sum m^2) pairs, the reason this is safe to
+    run on a 10^12-row assignment while dedup_eval's explicit-pair metric
+    needs its max_cluster_size guard.
+
+    Output: ONE row, all exact integers (n_rows, n_clusters, n_labels, the
+    three pair sums as bigint, precision_bp / recall_bp by floor division)
+    — bit-equal across engines.
+    """
+    j = assign.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("g")).join(
+        truth.select(F.col(id_col).alias("id"), F.col(label_col).alias("l")), "id"
+    )
+    ct = j.groupBy("g", "l").agg(F.count(F.lit(1)).alias("n"))
+    # cluster/label marginals as two sub-aggs of the same small table
+    # (#g x #l rows, never corpus-sized)
+    per_g = ct.groupBy("g").agg(F.sum("n").alias("ng"))
+    per_l = ct.groupBy("l").agg(F.sum("n").alias("nl"))
+    a = ct.agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.countDistinct("g").alias("n_clusters"),
+        F.countDistinct("l").alias("n_labels"),
+        F.expr("CAST(sum(n * (n - 1)) div 2 AS BIGINT)").alias("pairs_both"),
+    )
+    pg = per_g.agg(
+        F.expr("CAST(sum(ng * (ng - 1)) div 2 AS BIGINT)").alias("pairs_same_cluster")
+    )
+    pl = per_l.agg(
+        F.expr("CAST(sum(nl * (nl - 1)) div 2 AS BIGINT)").alias("pairs_same_label")
+    )
+    # single-row assembly via a constant-key equi-join (BroadcastHashJoin,
+    # never a CartesianProduct — the plan sweep forbids that node)
+    k = F.lit(1).alias("_k")
+    return (
+        a.select(k, "*")
+        .join(pg.select(k, "*"), "_k")
+        .join(pl.select(k, "*"), "_k")
+        .select(
+            "n_rows",
+            "n_clusters",
+            "n_labels",
+            "pairs_same_cluster",
+            "pairs_same_label",
+            "pairs_both",
+            F.expr(
+                "CASE WHEN pairs_same_cluster = 0 THEN 10000 "
+                "ELSE pairs_both * 10000 div pairs_same_cluster END"
+            ).alias("precision_bp"),
+            F.expr(
+                "CASE WHEN pairs_same_label = 0 THEN 10000 "
+                "ELSE pairs_both * 10000 div pairs_same_label END"
+            ).alias("recall_bp"),
+        )
+    )
+
+
 # ----------------------------------------------------------- dedup eval
 
 

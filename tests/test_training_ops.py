@@ -1538,6 +1538,38 @@ def test_dedup_tier_labels_precedence_and_rules(spark, docs, emb):
     assert sem_drops == {d for d, t in by_id.items() if t == "semantic"}
 
 
+def test_cluster_label_eval_matches_bruteforce_pairs(spark):
+    """The contingency pair-counting must equal literal pair enumeration on
+    a small case (incl. a cluster spanning labels and a label spanning
+    clusters), and the plan must stay cartesian-free (constant-key
+    broadcast assembly)."""
+    from itertools import combinations
+
+    from simhash_spark.operators.dedup import cluster_label_eval
+
+    rows = [(i, g, l) for i, (g, l) in enumerate(
+        [(0, 0), (0, 0), (0, 1), (1, 1), (1, 1), (2, 0), (3, 2), (3, 2), (3, 2)]
+    )]
+    assign = spark.createDataFrame(
+        [(i, g) for i, g, _ in rows], "vec_id long, group_id long"
+    )
+    truth = spark.createDataFrame(
+        [(i, l) for i, _, l in rows], "vec_id long, label int"
+    )
+    out = cluster_label_eval(assign, truth).collect()[0]
+    same_c = sum(1 for a, b in combinations(rows, 2) if a[1] == b[1])
+    same_l = sum(1 for a, b in combinations(rows, 2) if a[2] == b[2])
+    both = sum(1 for a, b in combinations(rows, 2) if a[1] == b[1] and a[2] == b[2])
+    assert out["n_rows"] == len(rows)
+    assert out["pairs_same_cluster"] == same_c
+    assert out["pairs_same_label"] == same_l
+    assert out["pairs_both"] == both
+    assert out["precision_bp"] == both * 10000 // same_c
+    assert out["recall_bp"] == both * 10000 // same_l
+    plan = cluster_label_eval(assign, truth)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_semdedup_keep_string_ids(spark, emb):
     """The group kernel is id-type-generic (review fix): string-keyed
     corpora run end to end, with the min-id rules lexicographic — exactly
