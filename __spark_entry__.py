@@ -507,6 +507,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decontaminate_overlap"] = decontaminate_overlap
 
+    def bloom_decontaminate(spark, sf):
+        # the same contamination question as decontaminate_overlap answered
+        # the Dolma-deduper way: benchmark grams compressed into a Bloom
+        # filter (FROZEN sizing/probe rules, functions/bloom.py), corpus
+        # side a ZERO-exchange vectorized membership pass — no gram explode,
+        # no count agg; one-sided (n_maybe_overlap >= the exact n_overlap,
+        # false positives at the frozen ~5.6e-4/gram rate), all docs present
+        from simhash_spark.operators.curation import bloom_contamination_counts
+        from simhash_spark.session import spread_small_input
+
+        d = spread_small_input(spark.read.parquet(_t(sf, "documents")))
+        bench = d.where(F.col("doc_id") % 7 == 3)
+        corpus = d.where(F.col("doc_id") % 7 != 3)
+        return bloom_contamination_counts(corpus, bench, n=5).select(
+            F.col("id").alias("doc_id"), "n_grams", "n_maybe_overlap"
+        )
+
+    q["bloom_decontaminate"] = bloom_decontaminate
+
     def decontaminate_spans(spark, sf):
         # WHICH token spans overlap the benchmark (Lee'22/Dolma span
         # excision): maximal merged 1-based [start_tok, end_tok] ranges per
@@ -1485,6 +1504,7 @@ _MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "bloom_decontaminate",
     "semdedup_keep",
     "semdedup_tau_sweep",
     "semdedup_label_eval",
@@ -1615,6 +1635,10 @@ _CHECK_LAST = [
     # machinery stays in-budget via srp_topk, and the cosine range rule via
     # ann_cosine_range; still bit-exact-checked every session locally
     "ann_srp_range",
+    # demoted for bloom_decontaminate: r4-green one-line variant of the
+    # jaccard plan whose exact pair core runs inside ngram_near_dup_clusters'
+    # checked plan; still bit-exact-checked every session locally
+    "ngram_containment",
 ]
 
 
@@ -1952,6 +1976,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(end_tok AS BIGINT) AS end_tok, n_grams
         FROM ({contaminated_spans_oracle_sql("doc_id % 7 = 3", n=5)})
     """
+
+    # bloom filter counts: expected parquet from gen_expected's per-row
+    # python mirror of the FROZEN bloom rules (set-of-bit-indices filter,
+    # python-int probe math — independent of the engine's packed uint64
+    # kernel); DuckDB cannot re-derive FNV/probe math natively
+    o["bloom_decontaminate"] = _expected_values_sql(
+        "bloom_decontaminate.parquet",
+        {"doc_id": "BIGINT", "n_grams": "INT", "n_maybe_overlap": "INT"},
+    )
 
     from simhash_spark.operators.curation import excise_spans_oracle_sql
 

@@ -20,6 +20,7 @@ sizes, and partitionings; no RNG state, no sort, no shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -557,6 +558,75 @@ def repeated_blocks_oracle_sql(
                COALESCE(r.n_blocks_removed, CAST(0 AS BIGINT)) AS n_blocks_removed
         FROM documents d LEFT JOIN rebuilt r ON r.id = d.{id_col}
     """
+
+
+# ------------------------------------------------ Bloom-filter decontamination
+
+
+def bloom_contamination_counts(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    n: int = 5,
+    bits_per_key: int = 16,
+    k_probes: int = 8,
+    max_bench_grams: int = 5_000_000,
+) -> DataFrame:
+    """Benchmark decontamination as a Bloom-filter membership pass — the
+    Dolma-deduper execution shape (Soldaini'24 §4.2) next to the exact
+    broadcast-join trio above: (id, n_grams, n_maybe_overlap) for EVERY
+    corpus doc, where n_maybe_overlap counts the doc's distinct word-n-gram
+    FNV hashes the filter reports as benchmark members.
+
+    Semantics vs :func:`contamination_counts` (the exact path): one-sided —
+    never a false negative (every truly shared gram counts), false positives
+    at the frozen (1 - e**(-k/bits_per_key))**k rate (~5.6e-4/gram at the
+    defaults), so per doc ``n_maybe_overlap >= n_overlap`` and zero-overlap
+    docs are PRESENT here with n_maybe_overlap = 0 (no semi-join drop).
+
+    Scale shape — the reason this variant exists: the exact plan explodes
+    the corpus into gram rows and runs a per-doc count exchange; this one is
+    a ZERO-exchange projection — gram generation, FNV hashing, probing and
+    the per-doc count all happen inside one vectorized Arrow batch
+    (functions/bloom.py), nothing corpus-sized ever shuffles or explodes.
+    The reference side compresses to bits_per_key bits/gram and is built
+    ONCE from a bounded collect (``max_bench_grams`` guard — an eval suite
+    is 10^6-10^7 grams; a bigger "benchmark" is a misuse, raise loudly).
+    All frozen rules (grams, FNV, sizing, probes) live in
+    functions/bloom.py and are mirrored per-row by tests/gen_expected.py.
+    """
+    from simhash_spark.functions.bloom import (
+        bloom_build,
+        make_bloom_overlap_udf,
+        make_gram_fnv_hashes_udf,
+    )
+    from simhash_spark.spec import i64_to_u64
+
+    gh = make_gram_fnv_hashes_udf(n)
+    rows = (
+        benchmark.select(F.explode(gh(F.col(bench_text_col))).alias("h"))
+        .distinct()
+        .limit(max_bench_grams + 1)
+        .collect()
+    )
+    if len(rows) > max_bench_grams:
+        raise ValueError(
+            f"benchmark side exceeds max_bench_grams={max_bench_grams} distinct "
+            "n-grams — a Bloom reference set this large is almost certainly a "
+            "swapped corpus/benchmark argument; raise the cap explicitly if not"
+        )
+    hashes = i64_to_u64(np.array([r.h for r in rows], dtype=np.int64))
+    words, m_bits = bloom_build(hashes, bits_per_key, k_probes)
+    ov = make_bloom_overlap_udf(words, m_bits, k_probes, n)
+    return corpus.select(
+        F.col(id_col).alias("id"), ov(F.col(text_col)).alias("_b")
+    ).select(
+        "id",
+        F.col("_b.n_grams").alias("n_grams"),
+        F.col("_b.n_maybe_overlap").alias("n_maybe_overlap"),
+    )
 
 
 # ------------------------------------------------------- stratified sampling

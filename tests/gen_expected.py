@@ -1193,6 +1193,60 @@ def main() -> None:
 
     print(f"dedup_tier_labels: {Counter(t for _, t in tier_rows)}")
 
+    # ---- bloom_decontaminate: Bloom-filter membership counts -------------
+    # Per-row python mirror of functions/bloom.py's FROZEN rules (same bench
+    # split as the exact trio: doc_id % 7 == 3). Independent implementation:
+    # python-int probe math + a set-of-bit-indices filter, vs the engine's
+    # vectorized uint64 packed-word array.
+    bits_per_key, k_probes = 16, 8
+    mask64 = (1 << 64) - 1
+
+    def _fnv_set(t: str) -> set[int]:
+        gs = _grams(_toks(t), t)
+        return {int(x) for x in spec.fnv1a64_str(gs)} if gs else set()
+
+    bench_h: set[int] = set()
+    for t in docs.loc[is_bench, "text"]:
+        bench_h.update(_fnv_set(t))
+    want = bits_per_key * len(bench_h)
+    m_bits = 1 << max(6, (want - 1).bit_length() if want > 1 else 0)
+
+    def _probes(u: int) -> list[int]:
+        step = (u >> 33) | 1
+        return [((u + i * step) & mask64) & (m_bits - 1) for i in range(k_probes)]
+
+    bitset: set[int] = set()
+    for u in bench_h:
+        bitset.update(_probes(u))
+    bl_rows = []
+    for _, row in docs.loc[~is_bench].iterrows():
+        hs = _fnv_set(row["text"])
+        nm = sum(1 for u in hs if all(p in bitset for p in _probes(u)))
+        bl_rows.append((int(row["doc_id"]), len(hs), nm))
+    bl_rows.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": np.array([r[0] for r in bl_rows], np.int64),
+                "n_grams": np.array([r[1] for r in bl_rows], np.int32),
+                "n_maybe_overlap": np.array([r[2] for r in bl_rows], np.int32),
+            },
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_grams", pa.int32()),
+                    ("n_maybe_overlap", pa.int32()),
+                ]
+            ),
+        ),
+        OUT / "bloom_decontaminate.parquet",
+    )
+    n_hit = sum(1 for r in bl_rows if r[2] > 0)
+    print(
+        f"bloom_decontaminate: {len(bl_rows)} docs, {n_hit} maybe-contaminated, "
+        f"m={m_bits} bits over {len(bench_h)} bench grams"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -945,3 +945,110 @@ def test_run_curation_pack_plan_face(spark, tmp_path):
     }
     got = {(r["key"], r["shard"], r["start_offset"]) for r in plan.collect()}
     assert got == want
+
+
+# ------------------------------------------------ Bloom-filter decontamination
+
+
+def test_bloom_kernel_membership_and_sizing():
+    """Pure-numpy kernel properties: every inserted key tests positive
+    (structural no-false-negative), the false-positive rate on a disjoint
+    key set stays near the frozen analytic bound, sizing is a power of two
+    with the floor, and the empty filter rejects everything."""
+    import numpy as np
+
+    from simhash_spark.functions.bloom import bloom_build, bloom_maybe
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**64, size=4096, dtype=np.uint64)
+    words, m = bloom_build(keys, bits_per_key=16, k_probes=8)
+    assert m == 1 << 16 and m % 64 == 0 and len(words) == m // 64
+    assert bloom_maybe(words, m, 8, keys).all()
+
+    others = rng.integers(0, 2**64, size=200_000, dtype=np.uint64)
+    others = np.setdiff1d(others, keys)
+    fp = bloom_maybe(words, m, 8, others).mean()
+    # analytic (1 - e^-0.5)^8 ~= 5.6e-4; allow generous sampling slack
+    assert fp < 3e-3
+
+    w0, m0 = bloom_build(np.zeros(0, dtype=np.uint64))
+    assert m0 == 64 and not bloom_maybe(w0, m0, 8, keys).any()
+
+
+def test_bloom_counts_mirror_and_superset_of_exact(spark, docs):
+    """The engine's zero-exchange bloom pass must (a) equal an independent
+    per-row python mirror of the FROZEN rules exactly, and (b) dominate the
+    exact join per doc (one-sided error: n_maybe_overlap >= n_overlap, every
+    truly contaminated doc detected) with total false-positive mass near the
+    analytic rate."""
+    from simhash_spark import spec
+    from simhash_spark.operators.curation import bloom_contamination_counts
+
+    n = 5
+    pdf = docs.select("doc_id", "text").toPandas()
+    bench_mask = pdf["doc_id"] % 7 == 3
+    bench_pdf, corp_pdf = pdf[bench_mask], pdf[~bench_mask]
+    bench = spark.createDataFrame(bench_pdf)
+    corpus = spark.createDataFrame(corp_pdf)
+
+    got = {
+        r["id"]: (r["n_grams"], r["n_maybe_overlap"])
+        for r in bloom_contamination_counts(corpus, bench, n=n).collect()
+    }
+    assert set(got) == set(corp_pdf["doc_id"])
+
+    # independent mirror: python-int probe math + set-of-bit-indices filter
+    mask64 = (1 << 64) - 1
+
+    def fnv_set(t):
+        gs = sorted(_py_grams(t or "", n))
+        return {int(x) for x in spec.fnv1a64_str(gs)} if gs else set()
+
+    bench_h = set().union(*(fnv_set(t) for t in bench_pdf["text"]), set())
+    want = 16 * len(bench_h)
+    m_bits = 1 << max(6, (want - 1).bit_length() if want > 1 else 0)
+
+    def probes(u):
+        step = (u >> 33) | 1
+        return [((u + i * step) & mask64) & (m_bits - 1) for i in range(8)]
+
+    bitset = set()
+    for u in bench_h:
+        bitset.update(probes(u))
+    exact = {
+        r["id"]: r["n_overlap"]
+        for r in contamination_counts(corpus, bench, n=n).collect()
+    }
+    assert exact, "fixture produced zero contamination; pick a new slice"
+    fp_total = 0
+    for _, row in corp_pdf.iterrows():
+        hs = fnv_set(row["text"])
+        nm = sum(1 for u in hs if all(p in bitset for p in probes(u)))
+        assert got[row["doc_id"]] == (len(hs), nm)
+        assert nm >= exact.get(row["doc_id"], 0)
+        fp_total += nm - exact.get(row["doc_id"], 0)
+    n_grams_total = sum(g for g, _ in got.values())
+    # frozen analytic fp ~5.6e-4/gram; 10x slack for the small sample
+    assert fp_total <= max(5, int(6e-3 * n_grams_total))
+
+
+def test_bloom_bench_guard_raises(spark, docs):
+    from simhash_spark.operators.curation import bloom_contamination_counts
+
+    bench = docs.where(F.col("doc_id") % 7 == 3)
+    corpus = docs.where(F.col("doc_id") % 7 != 3)
+    with pytest.raises(ValueError, match="max_bench_grams"):
+        bloom_contamination_counts(corpus, bench, max_bench_grams=10).collect()
+
+
+def test_bloom_corpus_pass_is_zero_exchange(spark, docs):
+    """The scale claim: the corpus side of the bloom pass plans with NO
+    exchange at all — pure projection (scan -> UDF eval), vs the exact
+    path's explode + broadcast join + count agg."""
+    from simhash_spark.operators.curation import bloom_contamination_counts
+
+    bench = docs.where(F.col("doc_id") % 7 == 3)
+    corpus = docs.where(F.col("doc_id") % 7 != 3)
+    out = bloom_contamination_counts(corpus, bench, n=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "CartesianProduct" not in plan
