@@ -143,7 +143,10 @@ def make_gram_fnv_hashes_udf(n: int):
     def gram_hashes(texts: pd.Series) -> pd.Series:
         if not len(texts):
             return pd.Series([], dtype=object)
-        offsets, hashes = gram_fnv_hashes(texts.tolist(), n)
+        # fillna: nulls arrive as None OR NaN depending on the Arrow->pandas
+        # path; the frozen rule treats both as empty text (same guard as the
+        # fingerprint kernels)
+        offsets, hashes = gram_fnv_hashes(texts.fillna("").tolist(), n)
         signed = spec.u64_to_i64(hashes)
         return pd.Series(
             [signed[offsets[i] : offsets[i + 1]].tolist() for i in range(len(texts))]
@@ -180,7 +183,7 @@ def make_bloom_overlap_udf(words: np.ndarray, m_bits: int, k_probes: int, n: int
                     "n_maybe_overlap": np.zeros(0, np.int32),
                 }
             )
-        offsets, hashes = gram_fnv_hashes(texts.tolist(), n)
+        offsets, hashes = gram_fnv_hashes(texts.fillna("").tolist(), n)
         hit = bloom_maybe(w, m_bits, k_probes, hashes)
         # per-row segment sums over the flat hit vector
         csum = np.concatenate([[0], np.cumsum(hit.astype(np.int64))])

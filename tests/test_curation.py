@@ -1052,3 +1052,24 @@ def test_bloom_corpus_pass_is_zero_exchange(spark, docs):
     out = bloom_contamination_counts(corpus, bench, n=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "CartesianProduct" not in plan
+
+
+def test_bloom_null_and_empty_text_rows(spark):
+    """NULL / empty / whitespace-only text rows (ABSENT-CONTENT class) pass
+    through with n_grams = 0, n_maybe_overlap = 0 — never a crash, never a
+    phantom gram."""
+    from simhash_spark.operators.curation import bloom_contamination_counts
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "shared gram text body here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "shared gram text body here today")], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_grams"], r["n_maybe_overlap"])
+        for r in bloom_contamination_counts(corpus, bench, n=5).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
+    assert got[4] == (1, 1)  # 5 tokens -> ONE 5-gram, present in the bench doc
