@@ -315,17 +315,26 @@ def stream_curation_gate(
     quality: bool = True,
     pii: bool = True,
     quality_overrides: dict | None = None,
+    bloom_benchmark: DataFrame | None = None,
+    bloom_n: int = 5,
+    bloom_min_overlap: int = 1,
 ) -> DataFrame:
-    """Streaming face of the curation door (run_curation stages 1-2):
-    Gopher-style quality keep/drop, then PII scrub — per-record IDENTICAL to
-    the batch operators because it IS the batch operators: both are
-    zero-shuffle native projections, so they compose with a readStream
-    source unchanged (no state, no watermark). Dropped rows never leave the
-    gate; surviving rows carry the scrubbed text in ``text_col`` plus the
-    ``n_email``/``n_ipv4``/``n_phone`` audit counts, exactly the schema the
-    batch CLI ships. Differential-tested vs batch quality_filter+pii_scrub
-    (tests/test_streaming.py)."""
-    from simhash_spark.operators.curation import pii_scrub
+    """Streaming face of the curation door (run_curation stages 1-2, plus an
+    optional Bloom decontamination drop): Gopher-style quality keep/drop,
+    then PII scrub, then — when ``bloom_benchmark`` (a STATIC benchmark
+    DataFrame) is given — drop any row whose SCRUBBED text shares >=
+    ``bloom_min_overlap`` word-n-grams with the benchmark per the frozen
+    Bloom rules (functions/bloom.py; one-sided, so contaminated rows can
+    never slip through — the fp rate drops a ~5.6e-4 sliver of clean grams).
+    Per-record IDENTICAL to the batch operators because it IS the batch
+    operators: all three are zero-shuffle/zero-exchange projections, so they
+    compose with a readStream source unchanged (no state, no watermark; the
+    filter is built ONCE at stream setup via build_benchmark_bloom, never
+    per micro-batch). Dropped rows never leave the gate; surviving rows
+    carry the scrubbed text in ``text_col`` plus the ``n_email``/``n_ipv4``/
+    ``n_phone`` audit counts, exactly the schema the batch CLI ships.
+    Differential-tested vs the batch composition (tests/test_streaming.py)."""
+    from simhash_spark.operators.curation import build_benchmark_bloom, pii_scrub
     from simhash_spark.operators.textops import quality_filter
 
     out = stream_df
@@ -341,6 +350,16 @@ def stream_curation_gate(
             .drop(text_col)
             .withColumnRenamed("clean_text", text_col)
         )
+    if bloom_benchmark is not None:
+        from simhash_spark.functions.bloom import make_bloom_overlap_udf
+
+        words, m_bits = build_benchmark_bloom(bloom_benchmark, text_col, bloom_n)
+        ov = make_bloom_overlap_udf(words, m_bits, 8, bloom_n)
+        out = (
+            out.withColumn("_bl", ov(F.col(text_col)))
+            .where(F.col("_bl.n_maybe_overlap") < F.lit(bloom_min_overlap))
+            .drop("_bl")
+        )
     return out
 
 
@@ -353,6 +372,9 @@ def start_curated_ingest(
     pii: bool = True,
     quality_overrides: dict | None = None,
     trigger_once: bool = True,
+    bloom_benchmark: DataFrame | None = None,
+    bloom_n: int = 5,
+    bloom_min_overlap: int = 1,
 ):
     """writeStream for the curation gate: each micro-batch's surviving
     scrubbed rows land in a per-batch subdirectory with mode=overwrite —
@@ -360,7 +382,14 @@ def start_curated_ingest(
     start_stream_near_dup (an at-least-once foreachBatch redelivery
     overwrites its own directory instead of duplicating rows)."""
     gated = stream_curation_gate(
-        stream_df, text_col, quality=quality, pii=pii, quality_overrides=quality_overrides
+        stream_df,
+        text_col,
+        quality=quality,
+        pii=pii,
+        quality_overrides=quality_overrides,
+        bloom_benchmark=bloom_benchmark,
+        bloom_n=bloom_n,
+        bloom_min_overlap=bloom_min_overlap,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:

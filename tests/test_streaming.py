@@ -364,6 +364,87 @@ def test_stream_curation_gate_matches_batch(spark, tmp_path):
     assert got_df.select("_batch_id").distinct().count() >= 2
 
 
+def test_stream_curation_gate_bloom_matches_batch(spark, tmp_path):
+    """The Bloom decontamination drop at the streaming door equals the batch
+    composition (quality -> scrub -> bloom over the SCRUBBED text) on the
+    same rows across >= 2 micro-batches — the filter is built once at
+    stream setup, the per-row decision is the frozen one-sided rule, so
+    planted contaminated rows can never survive the gate."""
+    import pandas as pd
+
+    from simhash_spark.operators.curation import (
+        bloom_contamination_counts,
+        pii_scrub,
+    )
+    from simhash_spark.operators.textops import quality_filter
+    from simhash_spark.streaming.incremental import start_curated_ingest
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "distinct ordinary words fill this sentence for the stopword and "
+        "repetition rules to accept it as perfectly real text"
+    )
+    leak = "sealed benchmark answer tokens nobody should ever train on"
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    planted = pd.DataFrame(
+        [
+            # quality-passing CONTAMINATED rows (share the leak 5+-gram run)
+            {"doc_id": 910001 + i, "text": f"{base} and then {leak} again {i}",
+             "lang": "en", "source": "planted", "n_chars": 100}
+            for i in range(2)
+        ]
+        + [
+            # quality-passing clean row — must survive the bloom stage
+            {"doc_id": 910010, "text": base + " entirely without any leak",
+             "lang": "en", "source": "planted", "n_chars": 100}
+        ]
+    )
+    docs = pd.concat([docs, planted], ignore_index=True)
+    src_dir = tmp_path / "bl_src"
+    src_dir.mkdir()
+    half = len(docs) // 2
+    pq.write_table(pa.Table.from_pandas(docs.iloc[:half], preserve_index=False), src_dir / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(docs.iloc[half:], preserve_index=False), src_dir / "b.parquet")
+
+    bench = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": 1, "text": f"held out eval where {leak} appears"}])
+    )
+    batch_src = spark.read.parquet(str(src_dir))
+    stream_src = (
+        spark.readStream.schema(batch_src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = tmp_path / "bl_curated"
+    q = start_curated_ingest(
+        stream_src, str(out), str(tmp_path / "bl_ckpt"), bloom_benchmark=bench
+    )
+    q.awaitTermination(timeout=120)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(out))
+        .collect()
+    }
+
+    kept = quality_filter(batch_src, "text").where("keep = 1").drop("keep", "reason")
+    scrubbed = (
+        pii_scrub(kept, "text").drop("text").withColumnRenamed("clean_text", "text")
+    )
+    dirty = (
+        bloom_contamination_counts(scrubbed, bench, n=5)
+        .where("n_maybe_overlap >= 1")
+        .select(F.col("id").alias("doc_id"))
+    )
+    expect = {
+        r["doc_id"]: r["text"]
+        for r in scrubbed.join(dirty, "doc_id", "left_anti").collect()
+    }
+    assert got == expect
+    assert 910010 in got  # the clean planted row survived
+    assert not {910001, 910002} & set(got)  # contaminated rows never slip through
+
+
 def test_stream_sessionize_matches_batch(spark, tmp_path):
     """Native session windows over micro-batches equal batch sessionize on
     the same events (r4 verdict #6, optional half): same frozen gap rule
