@@ -146,6 +146,17 @@ def main() -> None:
         "output (row-set hash) and reports the wall ratio per rung",
     )
     ap.add_argument(
+        "--bloom",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="decontamination plan A/B at regime: the exact broadcast-gram-"
+        "join path vs the zero-exchange Bloom-filter pass on a ROWS/4, "
+        "ROWS/2, ROWS caption-corpus ladder (benchmark = a deterministic "
+        "~2%% slice); asserts the one-sided superset property per rung and "
+        "reports walls, docs/s, and the false-positive gram mass",
+    )
+    ap.add_argument(
         "--wide",
         type=int,
         default=0,
@@ -170,6 +181,8 @@ def main() -> None:
         [args.semdedup // 4, args.semdedup // 2, args.semdedup] if args.semdedup else []
     )
     sd_paths = {n: ensure_embeddings_corpus(n, args.dim) for n in sd_rungs}
+    bl_rungs = [args.bloom // 4, args.bloom // 2, args.bloom] if args.bloom else []
+    bl_paths = {n: ensure_images_corpus(n) for n in bl_rungs}
     e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
     if args.wide:
         # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
@@ -582,6 +595,89 @@ def main() -> None:
             sd_out.append(rec)
             print(json.dumps({"stage": "semdedup_ab", **rec}), flush=True)
         results["semdedup_ab"] = sd_out
+
+    if bl_rungs:
+        # Decontamination plan A/B at regime: the exact path (benchmark gram
+        # hashes broadcast-joined against the corpus gram EXPLODE, per-doc
+        # count agg) vs the Bloom pass (reference grams compressed to a
+        # frozen-rule filter, corpus side ONE zero-exchange vectorized Arrow
+        # projection — no explode, no agg). Same gram rule (word 5-grams of
+        # the caption); the bloom side is one-sided by construction, so per
+        # rung we assert sum(n_maybe) >= sum(n_exact) and report the
+        # false-positive gram mass honestly.
+        from simhash_spark.operators.curation import (
+            bloom_contamination_counts,
+            contamination_counts,
+        )
+
+        BL_REPS = 2
+        bl_out = []
+        for n in bl_rungs:
+            src = spark.read.parquet(str(bl_paths[n]))
+            is_bench = F.abs(F.xxhash64("image_id")) % 50 == 7
+            bench = src.where(is_bench)
+            corpus = src.where(~is_bench)
+            walls = {}
+            for vname, vfn in (
+                (
+                    "exact",
+                    lambda: contamination_counts(
+                        corpus, bench, id_col="image_id", text_col="caption",
+                        bench_text_col="caption", n=5,
+                    ),
+                ),
+                (
+                    "bloom",
+                    lambda: bloom_contamination_counts(
+                        corpus, bench, id_col="image_id", text_col="caption",
+                        bench_text_col="caption", n=5,
+                    ),
+                ),
+            ):
+                best = float("inf")
+                for _ in range(BL_REPS):
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    sink(vfn())
+                    best = min(best, time.time() - t0)
+                walls[vname] = best
+            sum_exact = (
+                contamination_counts(
+                    corpus, bench, id_col="image_id", text_col="caption",
+                    bench_text_col="caption", n=5,
+                )
+                .agg(F.sum("n_overlap"))
+                .collect()[0][0]
+                or 0
+            )
+            bl = bloom_contamination_counts(
+                corpus, bench, id_col="image_id", text_col="caption",
+                bench_text_col="caption", n=5,
+            ).agg(
+                F.count(F.lit(1)),
+                F.sum("n_maybe_overlap"),
+                F.sum("n_grams"),
+            ).collect()[0]
+            n_docs, sum_maybe, sum_grams = int(bl[0]), int(bl[1]), int(bl[2])
+            assert sum_maybe >= sum_exact, (
+                f"one-sided property violated at n={n}: {sum_maybe} < {sum_exact}"
+            )
+            rec = {
+                "rows": n,
+                "corpus_docs": n_docs,
+                "exact_wall_s": round(walls["exact"], 2),
+                "bloom_wall_s": round(walls["bloom"], 2),
+                "exact_over_bloom": round(walls["exact"] / walls["bloom"], 2),
+                "bloom_docs_per_s": round(n_docs / walls["bloom"], 1),
+                "sum_exact_overlap": sum_exact,
+                "sum_maybe_overlap": sum_maybe,
+                "fp_grams": sum_maybe - sum_exact,
+                "fp_per_gram": round((sum_maybe - sum_exact) / max(1, sum_grams), 8),
+            }
+            bl_out.append(rec)
+            print(json.dumps({"stage": "bloom_ab", **rec}), flush=True)
+        results["bloom_ab"] = bl_out
 
     if delta_path is not None:
         import shutil

@@ -6,6 +6,12 @@ rows, so the order is load-bearing and recorded in the stats output):
 
     1. quality filter   (Gopher-style keep/drop, textops.quality_filter)
     2. PII scrub        (redact emails/IPv4/phones, curation.pii_scrub)
+    2b. decontamination (optional --decontaminate-benchmark <parquet>: drop
+                         docs sharing >= min-overlap word-n-grams with the
+                         eval set, over the SCRUBBED text — same order as
+                         the streaming gate; --decontaminate-mode picks the
+                         zero-exchange Bloom pass (default, one-sided) or
+                         the exact broadcast gram join)
     3. exact dedup      (md5 groups, keep min id — on the SCRUBBED text,
                          so rows differing only in redacted PII collapse)
     4. near-dup dedup   (SimHash+MinHash-LSH clusters -> keep min id;
@@ -74,6 +80,10 @@ def run_curation(
     pii: bool = True,
     near_dup: bool = True,
     near_dup_policy: str = "keep",
+    decontaminate_path: str | None = None,
+    decontaminate_mode: str = "bloom",
+    decontaminate_n: int = 5,
+    decontaminate_min_overlap: int = 1,
     embeddings_path: str | None = None,
     semantic_tau: float = 0.95,
     semantic_centroids: int | None = None,
@@ -151,6 +161,46 @@ def run_curation(
                                              "ipv4": tot["i"] or 0,
                                              "phone": tot["p"] or 0},
                                 "wall_s": round(time.time() - ts, 2)})
+
+    if decontaminate_path:
+        # 2b — benchmark decontamination over the SCRUBBED text (the shipped
+        # artifact; same stage order as the streaming curation gate). Bloom
+        # mode is the 10^12 shape: the eval set compresses to a frozen-rule
+        # filter and the corpus side is one zero-exchange vectorized pass —
+        # one-sided, so contaminated docs can never survive (a ~5.6e-4/gram
+        # fp sliver of clean docs is the documented price). Exact mode is
+        # the broadcast gram join (no false positives, one count exchange).
+        ts = time.time()
+        from simhash_spark.operators.curation import (
+            bloom_contamination_counts,
+            contamination_counts,
+        )
+
+        if decontaminate_mode not in ("bloom", "exact"):
+            raise ValueError(
+                f"decontaminate_mode must be 'bloom' or 'exact': {decontaminate_mode!r}"
+            )
+        bench = spark.read.parquet(decontaminate_path)
+        if decontaminate_mode == "bloom":
+            dirty = bloom_contamination_counts(
+                df, bench, id_col=id_col, text_col=text_col,
+                bench_text_col=text_col, n=decontaminate_n,
+            ).where(F.col("n_maybe_overlap") >= decontaminate_min_overlap)
+        else:
+            dirty = contamination_counts(
+                df, bench, id_col=id_col, text_col=text_col,
+                bench_text_col=text_col, n=decontaminate_n,
+            ).where(F.col("n_overlap") >= decontaminate_min_overlap)
+        n_dirty = dirty.count()
+        df = df.join(dirty.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        stats["stages"].append({
+            "stage": "decontaminate",
+            "mode": decontaminate_mode,
+            "n": decontaminate_n,
+            "min_overlap": decontaminate_min_overlap,
+            "dropped": n_dirty,
+            "wall_s": round(time.time() - ts, 2),
+        })
 
     def _pin(d, name):
         # materialize a stage boundary that feeds 2+ downstream actions:
@@ -363,6 +413,17 @@ def main(argv: list[str] | None = None) -> int:
                     "(requires --stratum-col; strata not listed keep "
                     "--sample-rate, default 1.0)")
     ap.add_argument("--stratum-col", default=None)
+    ap.add_argument("--decontaminate-benchmark", default=None,
+                    help="eval-set parquet (same text column): adds the 2b "
+                    "decontamination stage over the scrubbed text")
+    ap.add_argument("--decontaminate-mode", choices=("bloom", "exact"),
+                    default="bloom",
+                    help="bloom = zero-exchange one-sided Bloom pass "
+                    "(default); exact = broadcast gram join")
+    ap.add_argument("--decontaminate-n", type=int, default=5,
+                    help="word n-gram width for the decontamination stage")
+    ap.add_argument("--decontaminate-min-overlap", type=int, default=1,
+                    help="drop docs with >= this many benchmark n-grams")
     ap.add_argument("--embeddings", default=None,
                     help="embeddings parquet (vec_id, embedding) keyed by the "
                     "id column: adds the SemDeDup semantic-dedup stage over "
@@ -414,6 +475,10 @@ def main(argv: list[str] | None = None) -> int:
         pii=not args.no_pii,
         near_dup=not args.no_near_dup,
         near_dup_policy=args.near_dup_policy,
+        decontaminate_path=args.decontaminate_benchmark,
+        decontaminate_mode=args.decontaminate_mode,
+        decontaminate_n=args.decontaminate_n,
+        decontaminate_min_overlap=args.decontaminate_min_overlap,
         embeddings_path=args.embeddings,
         semantic_tau=args.semantic_tau,
         semantic_centroids=args.semantic_centroids,

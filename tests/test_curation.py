@@ -1073,3 +1073,56 @@ def test_bloom_null_and_empty_text_rows(spark):
     }
     assert got[1] == (0, 0) and got[2] == (0, 0) and got[3] == (0, 0)
     assert got[4] == (1, 1)  # 5 tokens -> ONE 5-gram, present in the bench doc
+
+
+@pytest.mark.parametrize("mode", ["bloom", "exact"])
+def test_run_curation_decontaminate_stage(spark, tmp_path, mode):
+    """The CLI's 2b decontamination stage (both modes) equals the operator
+    composition quality -> scrub -> drop-contaminated on the SCRUBBED text,
+    with the drop recorded in the stage manifest."""
+    from jobs.run_curation import run_curation
+    from simhash_spark.operators.curation import (
+        bloom_contamination_counts,
+        contamination_counts,
+        pii_scrub,
+    )
+    from simhash_spark.operators.textops import quality_filter
+
+    src = f"{SF}/documents.parquet"
+    bench_dir = tmp_path / f"bench_{mode}"
+    spark.read.parquet(src).where("doc_id % 7 = 3").write.parquet(str(bench_dir))
+
+    out = tmp_path / f"cur_{mode}"
+    stats = run_curation(
+        spark,
+        src,
+        str(out),
+        near_dup=False,
+        decontaminate_path=str(bench_dir),
+        decontaminate_mode=mode,
+    )
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(out / "documents")).select("doc_id").collect()
+    }
+
+    kept = quality_filter(spark.read.parquet(src), "text").where("keep = 1").drop(
+        "keep", "reason"
+    )
+    scrubbed = (
+        pii_scrub(kept, "text").drop("text").withColumnRenamed("clean_text", "text")
+    )
+    bench = spark.read.parquet(str(bench_dir))
+    if mode == "bloom":
+        dirty = bloom_contamination_counts(scrubbed, bench, n=5).where(
+            "n_maybe_overlap >= 1"
+        )
+    else:
+        dirty = contamination_counts(scrubbed, bench, n=5).where("n_overlap >= 1")
+    dirty_ids = {r["id"] for r in dirty.select("id").collect()}
+    expect = {r["doc_id"] for r in scrubbed.select("doc_id").collect()} - dirty_ids
+    assert got == expect
+
+    stage = next(s for s in stats["stages"] if s["stage"] == "decontaminate")
+    assert stage["mode"] == mode and stage["dropped"] == len(dirty_ids)
+    assert stage["dropped"] > 0, "fixture bench slice contaminated nothing; vacuous"
