@@ -1345,6 +1345,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_exact_dup_bytes"] = image_exact_dup_bytes
 
+    def image_tier_labels(spark, sf):
+        # the image axis's tier-dedup attribution: byte-exact (md5 over the
+        # binary column; planted re-uploads) -> near (the flagship caption-
+        # SimHash + OR-phash pipeline) on the byte tier's survivors — every
+        # dropped image labeled with the ONE tier that removed it. Oracle =
+        # per-tier mirrors composed in the same survivor order (hashlib md5
+        # groups, then the independent bucketed numpy image mirror).
+        from simhash_spark.plans.pipeline import image_tier_labels as op
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            make_images_pdf,
+            plant_byte_reuploads,
+        )
+
+        pdf = plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        return op(spark, src, CFG)
+
+    q["image_tier_labels"] = image_tier_labels
+
     def image_near_dup_from_bytes(spark, sf):
         # the multimodal -> dedup COMPOSITION from raw bytes alone: real PPM
         # decode -> recomputed perceptual hash -> pigeonhole self-search
@@ -1504,6 +1524,7 @@ _MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "image_tier_labels",
     "bloom_decontaminate",
     "semdedup_keep",
     "semdedup_tau_sweep",
@@ -1639,6 +1660,10 @@ _CHECK_LAST = [
     # jaccard plan whose exact pair core runs inside ngram_near_dup_clusters'
     # checked plan; still bit-exact-checked every session locally
     "ngram_containment",
+    # demoted for image_tier_labels: r4-green; the span machinery stays
+    # in-budget via decontaminate_spans and the raw-slice excision via
+    # decontaminate_excise_raw; still bit-exact-checked every session locally
+    "decontaminate_excise",
 ]
 
 
@@ -2287,6 +2312,12 @@ def oracle_sql() -> dict[str, str]:
     o["image_exact_dup_bytes"] = _expected_values_sql(
         "image_exact_bytes.parquet",
         {"content_hash": "VARCHAR", "n_copies": "BIGINT", "keep_id": "VARCHAR"},
+    )
+    # image tier ladder: per-tier mirrors composed in the survivor order
+    # (hashlib md5 byte groups -> independent bucketed numpy image mirror)
+    o["image_tier_labels"] = _expected_values_sql(
+        "image_tier_labels.parquet",
+        {"image_id": "VARCHAR", "tier": "VARCHAR", "is_kept": "INT"},
     )
     o["audio_features"] = _expected_values_sql(
         "audio_features.parquet",

@@ -106,6 +106,67 @@ def cluster_job(
     )
 
 
+def image_tier_labels(
+    spark: SparkSession, src: DataFrame, cfg: PipelineConfig | None = None
+) -> DataFrame:
+    """Tiered dedup attribution for the IMAGE axis — the text ladder's
+    (operators/dedup.py::dedup_tier_labels) counterpart over the BASELINE
+    input_hint table: byte-exact (md5 over the binary column — the same
+    file re-uploaded under a new id/caption) -> near (the flagship
+    caption-SimHash + phash-pigeonhole pipeline) on the byte tier's
+    survivors, every dropped image labeled with the ONE tier that removed
+    it. Output: (image_id, tier in {'exact','near','kept'}, is_kept).
+
+    FROZEN per-tier rules (each tier's own frozen rule, unchanged):
+    - exact: keeper = lexicographic min image_id per md5(bytes) group;
+      NULL-bytes rows never group (they pass this tier — the absent-content
+      rule shared with the text ladder).
+    - near: cluster_job's min-string-id label over fingerprint/candidate/
+      verify (caption SimHash bands + pigeonhole, OR-phash verify) of the
+      survivors; keeper = the member whose id IS its cluster label.
+
+    Scale shape: tier 1 is one md5-keyed window exchange over (id, 16-byte
+    digest) — bytes themselves never shuffle (md5 computed in the scan
+    projection); tier 2 is the audited one-exchange candidates plan on the
+    (smaller) survivor set. Query-face caveat: fp feeds candidate AND
+    verify, so this composed face caches it; production runs materialize
+    tier boundaries through the CheckpointCatalog like run_pipeline.
+    """
+    from pyspark.sql import Window
+
+    cfg = cfg or DEFAULT_CONFIG
+    id_c, by_c = F.col("image_id"), F.col("bytes")
+    # "_md5", not "h" — the input_hint schema already carries h (height)
+    w = Window.partitionBy("_md5")
+    nulls = src.where(by_c.isNull())
+    ex = (
+        src.where(by_c.isNotNull())
+        .withColumn("_md5", F.md5(by_c))
+        .withColumn("_keep", F.min("image_id").over(w))
+    )
+    exact_drops = ex.where(id_c != F.col("_keep")).select(
+        "image_id", F.lit("exact").alias("tier")
+    )
+    surv1 = ex.where(id_c == F.col("_keep")).drop("_md5", "_keep").unionByName(nulls)
+
+    fp = fingerprint_job(spark, surv1, cfg).cache()
+    clus = cluster_job(verify_job(candidate_job(fp, cfg), fp, cfg), fp, cfg)
+    near_drops = clus.where(F.col("image_id") != F.col("cluster_id")).select(
+        "image_id", F.lit("near").alias("tier")
+    )
+
+    drops = exact_drops.unionByName(near_drops)
+    return (
+        src.select("image_id")
+        .join(drops, "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
+            F.col("tier").isNull().cast("int").alias("is_kept"),
+        )
+    )
+
+
 def stage_fingerprint(
     input_path: str,
     cfg: PipelineConfig,

@@ -1247,6 +1247,51 @@ def main() -> None:
         f"m={m_bits} bits over {len(bench_h)} bench grams"
     )
 
+    # ---- image_tier_labels: byte-exact -> near tier ladder ----------------
+    # The image axis's tier attribution (plans/pipeline.py::image_tier_labels)
+    # mirrored per tier: hashlib md5 byte groups (keeper = lexicographic min
+    # id), then image_kernel_mirror cluster labels over the survivors.
+    it_src = plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+    it_groups: dict[str, list[str]] = defaultdict(list)
+    for iid, data in zip(it_src["image_id"], it_src["bytes"]):
+        it_groups[hashlib.md5(bytes(data)).hexdigest()].append(str(iid))
+    it_tier: dict[str, str] = {}
+    for mem in it_groups.values():
+        keep = min(mem)
+        for i in mem:
+            if i != keep:
+                it_tier[i] = "exact"
+    it_surv = it_src[~it_src["image_id"].astype(str).isin(it_tier)].reset_index(
+        drop=True
+    )
+    it_m = image_kernel_mirror(it_surv, CFG)
+    for iid, lab in it_m["clusters"].items():
+        if iid != lab:
+            it_tier[str(iid)] = "near"
+    it_rows = sorted(
+        (str(i), it_tier.get(str(i), "kept")) for i in it_src["image_id"]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": [i for i, _ in it_rows],
+                "tier": [t for _, t in it_rows],
+                "is_kept": np.array([int(t == "kept") for _, t in it_rows], np.int32),
+            },
+            schema=pa.schema(
+                [("image_id", pa.string()), ("tier", pa.string()), ("is_kept", pa.int32())]
+            ),
+        ),
+        OUT / "image_tier_labels.parquet",
+    )
+    from collections import Counter as _Counter
+
+    it_counts = _Counter(t for _, t in it_rows)
+    assert it_counts.get("exact", 0) > 0 and it_counts.get("near", 0) > 0, (
+        "image tier fixture must exercise BOTH tiers"
+    )
+    print(f"image_tier_labels: {dict(it_counts)}")
+
 
 if __name__ == "__main__":
     main()

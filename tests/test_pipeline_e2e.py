@@ -363,3 +363,58 @@ def test_include_phash_false_removes_phash_axis_end_to_end(spark, tmp_path):
 
     assert ("a", "b") in pairs(include_phash=True)  # phash-only dup accepted
     assert ("a", "b") not in pairs(include_phash=False)  # axis fully removed
+
+
+def test_image_tier_labels_rules_and_disjointness(spark):
+    """The image tier ladder: (a) output partitions the corpus, one row per
+    image; (b) every planted byte re-upload (never the lexicographic-min id
+    of its group) drops at the EXACT tier — planted copies cannot reach or
+    perturb the near tier; (c) near drops equal the flagship pipeline's
+    non-label members computed over the byte tier's survivors."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.plans.pipeline import (
+        candidate_job,
+        cluster_job,
+        fingerprint_job,
+        image_tier_labels,
+        verify_job,
+    )
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_byte_reuploads,
+    )
+
+    pdf = plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+    src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+    out = {r["image_id"]: (r["tier"], r["is_kept"]) for r in
+           image_tier_labels(spark, src, CFG).collect()}
+    assert set(out) == set(pdf["image_id"].astype(str))
+    assert all((t == "kept") == bool(k) for t, k in out.values())
+
+    # planted re-uploads: row i (i % 7 == 3) copies bytes from row i-3 —
+    # both ids are in one md5 group; the non-min member must drop 'exact'
+    import hashlib
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for iid, data in zip(pdf["image_id"].astype(str), pdf["bytes"]):
+        groups[hashlib.md5(bytes(data)).hexdigest()].append(iid)
+    exact_expect = {i for mem in groups.values() for i in mem if i != min(mem)}
+    assert {i for i, (t, _) in out.items() if t == "exact"} == exact_expect
+    assert exact_expect, "fixture planted no byte dups; vacuous"
+
+    # near drops == flagship non-label members over the survivors
+    surv = src.join(
+        spark.createDataFrame([(i,) for i in exact_expect], "image_id string"),
+        "image_id",
+        "left_anti",
+    )
+    fp = fingerprint_job(spark, surv, CFG).cache()
+    clus = cluster_job(verify_job(candidate_job(fp, CFG), fp, CFG), fp, CFG)
+    near_expect = {
+        r["image_id"]
+        for r in clus.where("image_id != cluster_id").collect()
+    }
+    assert {i for i, (t, _) in out.items() if t == "near"} == near_expect
+    assert near_expect, "fixture exercised no near tier; vacuous"
