@@ -1365,6 +1365,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_tier_labels"] = image_tier_labels
 
+    def image_tier_labels_semantic(spark, sf):
+        # the FULL image-axis tier ladder — the graft cell's "tier dedup x
+        # image" face taken to its third rung: byte-exact (md5; planted
+        # re-uploads) -> near (caption-SimHash + OR-phash pipeline) ->
+        # semantic (SemDeDup over centered block-mean pixel embeddings, the
+        # Abbas'23 LAION regime with image_embeddings standing in for CLIP),
+        # each tier on the prior tier's survivors. The fixture plants
+        # re-renders that flip >= 4 ahash bits (phash misses them) under
+        # fresh captions (SimHash misses them) but keep embedding cosine
+        # >= 0.92 to their base; tau 0.9 sits in a measured two-sided
+        # >= 0.04 cosine gap. Oracle = per-tier mirrors composed in the
+        # same survivor order (tests/gen_expected.py).
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.multimodal import image_embeddings
+        from simhash_spark.plans.pipeline import image_tier_labels as op
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            make_images_pdf,
+            plant_byte_reuploads,
+            plant_semantic_rerenders,
+        )
+
+        pdf = plant_semantic_rerenders(
+            plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+        )
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        emb = (
+            image_embeddings(src)
+            .where(F.col("error").isNull())
+            .select("image_id", "embedding")
+        )
+        cent = ivf_fit(emb, n_centroids=8, n_iter=8)
+        return op(spark, src, CFG, emb=emb, centroids=cent, tau=0.9)
+
+    q["image_tier_labels_semantic"] = image_tier_labels_semantic
+
     def image_near_dup_from_bytes(spark, sf):
         # the multimodal -> dedup COMPOSITION from raw bytes alone: real PPM
         # decode -> recomputed perceptual hash -> pigeonhole self-search
@@ -1524,6 +1560,7 @@ _MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "image_tier_labels_semantic",
     "image_tier_labels",
     "bloom_decontaminate",
     "semdedup_keep",
@@ -1664,6 +1701,10 @@ _CHECK_LAST = [
     # in-budget via decontaminate_spans and the raw-slice excision via
     # decontaminate_excise_raw; still bit-exact-checked every session locally
     "decontaminate_excise",
+    # demoted for image_tier_labels_semantic: r4-green; the substring pair
+    # core stays in-budget via substring_pairs_docs (and rides every checked
+    # cluster query); still bit-exact-checked every session locally
+    "substring_run_report",
 ]
 
 
@@ -2317,6 +2358,11 @@ def oracle_sql() -> dict[str, str]:
     # (hashlib md5 byte groups -> independent bucketed numpy image mirror)
     o["image_tier_labels"] = _expected_values_sql(
         "image_tier_labels.parquet",
+        {"image_id": "VARCHAR", "tier": "VARCHAR", "is_kept": "INT"},
+    )
+    # full ladder: + SemDeDup over pixel embeddings on the near survivors
+    o["image_tier_labels_semantic"] = _expected_values_sql(
+        "image_tier_labels_semantic.parquet",
         {"image_id": "VARCHAR", "tier": "VARCHAR", "is_kept": "INT"},
     )
     o["audio_features"] = _expected_values_sql(

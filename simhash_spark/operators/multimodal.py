@@ -79,6 +79,76 @@ def ahash64(px: np.ndarray) -> np.uint64:
     return spec.pack_bits_u64(np.concatenate([bits, np.zeros(64 - bits.size, bool)]))
 
 
+def image_embedding_of(px: np.ndarray, grid: int = 4) -> np.ndarray:
+    """Deterministic pixel embedding: (h, w, 3) uint8 -> (grid*grid*3,)
+    float64, the centered + L2-normalized block-mean thumbnail.
+
+    This is the engine's stand-in for a learned image encoder (SemDeDup on
+    LAION uses CLIP image embeddings, Abbas'23 §3) with the same contract —
+    a fixed-dim vector whose cosine is high exactly for visually-similar
+    pixels — computable in this container (no model weights, no codecs).
+    Centering is load-bearing: raw pixel vectors are all-positive, so ANY
+    two images have cosine near 1 and no threshold separates dups from
+    non-dups; after removing the per-image mean, independent images land
+    near cosine 0 while re-renders of the same content stay near 1.
+
+    The block-mean goes through the uint8 thumbnail (block_mean_resize), so
+    the float math starts from integers — bit-identical between the engine
+    kernel and the pure-numpy oracle by construction. All-flat images (zero
+    variance) return the zero vector: cosine 0 against everything, never
+    groups — the frozen degenerate-content rule.
+    """
+    v = block_mean_resize(px, grid, grid).astype(np.float64).ravel()
+    v -= v.mean()
+    n = float(np.linalg.norm(v))
+    return v / n if n > 1e-9 else np.zeros_like(v)
+
+
+IMAGE_EMBEDDING_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def image_embeddings(src: DataFrame, grid: int = 4) -> DataFrame:
+    """bytes -> fixed-dim pixel embeddings in one ``mapInPandas`` pass
+    (decode + image_embedding_of per payload; per-row quarantine into
+    ``error`` like image_features — quarantined rows carry a NULL embedding
+    and downstream semantic stages let them pass, the absent-content rule).
+
+    Input pruned to exactly (image_id, bytes, fmt) at the scan; the
+    embedding (grid*grid*3 float64, 384 bytes at grid=4) is what shuffles
+    downstream — never the payload bytes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            embs: list[list[float] | None] = [None] * n
+            errs: list[str | None] = [None] * n
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    if data is None:
+                        raise ValueError("null bytes")
+                    px = decode_rgb(bytes(data), fmt)
+                    embs[i] = image_embedding_of(px, grid).tolist()
+                except (NotImplementedError, ValueError) as e:
+                    errs[i] = f"{type(e).__name__}: {e}"
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "embedding": embs,
+                    "error": errs,
+                }
+            )
+
+    slim = src.select("image_id", "bytes", "fmt")
+    return slim.mapInPandas(run, IMAGE_EMBEDDING_SCHEMA)
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

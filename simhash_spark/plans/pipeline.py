@@ -107,15 +107,22 @@ def cluster_job(
 
 
 def image_tier_labels(
-    spark: SparkSession, src: DataFrame, cfg: PipelineConfig | None = None
+    spark: SparkSession,
+    src: DataFrame,
+    cfg: PipelineConfig | None = None,
+    emb: DataFrame | None = None,
+    centroids=None,
+    tau: float = 0.9,
 ) -> DataFrame:
     """Tiered dedup attribution for the IMAGE axis — the text ladder's
     (operators/dedup.py::dedup_tier_labels) counterpart over the BASELINE
     input_hint table: byte-exact (md5 over the binary column — the same
     file re-uploaded under a new id/caption) -> near (the flagship
     caption-SimHash + phash-pigeonhole pipeline) on the byte tier's
-    survivors, every dropped image labeled with the ONE tier that removed
-    it. Output: (image_id, tier in {'exact','near','kept'}, is_kept).
+    survivors -> optionally semantic (SemDeDup over pixel embeddings, the
+    Abbas'23 LAION regime) on the near tier's survivors, every dropped
+    image labeled with the ONE tier that removed it.
+    Output: (image_id, tier in {'exact','near','semantic','kept'}, is_kept).
 
     FROZEN per-tier rules (each tier's own frozen rule, unchanged):
     - exact: keeper = lexicographic min image_id per md5(bytes) group;
@@ -124,13 +131,23 @@ def image_tier_labels(
     - near: cluster_job's min-string-id label over fingerprint/candidate/
       verify (caption SimHash bands + pigeonhole, OR-phash verify) of the
       survivors; keeper = the member whose id IS its cluster label.
+    - semantic (only when ``emb`` + ``centroids`` are given): semdedup_keep's
+      lowest-centroid-cosine rule at cosine >= ``tau`` over the embedding
+      rows of the remaining survivors; images with no embedding row (decode
+      quarantine, null bytes) pass this tier. ``emb`` is
+      (image_id, embedding) — operators/multimodal.py::image_embeddings in
+      this container, a CLIP-style encoder in production; ``centroids`` from
+      ann.ivf_fit over the same embeddings.
 
     Scale shape: tier 1 is one md5-keyed window exchange over (id, 16-byte
     digest) — bytes themselves never shuffle (md5 computed in the scan
     projection); tier 2 is the audited one-exchange candidates plan on the
-    (smaller) survivor set. Query-face caveat: fp feeds candidate AND
-    verify, so this composed face caches it; production runs materialize
-    tier boundaries through the CheckpointCatalog like run_pipeline.
+    (smaller) survivor set; tier 3 is the one-exchange SemDeDup group
+    kernel on the yet-smaller remainder — the funnel ordering exists so the
+    per-pixel-expensive tiers see the fewest rows. Query-face caveat: fp
+    feeds candidate AND verify, so this composed face caches it; production
+    runs materialize tier boundaries through the CheckpointCatalog like
+    run_pipeline.
     """
     from pyspark.sql import Window
 
@@ -156,6 +173,28 @@ def image_tier_labels(
     )
 
     drops = exact_drops.unionByName(near_drops)
+
+    if emb is not None:
+        if centroids is None:
+            raise ValueError("semantic tier needs both emb and centroids")
+        from simhash_spark.operators.dedup import semdedup_keep
+
+        surv2 = surv1.select("image_id").join(
+            near_drops.select("image_id"), "image_id", "left_anti"
+        )
+        emb2 = (
+            emb.select("image_id", F.col("embedding").alias("vec"))
+            .where(F.col("vec").isNotNull())
+            .join(surv2, "image_id", "left_semi")
+        )
+        sem = semdedup_keep(
+            emb2, centroids, threshold=tau, id_col="image_id", vec_col="vec"
+        )
+        sem_drops = sem.where(F.col("is_kept") == 0).select(
+            "image_id", F.lit("semantic").alias("tier")
+        )
+        drops = drops.unionByName(sem_drops)
+
     return (
         src.select("image_id")
         .join(drops, "image_id", "left")

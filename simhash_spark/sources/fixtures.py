@@ -155,6 +155,71 @@ def plant_byte_reuploads(
     return out
 
 
+def plant_semantic_rerenders(
+    pdf: pd.DataFrame,
+    every: int = 11,
+    offset: int = 5,
+    seed: int = 97,
+    tau: float = 0.9,
+    margin: float = 0.02,
+    min_phash_hamming: int = 4,
+) -> pd.DataFrame:
+    """Plant SEMANTIC near-duplicates into a ``with_bytes=True`` fixture —
+    rows that evade BOTH the byte tier and the near tier but stay embedding-
+    close: a re-render of an earlier image's content under fresh per-block
+    lighting, strong enough to flip > phash_radius ahash bits (so the phash
+    axis misses it) yet leaving the centered block-mean embedding at cosine
+    >= tau + margin to the original (so the semantic tier catches it). The
+    row keeps its own image_id and caption (caption-SimHash misses it too).
+
+    Every row at index ``i`` with ``i % every == offset`` becomes a
+    re-render of row ``i - offset``: pixels = base pixels + a deterministic
+    per-8x8-block offset, amplitude chosen per row from a fixed ladder until
+    both constraints hold (rows where no rung satisfies them are left
+    untouched — deterministic either way). bytes/w/h are rewritten; stored
+    phash = the re-render's own ahash (the from-pixels contract); fmt stays
+    'ppm'. Pure post-pass over its own seeded RNG — the make_images_pdf
+    stream and every expected parquet pinned to it are untouched.
+
+    The constraints are asserted per planted row here AND re-checked with a
+    tier-exercise assertion at expected-parquet generation time
+    (tests/gen_expected.py), so a drifting fixture fails loudly.
+    """
+    from simhash_spark.operators.multimodal import decode_rgb, image_embedding_of
+
+    out = pdf.copy()
+    for i in range(offset, len(out), every):
+        base = out.iloc[i - offset]
+        if base["bytes"] is None or out.at[i, "bytes"] is None:
+            continue
+        base_px = decode_rgb(bytes(base["bytes"]), "ppm")
+        base_emb = image_embedding_of(base_px)
+        base_ah = ahash64(base_px)
+        base_stored = spec.i64_to_u64(np.array([base["phash"]], np.int64))[0]
+        h, w = base_px.shape[:2]
+        for amp in (24, 32, 40, 48, 56, 16):
+            r = np.random.default_rng(seed * 1_000_003 + i * 7919 + amp)
+            cells = r.integers(-amp, amp + 1, size=(8, 8)).astype(np.float32)
+            pert = np.kron(cells, np.ones((h // 8 + 1, w // 8 + 1), np.float32))[:h, :w]
+            px = np.clip(base_px.astype(np.float32) + pert[:, :, None], 0, 255).astype(
+                np.uint8
+            )
+            ah = ahash64(px)
+            far = all(
+                int(spec.popcount64(np.array([ah ^ other]))[0]) >= min_phash_hamming
+                for other in (base_ah, base_stored)
+            )
+            cos = float(image_embedding_of(px) @ base_emb)
+            if far and cos >= tau + margin:
+                out.at[i, "bytes"] = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+                out.at[i, "w"] = int(w)
+                out.at[i, "h"] = int(h)
+                out.at[i, "fmt"] = "ppm"
+                out.at[i, "phash"] = int(spec.u64_to_i64(np.array([ah]))[0])
+                break
+    return out
+
+
 def _flip_bits(ph: np.uint64, rng: np.random.Generator, k: int) -> np.uint64:
     v = int(ph)
     for bit in rng.choice(64, size=k, replace=False):

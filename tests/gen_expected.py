@@ -1292,6 +1292,124 @@ def main() -> None:
     )
     print(f"image_tier_labels: {dict(it_counts)}")
 
+    # ---- image_tier_labels_semantic: the FULL image ladder ----------------
+    # exact (md5 bytes) -> near (image_kernel_mirror) -> semantic (SemDeDup
+    # over centered block-mean pixel embeddings, tau 0.9) — each tier on the
+    # prior tier's survivors, mirroring plans/pipeline.py::image_tier_labels
+    # with emb+centroids. The fixture adds plant_semantic_rerenders rows
+    # built to evade the byte AND phash/caption tiers (>= 4 ahash bits
+    # flipped) while staying embedding-close (cos >= 0.92 to their base);
+    # measured background max over non-planted pairs 0.836 vs planted min
+    # 0.941 — tau 0.9 sits in a two-sided >= 0.04 gap (cross-engine float
+    # noise is zero here anyway: both sides are numpy float64 from the same
+    # uint8 thumbnails).
+    from simhash_spark.operators.multimodal import decode_rgb, image_embedding_of
+    from simhash_spark.sources.fixtures import plant_semantic_rerenders
+
+    its_src = plant_semantic_rerenders(
+        plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+    )
+    its_ids = [str(i) for i in its_src["image_id"]]
+    its_emb = np.stack(
+        [
+            image_embedding_of(decode_rgb(bytes(b), str(f)))
+            for b, f in zip(its_src["bytes"], its_src["fmt"])
+        ]
+    )
+    # the engine kernels re-normalize (dedup._unit_rows / make_ivf_assign_sim
+    # both divide by max(norm, 1e-12)) — replicate exactly, bit for bit
+    its_mat = its_emb / np.maximum(
+        np.linalg.norm(its_emb, axis=1, keepdims=True), 1e-12
+    )
+    its_cent = ivf_fit_core(its_emb, n_centroids=8, n_iter=8, seed=7)
+    its_sims = its_mat @ its_cent.T
+    its_list = its_sims.argmax(axis=1)
+    its_csim = its_sims[np.arange(len(its_mat)), its_list]
+
+    # tier 1 — exact md5 byte groups
+    its_groups: dict[str, list[str]] = defaultdict(list)
+    for iid, data in zip(its_ids, its_src["bytes"]):
+        its_groups[hashlib.md5(bytes(data)).hexdigest()].append(iid)
+    its_tier: dict[str, str] = {}
+    for mem in its_groups.values():
+        keep = min(mem)
+        for i in mem:
+            if i != keep:
+                its_tier[i] = "exact"
+    # tier 2 — near over tier-1 survivors
+    its_surv = its_src[~its_src["image_id"].astype(str).isin(its_tier)].reset_index(
+        drop=True
+    )
+    its_m = image_kernel_mirror(its_surv, CFG)
+    for iid, lab in its_m["clusters"].items():
+        if iid != lab:
+            its_tier[str(iid)] = "near"
+    # tier 3 — SemDeDup over tier-2 survivors' embeddings, within IVF cells
+    its_surv2 = {i for i in its_ids if i not in its_tier}
+    row_of = {iid: k for k, iid in enumerate(its_ids)}
+    its_cells: dict[int, list[int]] = defaultdict(list)
+    for iid in its_ids:
+        if iid in its_surv2:
+            its_cells[int(its_list[row_of[iid]])].append(row_of[iid])
+    its_parent: dict[int, int] = {}
+
+    def its_find(x: int) -> int:
+        while its_parent[x] != x:
+            its_parent[x] = its_parent[its_parent[x]]
+            x = its_parent[x]
+        return x
+
+    sem_margin = 64.0
+    for mem in its_cells.values():
+        for k in mem:
+            its_parent.setdefault(k, k)
+        for xi in range(len(mem)):
+            for yi in range(xi + 1, len(mem)):
+                i, j = mem[xi], mem[yi]
+                cos = float(its_mat[i] @ its_mat[j])
+                sem_margin = min(sem_margin, abs(cos - 0.9))
+                if cos >= 0.9:
+                    ri, rj = its_find(i), its_find(j)
+                    if ri != rj:
+                        lo, hi = (ri, rj) if its_ids[ri] < its_ids[rj] else (rj, ri)
+                        its_parent[hi] = lo
+    its_sem_groups: dict[int, list[int]] = defaultdict(list)
+    for k in its_parent:
+        its_sem_groups[its_find(k)].append(k)
+    for mem in its_sem_groups.values():
+        if len(mem) == 1:
+            continue
+        keep_k = min(mem, key=lambda m_: (its_csim[m_], its_ids[m_]))
+        for m_ in mem:
+            if m_ != keep_k:
+                its_tier[its_ids[m_]] = "semantic"
+
+    its_rows = sorted((i, its_tier.get(i, "kept")) for i in its_ids)
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": [i for i, _ in its_rows],
+                "tier": [t for _, t in its_rows],
+                "is_kept": np.array([int(t == "kept") for _, t in its_rows], np.int32),
+            },
+            schema=pa.schema(
+                [("image_id", pa.string()), ("tier", pa.string()), ("is_kept", pa.int32())]
+            ),
+        ),
+        OUT / "image_tier_labels_semantic.parquet",
+    )
+    its_counts = _Counter(t for _, t in its_rows)
+    assert (
+        its_counts.get("exact", 0) > 0
+        and its_counts.get("near", 0) > 0
+        and its_counts.get("semantic", 0) > 0
+    ), "full image ladder fixture must exercise ALL THREE tiers"
+    assert sem_margin > 1e-3, f"semantic tau margin too thin: {sem_margin}"
+    print(
+        f"image_tier_labels_semantic: {dict(its_counts)} "
+        f"(min |cos - tau| within cells: {sem_margin:.4f})"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -418,3 +418,70 @@ def test_image_tier_labels_rules_and_disjointness(spark):
     }
     assert {i for i, (t, _) in out.items() if t == "near"} == near_expect
     assert near_expect, "fixture exercised no near tier; vacuous"
+
+
+def test_image_tier_ladder_semantic_refines_kept_only(spark):
+    """The FULL image ladder (exact -> near -> semantic): (a) one row per
+    image, tier/is_kept consistent; (b) adding the semantic tier only
+    refines the 2-tier run's 'kept' set — exact and near labels are
+    IDENTICAL with and without it (tier 3 runs strictly after); (c) the
+    semantic tier actually fires, and at least one planted re-render row is
+    among its drops; (d) images without an embedding row pass the tier."""
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.multimodal import image_embeddings
+    from simhash_spark.plans.pipeline import image_tier_labels
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_byte_reuploads,
+        plant_semantic_rerenders,
+    )
+    from pyspark.sql import functions as F
+
+    base_pdf = plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+    pdf = plant_semantic_rerenders(base_pdf)
+    src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+    emb = (
+        image_embeddings(src)
+        .where(F.col("error").isNull())
+        .select("image_id", "embedding")
+    )
+    cent = ivf_fit(emb, n_centroids=8, n_iter=8)
+
+    two = {r["image_id"]: r["tier"] for r in image_tier_labels(spark, src, CFG).collect()}
+    three = {
+        r["image_id"]: (r["tier"], r["is_kept"])
+        for r in image_tier_labels(
+            spark, src, CFG, emb=emb, centroids=cent, tau=0.9
+        ).collect()
+    }
+    assert set(three) == set(pdf["image_id"].astype(str))
+    assert all((t == "kept") == bool(k) for t, k in three.values())
+
+    for iid, tier in two.items():
+        if tier in ("exact", "near"):
+            assert three[iid][0] == tier, f"{iid}: {tier} -> {three[iid][0]}"
+        else:
+            assert three[iid][0] in ("kept", "semantic")
+
+    sem = {i for i, (t, _) in three.items() if t == "semantic"}
+    assert sem, "semantic tier never fired"
+    planted = {
+        str(pdf.at[i, "image_id"])
+        for i in range(5, len(pdf), 11)
+        if pdf.at[i, "bytes"] != base_pdf.at[i, "bytes"]
+    }
+    assert sem & planted, "no planted re-render reached the semantic tier"
+
+    # absent-embedding rule: drop one planted row's embedding -> it must
+    # surface as 'kept' (passes tier 3), everything about tiers 1-2 unchanged
+    victim = sorted(sem & planted)[0]
+    emb_missing = emb.where(F.col("image_id") != victim)
+    three_b = {
+        r["image_id"]: r["tier"]
+        for r in image_tier_labels(
+            spark, src, CFG, emb=emb_missing, centroids=cent, tau=0.9
+        ).collect()
+    }
+    assert three_b[victim] == "kept"

@@ -464,6 +464,90 @@ def test_image_features_quarantines_unknown_format(spark):
     assert r["error"] and "NotImplementedError" in r["error"]
 
 
+def test_image_embeddings_kernel_and_quarantine(spark):
+    """image_embeddings: (a) the Spark pass equals the local numpy kernel
+    bit-for-bit; (b) every embedding is centered + unit-norm; (c) null
+    bytes / unknown codecs quarantine with a NULL embedding; (d) a flat
+    image embeds to the zero vector (degenerate-content rule)."""
+    from simhash_spark.operators.multimodal import (
+        decode_rgb,
+        image_embedding_of,
+        image_embeddings,
+    )
+    from simhash_spark.sources.fixtures import INPUT_HINT_SCHEMA, make_images_pdf
+
+    pdf = make_images_pdf(40, seed=11, with_bytes=True)
+    src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+    rows = {r["image_id"]: r for r in image_embeddings(src).collect()}
+    assert len(rows) == 40
+    for _, s in pdf.iterrows():
+        r = rows[s["image_id"]]
+        assert r["error"] is None
+        got = np.array(r["embedding"], np.float64)
+        expect = image_embedding_of(decode_rgb(bytes(s["bytes"]), "ppm"))
+        assert got.shape == (48,)
+        assert np.array_equal(got, expect)  # bit-exact, both from uint8 thumbs
+        assert abs(got.sum()) < 1e-9  # centered
+        assert abs(np.linalg.norm(got) - 1.0) < 1e-12  # unit norm
+
+    flat = b"P6\n8 8\n255\n" + bytes([128]) * (8 * 8 * 3)
+    bad = spark.createDataFrame(
+        [
+            ("q1", None, 0, 0, "ppm", "", 0),
+            ("q2", bytearray(b"\x89PNG...."), 4, 4, "png", "", 0),
+            ("q3", bytearray(flat), 8, 8, "ppm", "", 0),
+        ],
+        INPUT_HINT_SCHEMA,
+    )
+    out = {r["image_id"]: r for r in image_embeddings(bad).collect()}
+    assert out["q1"]["embedding"] is None and "null bytes" in out["q1"]["error"]
+    assert out["q2"]["embedding"] is None and "NotImplementedError" in out["q2"]["error"]
+    assert out["q3"]["error"] is None
+    assert np.array_equal(np.array(out["q3"]["embedding"]), np.zeros(48))
+
+
+def test_plant_semantic_rerenders_constraints():
+    """Every planted re-render satisfies the frozen constraints: >= 4 ahash
+    bits from its base (evades the phash axis at radius 3), embedding cosine
+    >= tau + margin to its base (the semantic tier's prey), own id/caption
+    untouched; non-target rows are byte-identical to the input."""
+    from simhash_spark import spec
+    from simhash_spark.operators.multimodal import (
+        ahash64,
+        decode_rgb,
+        image_embedding_of,
+    )
+    from simhash_spark.sources.fixtures import (
+        make_images_pdf,
+        plant_byte_reuploads,
+        plant_semantic_rerenders,
+    )
+
+    pdf = plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+    out = plant_semantic_rerenders(pdf, every=11, offset=5, tau=0.9, margin=0.02)
+    planted = [i for i in range(len(out)) if out.at[i, "bytes"] != pdf.at[i, "bytes"]]
+    assert len(planted) >= 20, "fixture must plant a meaningful semantic cohort"
+    assert all(i % 11 == 5 for i in planted)
+    for i in planted:
+        b = i - 5
+        px_new = decode_rgb(bytes(out.at[i, "bytes"]), "ppm")
+        px_base = decode_rgb(bytes(out.at[b, "bytes"]), "ppm")
+        ham = int(
+            spec.popcount64(np.array([ahash64(px_new) ^ ahash64(px_base)]))[0]
+        )
+        assert ham >= 4
+        cos = float(image_embedding_of(px_new) @ image_embedding_of(px_base))
+        assert cos >= 0.92
+        assert out.at[i, "image_id"] == pdf.at[i, "image_id"]
+        assert out.at[i, "caption"] == pdf.at[i, "caption"]
+        # stored phash is the re-render's own ahash (the from-pixels contract)
+        assert out.at[i, "phash"] == int(
+            spec.u64_to_i64(np.array([ahash64(px_new)]))[0]
+        )
+    untouched = set(range(len(out))) - set(planted)
+    assert all(out.at[i, "bytes"] == pdf.at[i, "bytes"] for i in untouched)
+
+
 def test_frame_sampling(spark):
     from simhash_spark.operators.multimodal import sample_frame_offsets
 
