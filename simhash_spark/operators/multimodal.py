@@ -51,8 +51,15 @@ def decode_rgb(data: bytes, fmt: str) -> np.ndarray:
 
 def block_mean_resize(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Area-style resize by block averaging (pure numpy): index-map each
-    output cell to an input region and mean-pool. Deterministic."""
+    output cell to an input region and mean-pool. Deterministic.
+
+    DOWNSAMPLE ONLY: an input smaller than the output grid would leave
+    empty cells (area 0 -> NaN -> undefined uint8 cast — platform-dependent
+    garbage, measured). Raise instead; the mapInPandas operators catch
+    ValueError per row into their ``error`` quarantine column."""
     h, w, c = px.shape
+    if h < out_h or w < out_w:
+        raise ValueError(f"image {h}x{w} smaller than output grid {out_h}x{out_w}")
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
     out = np.empty((out_h, out_w, c), dtype=np.float64)

@@ -491,11 +491,13 @@ def test_image_embeddings_kernel_and_quarantine(spark):
         assert abs(np.linalg.norm(got) - 1.0) < 1e-12  # unit norm
 
     flat = b"P6\n8 8\n255\n" + bytes([128]) * (8 * 8 * 3)
+    tiny = b"P6\n3 2\n255\n" + bytes(range(18))  # 3x2 < the 4x4 grid
     bad = spark.createDataFrame(
         [
             ("q1", None, 0, 0, "ppm", "", 0),
             ("q2", bytearray(b"\x89PNG...."), 4, 4, "png", "", 0),
             ("q3", bytearray(flat), 8, 8, "ppm", "", 0),
+            ("q4", bytearray(tiny), 3, 2, "ppm", "", 0),
         ],
         INPUT_HINT_SCHEMA,
     )
@@ -504,6 +506,9 @@ def test_image_embeddings_kernel_and_quarantine(spark):
     assert out["q2"]["embedding"] is None and "NotImplementedError" in out["q2"]["error"]
     assert out["q3"]["error"] is None
     assert np.array_equal(np.array(out["q3"]["embedding"]), np.zeros(48))
+    # sub-grid images quarantine (block_mean_resize raises; NaN->uint8 cast
+    # is platform-dependent garbage otherwise) — never a garbage embedding
+    assert out["q4"]["embedding"] is None and "smaller than" in out["q4"]["error"]
 
 
 def test_plant_semantic_rerenders_constraints():
