@@ -6,7 +6,15 @@ Usage (BASELINE.json:6 ship shape):
         --input  /path/to/images_parquet_or_iceberg_table \
         --checkpoint /path/to/checkpoints \
         --output /path/to/clusters_out \
-        [--parallelism 32] [--no-substring] [--no-phash]
+        [--parallelism 32] [--no-substring] [--no-phash] \
+        [--byte-exact [--tier-labels [--pixel-embeddings]]]
+
+With --byte-exact the run IS the image tier ladder in production shape:
+quality (optional) -> byte-exact md5 dedup (stage 00b, survivors feed every
+later stage — the funnel order) -> the near-dup pipeline -> optional SemDeDup
+semantic rung; --tier-labels publishes <output>/tier_labels, the per-image
+attribution of the ONE tier that removed it, assembled from the run's own
+stage outputs with zero recompute.
 
 Local test: ``python jobs/run_pipeline.py --input ... --output ...`` (creates
 its own local[N] session). Under spark-submit, uses the provided session conf.
@@ -80,6 +88,46 @@ def main(argv: list[str] | None = None) -> int:
         "sampled schedule instead",
     )
     ap.add_argument(
+        "--byte-exact",
+        action="store_true",
+        help="run byte-exact dedup (md5 over the binary bytes column, keeper "
+        "= min image_id, NULL bytes pass) as stage 00b BEFORE fingerprinting "
+        "— the image tier ladder's first rung; every re-upload dropped here "
+        "never pays any downstream stage. NOTE: a byte-exact base refuses "
+        "run_delta chaining (min-id keeper is not add-only); use the "
+        "streaming first-seen path for incremental byte dedup",
+    )
+    ap.add_argument(
+        "--tier-labels",
+        action="store_true",
+        help="write <output>/tier_labels — per-image attribution of the ONE "
+        "tier that removed it (exact/near/[semantic]/kept), the frozen "
+        "ladder rules of plans.pipeline.image_tier_labels assembled from "
+        "this run's own stage outputs (no recompute). Requires --byte-exact",
+    )
+    ap.add_argument(
+        "--pixel-embeddings",
+        action="store_true",
+        help="with --tier-labels: add the SEMANTIC rung — SemDeDup over "
+        "centered block-mean pixel embeddings (multimodal.image_embeddings; "
+        "swap for a CLIP encoder in production) of the near tier's "
+        "survivors only (the funnel order: the decode pass never touches "
+        "rows an earlier tier already dropped)",
+    )
+    ap.add_argument(
+        "--semantic-tau",
+        type=float,
+        default=0.9,
+        help="semantic-tier cosine threshold (SemDeDup tau)",
+    )
+    ap.add_argument(
+        "--semantic-centroids",
+        type=int,
+        default=8,
+        help="SemDeDup quantizer size k; pick so cells average ~corpus/k "
+        "rows (parallelism AND per-task memory are both set by k)",
+    )
+    ap.add_argument(
         "--n-blocks",
         type=int,
         default=None,
@@ -87,6 +135,10 @@ def main(argv: list[str] | None = None) -> int:
         "(config.index_config_for — 16-bit keys go quadratic past ~1e5 rows)",
     )
     args = ap.parse_args(argv)
+    if args.tier_labels and not args.byte_exact:
+        ap.error("--tier-labels requires --byte-exact (the ladder's first rung)")
+    if args.pixel_embeddings and not args.tier_labels:
+        ap.error("--pixel-embeddings requires --tier-labels")
 
     from dataclasses import replace
 
@@ -113,6 +165,7 @@ def main(argv: list[str] | None = None) -> int:
         cc_ckpt_every=args.cc_ckpt_every,
         quality_filter=args.quality_filter,
         stage_metrics=not args.no_stage_metrics,
+        byte_exact=args.byte_exact,
     )
     from simhash_spark.operators.dedup import near_dup_keep_best, near_dup_keep_list
 
@@ -135,6 +188,73 @@ def main(argv: list[str] | None = None) -> int:
     else:
         keep = near_dup_keep_list(res.clusters, id_col="image_id")
     keep.write.mode("overwrite").parquet(str(out / "keep_list"))
+
+    tier_counts: dict = {}
+    if args.tier_labels:
+        # Assemble the frozen-ladder attribution from this run's OWN stage
+        # outputs — zero recompute: exact drops from the 00b_bytes
+        # checkpoint, near drops from 04_clusters (which already ran on the
+        # byte tier's survivors), semantic drops (optional) from SemDeDup
+        # over pixel embeddings of the NEAR tier's survivors only.
+        from pyspark.sql import functions as F
+
+        from simhash_spark.sources.catalog import CheckpointCatalog
+
+        bx = CheckpointCatalog(spark, ckpt).read("00b_bytes")
+        exact_drops = bx.where(F.col("image_id") != F.col("keep_id")).select(
+            "image_id", F.lit("exact").alias("tier")
+        )
+        near_drops = res.clusters.where(
+            F.col("image_id") != F.col("cluster_id")
+        ).select("image_id", F.lit("near").alias("tier"))
+        drops = exact_drops.unionByName(near_drops)
+        if args.pixel_embeddings:
+            from simhash_spark.operators.ann import ivf_fit
+            from simhash_spark.operators.dedup import semdedup_keep
+            from simhash_spark.operators.multimodal import image_embeddings
+
+            surv2 = res.clusters.where(
+                F.col("image_id") == F.col("cluster_id")
+            ).select("image_id")
+            emb = (
+                image_embeddings(
+                    spark.read.parquet(args.input).join(surv2, "image_id", "left_semi")
+                )
+                .where(F.col("error").isNull())
+                .select("image_id", "embedding")
+            )
+            cent = ivf_fit(
+                emb, n_centroids=args.semantic_centroids, n_iter=8,
+                vec_col="embedding",
+            )
+            sem = semdedup_keep(
+                emb, cent, threshold=args.semantic_tau,
+                id_col="image_id", vec_col="embedding",
+            )
+            drops = drops.unionByName(
+                sem.where(F.col("is_kept") == 0).select(
+                    "image_id", F.lit("semantic").alias("tier")
+                )
+            )
+        # post-quality corpus = byte survivors (every cluster vertex) +
+        # byte-tier drops; NULL-bytes rows ride through as cluster vertices
+        corpus = res.clusters.select("image_id").unionByName(
+            exact_drops.select("image_id")
+        )
+        tiers = corpus.join(drops, "image_id", "left").select(
+            "image_id",
+            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
+            F.col("tier").isNull().cast("int").alias("is_kept"),
+        )
+        tiers.write.mode("overwrite").parquet(str(out / "tier_labels"))
+        tier_counts = {
+            r["tier"]: r["n"]
+            for r in spark.read.parquet(str(out / "tier_labels"))
+            .groupBy("tier")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
     stats = {
         "rows": res.fingerprints.count(),
         **(
@@ -144,6 +264,7 @@ def main(argv: list[str] | None = None) -> int:
         "verified": res.verified.count(),
         "clusters": res.clusters.select("cluster_id").distinct().count(),
         "kept": keep.where("is_kept = 1").count(),
+        **({"tiers": tier_counts} if tier_counts else {}),
         "wall_s": round(time.time() - t0, 2),
     }
     print(json.dumps(stats))

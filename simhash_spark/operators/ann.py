@@ -365,6 +365,12 @@ def ivf_fit(
     partition order collect() would yield; only genuinely-large corpora pay
     the second job, a hash-ordered TakeOrdered top-(sample_rows) — an
     unbiased deterministic sample with no full sort and no count.
+
+    Order-invariant: ivf_fit_core canonical-sorts the sample, so the
+    quantizer is a pure function of the sampled vector multiset — the same
+    rows through any join strategy, file split, or partitioning train the
+    identical index (reproducibility contract; the CLI tier-ladder equality
+    test depends on it).
     """
     frac_df = corpus.select(vec_col)
     probe = frac_df.limit(sample_rows + 1).collect()
@@ -378,8 +384,16 @@ def ivf_fit(
 
 def ivf_fit_core(mat: np.ndarray, n_centroids: int, n_iter: int, seed: int) -> np.ndarray:
     """The spherical k-means kernel behind ivf_fit — pure numpy, Spark-free
-    (also the differential oracle's entry point, tests/gen_expected.py)."""
+    (also the differential oracle's entry point, tests/gen_expected.py).
+
+    The sample is canonical-sorted (lexicographic by raw vector values)
+    before init, so the quantizer is a pure function of the vector MULTISET
+    — two plans yielding the same rows in different order (different join
+    strategies, file splits, partitioning) train the identical quantizer.
+    Without this, k-means init indexes into arrival order and every plan
+    shape yields a different (equally valid, but irreproducible) index."""
     mat = mat.astype(np.float64, copy=True)
+    mat = mat[np.lexsort(mat.T[::-1])]
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]

@@ -244,6 +244,7 @@ def chain_run_metadata(spark: SparkSession, ckpt_path: str | pathlib.Path) -> di
         # pre-quality-filter chains have no key -> False (additive upgrade)
         "quality_filter": root.get("quality_filter", False),
         "quality_overrides": root.get("quality_overrides", {}),
+        "byte_exact": root.get("byte_exact", False),
         "input_paths": paths,
     }
 
@@ -295,6 +296,19 @@ def run_delta(
         raise RuntimeError(
             "config drift: the base chain was built with "
             f"{meta['config']}, which does not match the config passed to run_delta"
+        )
+    if meta["byte_exact"]:
+        # The byte tier's min-id keeper rule is NOT add-only: an increment
+        # row with a smaller id than a base keeper would DEMOTE the keeper —
+        # removing an already-indexed row from the near tier, which this
+        # add-only delta machinery cannot express. Incremental byte-exact
+        # dedup needs the first-seen keeper rule, which the STREAMING door
+        # implements (streaming/incremental.py::stream_byte_first_seen);
+        # refuse loudly rather than fold in a silently-wrong increment.
+        raise NotImplementedError(
+            "run_delta: base chain ran with byte_exact=True; the byte tier's "
+            "min-id keeper rule is not add-only — use "
+            "stream_byte_first_seen for incremental byte dedup"
         )
     enable_substring = meta["enable_substring"]
     include_phash = meta["include_phash"]

@@ -213,6 +213,7 @@ def stage_fingerprint(
     include_phash: bool,
     quality_filter: bool = False,
     quality_overrides: dict | None = None,
+    byte_exact: bool = False,
 ) -> str:
     """Stage checkpoint identity = input content + full config + pipeline
     flags: a rerun with a different index config (e.g. --n-blocks 8) or
@@ -233,9 +234,12 @@ def stage_fingerprint(
             qf += hashlib.md5(
                 json.dumps(quality_overrides, sort_keys=True).encode()
             ).hexdigest()[:8]
+    # like -qf1, the byte-exact flag joins the identity only when enabled so
+    # pre-existing checkpoints keep resuming under their original fingerprints
+    bx = "-bx1" if byte_exact else ""
     return (
         f"{input_fingerprint_of(input_path)}-{config_fingerprint(cfg)}"
-        f"-ss{int(enable_substring)}-ph{int(include_phash)}{qf}"
+        f"-ss{int(enable_substring)}-ph{int(include_phash)}{qf}{bx}"
     )
 
 
@@ -259,6 +263,7 @@ def run_pipeline(
     quality_filter: bool = False,
     quality_overrides: dict | None = None,
     stage_metrics: bool = True,
+    byte_exact: bool = False,
 ) -> PipelineResult:
     """The resumable end-to-end run: every stage lands in the catalog with a
     manifest; rerunning after a crash skips complete stages (T5).
@@ -272,7 +277,13 @@ def run_pipeline(
     parallelism (a real deployment sets both to ~2-3x total cores)."""
     cat = CheckpointCatalog(spark, checkpoint_path)
     in_fp = stage_fingerprint(
-        input_path, cfg, enable_substring, include_phash, quality_filter, quality_overrides
+        input_path,
+        cfg,
+        enable_substring,
+        include_phash,
+        quality_filter,
+        quality_overrides,
+        byte_exact,
     )
     src = spark.read.parquet(input_path)
 
@@ -295,6 +306,37 @@ def run_pipeline(
         )
         src = flt.where(F.col("keep") == 1).drop("keep", "reason")
 
+    if byte_exact:
+        # E0b: byte-exact dedup BEFORE fingerprinting — the image tier
+        # ladder's first rung as a production stage. The funnel ordering is
+        # the scale argument: at 10^12 rows every byte re-upload dropped
+        # here never pays the fingerprint UDF, the candidate exchange, or
+        # the verify joins. Frozen rule = image_tier_labels tier 1 (keeper =
+        # lexicographic min image_id per md5 group; NULL-bytes rows pass).
+        # The checkpoint stores ONE SLIM ROW PER HASHED INPUT
+        # (image_id, digest 16-byte binary, keep_id) — the byte-dedup index
+        # state; bytes themselves never shuffle (md5 reduces them inside the
+        # scan projection) and never land in the catalog. Survivors are an
+        # anti-join against the drop subset on read.
+        from pyspark.sql import Window
+
+        bx_src = src
+
+        def _bytes_stage() -> DataFrame:
+            w = Window.partitionBy("digest")
+            return (
+                bx_src.where(F.col("bytes").isNotNull())
+                .select("image_id", F.unhex(F.md5("bytes")).alias("digest"))
+                .withColumn("keep_id", F.min("image_id").over(w))
+            )
+
+        bx = cat.run_stage("00b_bytes", in_fp, _bytes_stage)
+        src = src.join(
+            bx.where(F.col("image_id") != F.col("keep_id")).select("image_id"),
+            "image_id",
+            "left_anti",
+        )
+
     fp_buckets = (
         (int(spark.conf.get("spark.sql.shuffle.partitions")), ["image_id"])
         if bucket_fingerprints
@@ -313,6 +355,7 @@ def run_pipeline(
             "include_phash": include_phash,
             "quality_filter": quality_filter,
             "quality_overrides": quality_overrides or {},
+            "byte_exact": byte_exact,
             "input_path": input_path,
         }
 

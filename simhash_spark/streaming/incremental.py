@@ -249,6 +249,62 @@ def stream_first_seen(
     )
 
 
+def stream_byte_first_seen(stream_df: DataFrame) -> DataFrame:
+    """Cross-batch streaming BYTE-EXACT dedup — the incremental form of the
+    batch byte tier (run_pipeline's ``byte_exact`` stage 00b) and the reason
+    run_delta refuses byte-exact bases: the batch min-id keeper rule is not
+    add-only (a later row can demote an earlier keeper), but FIRST-SEEN
+    keepers are — each distinct payload digest is admitted ONCE, at its
+    first arrival across the stream's lifetime, and every later re-upload
+    of the same bytes is suppressed. Per-digest state survives restarts via
+    the query checkpoint. Within the first batch that sees a digest, the
+    canonical emitted row is the minimum image_id (the frozen
+    representative rule).
+
+    FROZEN absent-content rule (shared with the batch tier): NULL-bytes
+    rows never group — each gets a unique state key (``null:<image_id>``)
+    so it always passes; keying them on the digest would glue every
+    absent-content row into one group and permanently suppress novel rows
+    (the same giant-fake-bucket hazard the other streaming keys guard
+    against). Output: (image_id, digest) with digest NULL for byte-less
+    rows. The md5 reduces the payload inside the projection — bytes never
+    enter the state store or a shuffle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = stream_df.select(
+        "image_id",
+        F.md5("bytes").alias("digest"),
+    ).withColumn(
+        "_k", F.coalesce(F.col("digest"), F.concat(F.lit("null:"), F.col("image_id")))
+    )
+
+    def first_seen(key, pdf_iter, state: GroupState):
+        seen_before = state.exists and state.get[0] > 0
+        total = state.get[0] if state.exists else 0
+        first: pd.DataFrame | None = None
+        for pdf in pdf_iter:
+            total += len(pdf)
+            if seen_before or not len(pdf):
+                continue
+            idx = pdf["image_id"].idxmin()
+            cand = pdf.loc[[idx], ["image_id", "digest"]]
+            if first is None or cand["image_id"].iloc[0] < first["image_id"].iloc[0]:
+                first = cand
+        state.update((total,))
+        if first is not None:
+            yield first
+
+    return hashed.groupBy("_k").applyInPandasWithState(
+        first_seen,
+        outputStructType="image_id string, digest string",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_windowed_dup_stats(
     stream_df: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,

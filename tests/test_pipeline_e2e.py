@@ -485,3 +485,113 @@ def test_image_tier_ladder_semantic_refines_kept_only(spark):
         ).collect()
     }
     assert three_b[victim] == "kept"
+
+
+def test_cli_byte_exact_tier_ladder(spark, tmp_path):
+    """The production tier-ladder run: --byte-exact --tier-labels
+    --pixel-embeddings. (a) tier_labels equals the image_tier_labels
+    operator fed the SAME survivor embeddings/centroids (the CLI assembles
+    attribution from its own stage outputs with zero recompute; the
+    operator recomputes every tier from scratch — agreement pins both);
+    (b) all three tiers fire; (c) clusters ran on byte survivors only (the
+    funnel: planted re-uploads never reach the near tier); (d) a delta
+    chain on the byte-exact base refuses loudly."""
+    import pathlib
+    import sys
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.ann import ivf_fit
+    from simhash_spark.operators.multimodal import image_embeddings
+    from simhash_spark.plans.pipeline import image_tier_labels
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_byte_reuploads,
+        plant_semantic_rerenders,
+    )
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "jobs"))
+    try:
+        import run_pipeline as cli
+    finally:
+        sys.path.pop(0)
+
+    pdf = plant_semantic_rerenders(
+        plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+    )
+    src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+    inp = tmp_path / "images.parquet"
+    src.coalesce(1).write.parquet(str(inp))
+
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            "--input", str(inp),
+            "--output", str(out),
+            "--n-blocks", str(CFG.n_blocks),
+            # the operator query face (image_tier_labels) composes
+            # fingerprint/candidates/verify/cluster WITHOUT the substring
+            # stage — match it for the exact-equality gate
+            "--no-substring",
+            "--byte-exact",
+            "--tier-labels",
+            "--pixel-embeddings",
+            "--semantic-tau", "0.9",
+            "--semantic-centroids", "8",
+        ]
+    )
+    assert rc == 0
+
+    got = {
+        r["image_id"]: (r["tier"], r["is_kept"])
+        for r in spark.read.parquet(str(out / "tier_labels")).collect()
+    }
+    assert set(got) == set(pdf["image_id"].astype(str))
+    counts = {}
+    for t, _ in got.values():
+        counts[t] = counts.get(t, 0) + 1
+    assert counts.get("exact", 0) and counts.get("near", 0) and counts.get("semantic", 0)
+
+    # (c) funnel: every byte-tier drop is absent from the clusters output
+    clusters = {r["image_id"] for r in spark.read.parquet(str(out / "clusters")).collect()}
+    exact_ids = {i for i, (t, _) in got.items() if t == "exact"}
+    assert not (clusters & exact_ids)
+    assert clusters == set(got) - exact_ids
+
+    # (a) operator equality with the CLI's own embedding/centroid inputs.
+    # Build emb from the SAME parquet scan the CLI read: ivf_fit's
+    # small-corpus path trains in input row order (ann.py docstring), so an
+    # in-memory frame with different partitioning would give a different —
+    # equally valid — quantizer and a spuriously failing equality.
+    surv2 = spark.createDataFrame(
+        [(i,) for i, (t, _) in got.items() if t in ("kept", "semantic")],
+        "image_id string",
+    )
+    emb = (
+        image_embeddings(spark.read.parquet(str(inp)).join(surv2, "image_id", "left_semi"))
+        .where(F.col("error").isNull())
+        .select("image_id", "embedding")
+    )
+    cent = ivf_fit(emb, n_centroids=8, n_iter=8)
+    expect = {
+        r["image_id"]: (r["tier"], r["is_kept"])
+        for r in image_tier_labels(
+            spark, src, CFG, emb=emb, centroids=cent, tau=0.9
+        ).collect()
+    }
+    assert got == expect
+
+    # (d) the byte-exact base refuses add-only delta chaining
+    from simhash_spark.plans.delta import run_delta
+
+    with pytest.raises(NotImplementedError, match="byte_exact"):
+        run_delta(
+            spark,
+            str(out / "_checkpoints"),
+            str(inp),
+            str(tmp_path / "delta_ckpt"),
+        )

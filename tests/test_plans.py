@@ -292,3 +292,34 @@ def test_term_stats_exchange_budget(spark, query, n_hash_exchanges, want_takeord
         assert "TakeOrderedAndProject" in final, f"{query}: top-k became a global sort"
         assert "rangepartitioning" not in final
     assert "CartesianProduct" not in final
+
+
+def test_byte_exact_stage_exchange_carries_no_bytes(spark, tmp_path):
+    """00b_bytes plan tripwire: md5 reduces the payload INSIDE the scan
+    projection — the window's hash exchange ships only (image_id, digest,
+    keep-window state), never the bytes column; and the embedding pass
+    prunes its scan to exactly (image_id, bytes, fmt)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from simhash_spark.operators.multimodal import image_embeddings
+    from simhash_spark.sources.fixtures import write_images_fixture
+
+    d = write_images_fixture(tmp_path / "fx", n_rows=30, seed=5, with_truth=False)
+    src = spark.read.parquet(str(d / "images.parquet"))
+    # the exact expression run_pipeline's _bytes_stage builds
+    w = Window.partitionBy("digest")
+    bx = (
+        src.where(F.col("bytes").isNotNull())
+        .select("image_id", F.unhex(F.md5("bytes")).alias("digest"))
+        .withColumn("keep_id", F.min("image_id").over(w))
+    )
+    offenders = _vector_carrying_hash_exchanges(spark, bx, vec_names=("bytes",))
+    assert not offenders, f"bytes ride the 00b hash exchange: {offenders}"
+
+    emb = image_embeddings(src)
+    plan = _plan(emb)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "caption" not in read_schema and "phash" not in read_schema, (
+        f"embedding scan reads more than (image_id, bytes, fmt): {read_schema}"
+    )

@@ -749,3 +749,77 @@ def test_stream_semantic_dedup_matches_greedy_mirror(spark, tmp_path):
     # the state table holds exactly the accepted rows
     state = spark.read.option("recursiveFileLookup", "true").parquet(acc)
     assert {r["id"] for r in state.select("id").collect()} == set(kept_ids)
+
+
+def test_stream_byte_first_seen_suppresses_reuploads(spark, tmp_path):
+    """Byte-level first-seen at the ingest door: (a) a re-upload of already-
+    seen bytes in a LATER batch (and a later run restored from checkpoint)
+    is suppressed; (b) within the first batch holding a digest, the min
+    image_id is the canonical admit; (c) NULL-bytes rows ALWAYS pass (the
+    ladder's absent-content rule) with a NULL digest."""
+    import pandas as pd
+
+    from simhash_spark.streaming.incremental import stream_byte_first_seen
+
+    src = tmp_path / "bfs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "bfs_ckpt")
+    out = tmp_path / "bfs_out"
+    schema = "image_id string, bytes binary"
+
+    def _emitted():
+        try:
+            return {
+                r["image_id"]: r["digest"]
+                for r in spark.read.parquet(str(out)).collect()
+            }
+        except Exception:
+            return {}
+
+    def run_once():
+        before = set(_emitted())
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_byte_first_seen(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda df, _bid: df.write.mode("append").parquet(str(out)))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout=120)
+        emitted = _emitted()
+        return {k: emitted[k] for k in set(emitted) - before}
+
+    payload_x, payload_y, payload_z = b"\x01" * 64, b"\x02" * 64, b"\x03" * 64
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "image_id": ["b", "a", "c", "n1"],
+                    "bytes": [payload_x, payload_x, payload_y, None],
+                }
+            )
+        ),
+        src / "batch1.parquet",
+    )
+    got1 = run_once()
+    # min-id admit for the x-group; y admitted; null passes with NULL digest
+    assert set(got1) == {"a", "c", "n1"}
+    assert got1["n1"] is None
+    assert got1["a"] is not None and got1["c"] is not None and got1["a"] != got1["c"]
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "image_id": ["d", "e", "n2"],
+                    "bytes": [payload_x, payload_z, None],
+                }
+            )
+        ),
+        src / "batch2.parquet",
+    )
+    got2 = run_once()  # restored from checkpoint: digest state persists
+    assert set(got2) == {"e", "n2"}, f"re-upload not suppressed: {got2}"
+    assert got2["n2"] is None
