@@ -69,6 +69,65 @@ def _write_vec_chunk(args: tuple) -> None:
     )
 
 
+def _write_bytes_chunk(args: tuple) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simhash_spark.sources.fixtures import make_images_pdf
+
+    out, i, n, payload = args
+    # captions/ids/phash from the shared generator (bytes column unused);
+    # payloads are deterministic pseudorandom binaries — the byte tier only
+    # ever md5s them, so payload SIZE is what the measurement needs, not
+    # decodability. Every 7th row re-uses row i-3's payload (the
+    # plant_byte_reuploads rule: ~14% byte re-uploads).
+    pdf = make_images_pdf(n, seed=4200 + i, with_bytes=False, hot_frac=0.002)
+    pdf["image_id"] = pdf["image_id"] + f"_c{i:03d}"
+    rng = np.random.default_rng(777 + i)
+    raw = rng.integers(0, 256, size=(n, payload), dtype=np.uint8)
+    payloads = [raw[j].tobytes() for j in range(n)]
+    for j in range(3, n, 7):
+        payloads[j] = payloads[j - 3]
+    pdf["bytes"] = payloads
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        pathlib.Path(out) / f"part-{i:04d}.parquet",
+    )
+
+
+def ensure_bytes_corpus(n_rows: int, payload: int = 4096) -> pathlib.Path:
+    """Deterministic image corpus WITH binary payloads and ~14% planted byte
+    re-uploads, cached. MUST be called before any SparkSession exists."""
+    out = CACHE / f"images_bytes_{n_rows}_p{payload}_v1"
+    if (out / "_SUCCESS").exists():
+        return out
+    import multiprocessing as mp
+
+    out.mkdir(parents=True, exist_ok=True)
+    chunk = max(5_000, min(50_000, n_rows // 32))
+    n_chunks = (n_rows + chunk - 1) // chunk
+    jobs = [
+        (str(out), i, min(chunk, n_rows - i * chunk), payload)
+        for i in range(n_chunks)
+    ]
+    with mp.Pool(min(16, os.cpu_count() or 8)) as pool:
+        pool.map(_write_bytes_chunk, jobs)
+    (out / "_SUCCESS").touch()
+    return out
+
+
 def ensure_embeddings_corpus(n_rows: int, dim: int = 64, dup_frac: float = 0.08) -> pathlib.Path:
     """Deterministic embedding corpus with planted near-dups, cached.
     MUST be called before any SparkSession exists (fork safety)."""
@@ -157,6 +216,18 @@ def main() -> None:
         "reports walls, docs/s, and the false-positive gram mass",
     )
     ap.add_argument(
+        "--byte-funnel",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="byte-exact funnel A/B at regime: run_pipeline with and without "
+        "the 00b byte-exact stage on a ROWS/4, ROWS/2, ROWS corpus ladder "
+        "with 4KB payloads and ~14%% planted re-uploads; reports per-stage "
+        "manifest walls, the 00b stage's own cost, and the e2e ratio — the "
+        "claim under test is that dropping x%% of rows before fingerprinting "
+        "saves ~x%% of every downstream stage for a small slim-exchange fee",
+    )
+    ap.add_argument(
         "--wide",
         type=int,
         default=0,
@@ -183,6 +254,12 @@ def main() -> None:
     sd_paths = {n: ensure_embeddings_corpus(n, args.dim) for n in sd_rungs}
     bl_rungs = [args.bloom // 4, args.bloom // 2, args.bloom] if args.bloom else []
     bl_paths = {n: ensure_images_corpus(n) for n in bl_rungs}
+    bf_rungs = (
+        [args.byte_funnel // 4, args.byte_funnel // 2, args.byte_funnel]
+        if args.byte_funnel
+        else []
+    )
+    bf_paths = {n: ensure_bytes_corpus(n) for n in bf_rungs}
     e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
     if args.wide:
         # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
@@ -364,6 +441,63 @@ def main() -> None:
             "stage_walls_s": stage_walls,
         }
         print(json.dumps({"stage": "e2e", **results["e2e"]}), flush=True)
+
+    if bf_rungs:
+        import shutil
+
+        from simhash_spark.config import index_config_for
+        from simhash_spark.plans.pipeline import run_pipeline
+
+        bf_out = []
+        for n in bf_rungs:
+            cfg_b = index_config_for(n)
+            rec: dict = {"rows": n, "n_blocks": cfg_b.n_blocks}
+            for bx in (False, True):
+                tag = "with_00b" if bx else "no_00b"
+                draws = []
+                # best-of-2 against the sandbox's 2-3x run-to-run CPU-steal
+                # variance (CLAUDE.md); fresh catalog per rep — no resume skips
+                for rep in range(2):
+                    ck = CACHE / f"bf_{n}_{tag}_r{rep}"
+                    shutil.rmtree(ck, ignore_errors=True)
+                    spark.catalog.clearCache()
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    res = run_pipeline(
+                        spark,
+                        str(bf_paths[n]),
+                        str(ck),
+                        cfg=cfg_b,
+                        enable_substring=False,  # orthogonal to the funnel claim
+                        stage_metrics=False,
+                        byte_exact=bx,
+                    )
+                    n_labels = res.clusters.count()
+                    wall = time.time() - t0
+                    stage_walls = {}
+                    for mf in sorted(pathlib.Path(ck).glob("*/_manifest.json")):
+                        m = json.loads(mf.read_text())
+                        stage_walls[mf.parent.name] = {
+                            "wall_s": round(m.get("wall_ms", 0) / 1000, 1),
+                            "rows": m.get("n_rows"),
+                        }
+                    draws.append((wall, n_labels, stage_walls))
+                wall, n_labels, stage_walls = min(draws, key=lambda d: d[0])
+                rec[tag] = {
+                    "wall_s": round(wall, 1),
+                    "draws_s": [round(d[0], 1) for d in draws],
+                    "images_per_sec": round(n / wall, 1),
+                    "n_labels": n_labels,
+                    "stages": stage_walls,
+                }
+            surv = rec["with_00b"]["stages"]["01_fingerprints"]["rows"]
+            rec["dup_frac"] = round(1 - surv / n, 4)
+            rec["e2e_ratio"] = round(
+                rec["no_00b"]["wall_s"] / rec["with_00b"]["wall_s"], 3
+            )
+            bf_out.append(rec)
+            print(json.dumps({"stage": "byte_funnel", **rec}), flush=True)
+        results["byte_funnel"] = bf_out
 
     if ann_rungs:
         # ANN top-k at regime: the two approximate families with their

@@ -103,7 +103,9 @@ def main(argv: list[str] | None = None) -> int:
         help="write <output>/tier_labels — per-image attribution of the ONE "
         "tier that removed it (exact/near/[semantic]/kept), the frozen "
         "ladder rules of plans.pipeline.image_tier_labels assembled from "
-        "this run's own stage outputs (no recompute). Requires --byte-exact",
+        "this run's own stage outputs (no recompute). Covers the run's "
+        "corpus: with --quality-filter, quality-dropped rows are accounted "
+        "in the 00_quality manifest, not here. Requires --byte-exact",
     )
     ap.add_argument(
         "--pixel-embeddings",
@@ -223,19 +225,22 @@ def main(argv: list[str] | None = None) -> int:
                 .where(F.col("error").isNull())
                 .select("image_id", "embedding")
             )
-            cent = ivf_fit(
-                emb, n_centroids=args.semantic_centroids, n_iter=8,
-                vec_col="embedding",
-            )
-            sem = semdedup_keep(
-                emb, cent, threshold=args.semantic_tau,
-                id_col="image_id", vec_col="embedding",
-            )
-            drops = drops.unionByName(
-                sem.where(F.col("is_kept") == 0).select(
-                    "image_id", F.lit("semantic").alias("tier")
+            # a corpus whose every payload quarantines (or is NULL) has no
+            # embeddings: the rung is a no-op, not an ivf_fit crash
+            if emb.take(1):
+                cent = ivf_fit(
+                    emb, n_centroids=args.semantic_centroids, n_iter=8,
+                    vec_col="embedding",
                 )
-            )
+                sem = semdedup_keep(
+                    emb, cent, threshold=args.semantic_tau,
+                    id_col="image_id", vec_col="embedding",
+                )
+                drops = drops.unionByName(
+                    sem.where(F.col("is_kept") == 0).select(
+                        "image_id", F.lit("semantic").alias("tier")
+                    )
+                )
         # post-quality corpus = byte survivors (every cluster vertex) +
         # byte-tier drops; NULL-bytes rows ride through as cluster vertices
         corpus = res.clusters.select("image_id").unionByName(
