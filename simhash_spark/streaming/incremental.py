@@ -79,6 +79,7 @@ def start_stream_near_dup(
     trigger_once: bool = True,
     quality_filter: bool = False,
     quality_overrides: dict | None = None,
+    byte_exact: bool = False,
 ):
     """NEAR-dup on ingest — the streaming face of the full candidate+verify
     pipeline. Per micro-batch:
@@ -126,6 +127,17 @@ def start_stream_near_dup(
             .where(F.col("keep") == 1)
             .drop("keep", "reason")
         )
+    if byte_exact:
+        # the streaming image LADDER door: byte-exact FIRST-SEEN admission
+        # before fingerprinting (the batch funnel order, with the add-only
+        # keeper rule run_delta's refusal points at) — a re-upload of
+        # already-admitted bytes never pays the fingerprint UDF, never
+        # enters the accumulated index, and never appears in a match.
+        # caption+phash ride through the stateful op so fingerprinting
+        # composes without a source re-join. Requires update output mode.
+        stream_df = stream_byte_first_seen(
+            stream_df, passthrough=["caption", "phash"]
+        ).drop("digest")
     fp_stream = stream_fingerprints(stream_df, cfg)
 
     def process_batch(batch_fp: DataFrame, batch_id: int) -> None:
@@ -176,6 +188,10 @@ def start_stream_near_dup(
     writer = fp_stream.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_path
     )
+    if byte_exact:
+        # the upstream applyInPandasWithState operator declares update mode;
+        # the query must match (foreachBatch semantics are unchanged)
+        writer = writer.outputMode("update")
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
@@ -249,7 +265,9 @@ def stream_first_seen(
     )
 
 
-def stream_byte_first_seen(stream_df: DataFrame) -> DataFrame:
+def stream_byte_first_seen(
+    stream_df: DataFrame, passthrough: list[str] | None = None
+) -> DataFrame:
     """Cross-batch streaming BYTE-EXACT dedup — the incremental form of the
     batch byte tier (run_pipeline's ``byte_exact`` stage 00b) and the reason
     run_delta refuses byte-exact bases: the batch min-id keeper rule is not
@@ -266,18 +284,31 @@ def stream_byte_first_seen(stream_df: DataFrame) -> DataFrame:
     so it always passes; keying them on the digest would glue every
     absent-content row into one group and permanently suppress novel rows
     (the same giant-fake-bucket hazard the other streaming keys guard
-    against). Output: (image_id, digest) with digest NULL for byte-less
-    rows. The md5 reduces the payload inside the projection — bytes never
-    enter the state store or a shuffle.
+    against). Output: (image_id, digest[, *passthrough]) with digest NULL
+    for byte-less rows; ``passthrough`` columns ride along on admitted rows
+    so downstream stages (fingerprinting needs caption+phash) compose
+    without a re-join against the source. The md5 reduces the payload
+    inside the projection — bytes never enter the state store or a shuffle.
     """
     import pandas as pd
+    from pyspark.sql import types as T
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    extra = list(passthrough or [])
     hashed = stream_df.select(
         "image_id",
         F.md5("bytes").alias("digest"),
+        *extra,
     ).withColumn(
         "_k", F.coalesce(F.col("digest"), F.concat(F.lit("null:"), F.col("image_id")))
+    )
+    in_schema = stream_df.schema
+    out_schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType()),
+            T.StructField("digest", T.StringType()),
+        ]
+        + [in_schema[c] for c in extra]
     )
 
     def first_seen(key, pdf_iter, state: GroupState):
@@ -289,7 +320,7 @@ def stream_byte_first_seen(stream_df: DataFrame) -> DataFrame:
             if seen_before or not len(pdf):
                 continue
             idx = pdf["image_id"].idxmin()
-            cand = pdf.loc[[idx], ["image_id", "digest"]]
+            cand = pdf.loc[[idx], ["image_id", "digest"] + extra]
             if first is None or cand["image_id"].iloc[0] < first["image_id"].iloc[0]:
                 first = cand
         state.update((total,))
@@ -298,7 +329,7 @@ def stream_byte_first_seen(stream_df: DataFrame) -> DataFrame:
 
     return hashed.groupBy("_k").applyInPandasWithState(
         first_seen,
-        outputStructType="image_id string, digest string",
+        outputStructType=out_schema,
         stateStructType="n long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,

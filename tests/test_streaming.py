@@ -823,3 +823,80 @@ def test_stream_byte_first_seen_suppresses_reuploads(spark, tmp_path):
     got2 = run_once()  # restored from checkpoint: digest state persists
     assert set(got2) == {"e", "n2"}, f"re-upload not suppressed: {got2}"
     assert got2["n2"] is None
+
+
+def test_stream_near_dup_byte_exact_ladder_matches_batch(spark, tmp_path):
+    """The streaming image LADDER door (byte_exact=True): byte first-seen
+    admission before fingerprinting. With id-ordered arrival (min id of
+    every md5 group lands in the earliest batch holding the group), the
+    first-seen keeper EQUALS the batch min-id keeper, so the drained match
+    set must equal the batch pipeline's verified pairs over the byte tier's
+    survivors — and no suppressed re-upload may appear in any pair or in
+    the accumulated fingerprint table."""
+    import hashlib
+
+    from collections import defaultdict
+
+    from simhash_spark.config import DEFAULT_CONFIG as CFG2
+    from simhash_spark.plans.pipeline import candidate_job, fingerprint_job, verify_job
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_byte_reuploads,
+    )
+    from simhash_spark.streaming.incremental import start_stream_near_dup
+
+    pdf = plant_byte_reuploads(make_images_pdf(300, seed=13, with_bytes=True))
+    src_dir = tmp_path / "bx_src"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:150], preserve_index=False), src_dir / "a.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[150:], preserve_index=False), src_dir / "b.parquet")
+
+    stream_src = spark.readStream.schema(INPUT_HINT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src_dir))
+    q = start_stream_near_dup(
+        stream_src,
+        str(tmp_path / "bx_fp"),
+        str(tmp_path / "bx_matches"),
+        str(tmp_path / "bx_ckpt"),
+        CFG2,
+        byte_exact=True,
+    )
+    q.awaitTermination(timeout=180)
+    q.stop()
+
+    got_rows = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "bx_matches"))
+        .collect()
+    )
+    got = {(r["a"], r["b"]) for r in got_rows}
+    assert len(got) == len(got_rows), "a pair was emitted more than once"
+
+    # batch mirror: byte tier (min-id per md5 group) then the near pipeline
+    groups = defaultdict(list)
+    for iid, data in zip(pdf["image_id"].astype(str), pdf["bytes"]):
+        groups[hashlib.md5(bytes(data)).hexdigest()].append(iid)
+    dropped = {i for mem in groups.values() for i in mem if i != min(mem)}
+    assert dropped, "fixture planted no byte dups; vacuous"
+    surv = spark.createDataFrame(
+        pdf[~pdf["image_id"].astype(str).isin(dropped)], schema=INPUT_HINT_SCHEMA
+    )
+    fp = fingerprint_job(spark, surv, CFG2)
+    want = {
+        (r["a"], r["b"])
+        for r in verify_job(candidate_job(fp, CFG2), fp, CFG2).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # suppression is total: no dropped id in any pair or in the fp table
+    assert not any(a in dropped or b in dropped for a, b in got)
+    fp_ids = {
+        r["image_id"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "bx_fp"))
+        .collect()
+    }
+    assert not (fp_ids & dropped)
+    assert fp_ids == set(pdf["image_id"].astype(str)) - dropped
