@@ -128,6 +128,51 @@ def ensure_bytes_corpus(n_rows: int, payload: int = 4096) -> pathlib.Path:
     return out
 
 
+def _write_ppm_chunk(args: tuple) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simhash_spark.sources.fixtures import make_images_pdf
+
+    out, i, n = args
+    pdf = make_images_pdf(n, seed=5200 + i, with_bytes=True, hot_frac=0.002)
+    pdf["image_id"] = pdf["image_id"] + f"_c{i:03d}"
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        pathlib.Path(out) / f"part-{i:04d}.parquet",
+    )
+
+
+def ensure_ppm_corpus(n_rows: int) -> pathlib.Path:
+    """Deterministic image corpus with REAL decodable PPM payloads (the
+    fixture generator's pixels, 32-64 px), cached. MUST be called before
+    any SparkSession exists."""
+    out = CACHE / f"images_ppm_{n_rows}_v1"
+    if (out / "_SUCCESS").exists():
+        return out
+    import multiprocessing as mp
+
+    out.mkdir(parents=True, exist_ok=True)
+    chunk = max(2_500, min(25_000, n_rows // 32))
+    n_chunks = (n_rows + chunk - 1) // chunk
+    jobs = [(str(out), i, min(chunk, n_rows - i * chunk)) for i in range(n_chunks)]
+    with mp.Pool(min(16, os.cpu_count() or 8)) as pool:
+        pool.map(_write_ppm_chunk, jobs)
+    (out / "_SUCCESS").touch()
+    return out
+
+
 def ensure_embeddings_corpus(n_rows: int, dim: int = 64, dup_frac: float = 0.08) -> pathlib.Path:
     """Deterministic embedding corpus with planted near-dups, cached.
     MUST be called before any SparkSession exists (fork safety)."""
@@ -216,6 +261,17 @@ def main() -> None:
         "reports walls, docs/s, and the false-positive gram mass",
     )
     ap.add_argument(
+        "--embed",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="semantic-rung kernels at regime on a ROWS/4, ROWS/2, ROWS "
+        "ladder of REAL decodable PPM payloads: (1) the decode->embed "
+        "mapInPandas pass (images/s), (2) ivf_fit on the embeddings, "
+        "(3) the SemDeDup group kernel over them (rows/s); the image "
+        "ladder's tier-3 cost model",
+    )
+    ap.add_argument(
         "--byte-funnel",
         type=int,
         default=0,
@@ -260,6 +316,8 @@ def main() -> None:
         else []
     )
     bf_paths = {n: ensure_bytes_corpus(n) for n in bf_rungs}
+    em_rungs = [args.embed // 4, args.embed // 2, args.embed] if args.embed else []
+    em_paths = {n: ensure_ppm_corpus(n) for n in em_rungs}
     e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
     if args.wide:
         # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
@@ -441,6 +499,66 @@ def main() -> None:
             "stage_walls_s": stage_walls,
         }
         print(json.dumps({"stage": "e2e", **results["e2e"]}), flush=True)
+
+    if em_rungs:
+        import shutil
+
+        from simhash_spark.operators.ann import ivf_fit
+        from simhash_spark.operators.dedup import semdedup_keep
+        from simhash_spark.operators.multimodal import image_embeddings
+
+        em_out = []
+        for n in em_rungs:
+            src = spark.read.parquet(str(em_paths[n]))
+            rec: dict = {"rows": n}
+            # decode->embed mapInPandas pass; noop sink (count() would let
+            # Catalyst prune the UDF column and skip the work — CLAUDE.md)
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                sink(image_embeddings(src))
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            rec["embed_wall_s"] = round(best, 1)
+            rec["embed_images_per_sec"] = round(n / best, 1)
+
+            # materialize embeddings once (tmpfs parquet, the repo's pin
+            # pattern) for the fit + group-kernel timings
+            emb_pq = CACHE / f"emb_of_ppm_{n}"
+            shutil.rmtree(emb_pq, ignore_errors=True)
+            (
+                image_embeddings(src)
+                .where(F.col("error").isNull())
+                .select("image_id", "embedding")
+                .write.mode("overwrite")
+                .parquet(str(emb_pq))
+            )
+            emb = spark.read.parquet(str(emb_pq))
+            k = max(16, n // 4000)  # paper regime: cells average ~4k rows
+            t0 = time.time()
+            cent = ivf_fit(emb, n_centroids=k, n_iter=8, vec_col="embedding")
+            rec["ivf_fit_s"] = round(time.time() - t0, 1)
+            rec["n_centroids"] = k
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                sink(
+                    semdedup_keep(
+                        emb, cent, threshold=0.9,
+                        id_col="image_id", vec_col="embedding",
+                    )
+                )
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            rec["semdedup_wall_s"] = round(best, 1)
+            rec["semdedup_rows_per_sec"] = round(n / best, 1)
+            em_out.append(rec)
+            print(json.dumps({"stage": "embed_kernel", **rec}), flush=True)
+        results["embed_kernel"] = em_out
 
     if bf_rungs:
         import shutil
