@@ -1401,6 +1401,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_tier_labels_semantic"] = image_tier_labels_semantic
 
+    def image_embedding_search(spark, sf):
+        # semantic reverse image search — the CLIP-retrieval shape next to
+        # phash_reverse_search's pixel axis: byte-dedup the corpus (the
+        # production reality: you query the survivors' index, not raw
+        # re-uploads — and necessarily so for rank determinism: identical
+        # embeddings at different row positions get 1-ulp-different BLAS
+        # cosines, so "exact ties" are irreproducible in either engine),
+        # then decode -> pixel embeddings -> exact cosine top-k
+        # (ann.cosine_topk's frozen rule: cosine desc, neighbor_id asc;
+        # queries broadcast, corpus never shuffles). Oracle = numpy mirror
+        # with the engine's cosine formula verbatim; rank-boundary margin
+        # asserted at generation (tests/gen_expected.py, 2.2e-5).
+        from pyspark.sql import Window
+
+        from simhash_spark.operators.ann import cosine_topk
+        from simhash_spark.operators.multimodal import image_embeddings
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            make_images_pdf,
+            plant_byte_reuploads,
+            plant_semantic_rerenders,
+        )
+
+        pdf = plant_semantic_rerenders(
+            plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
+        )
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        w = Window.partitionBy("_md5")
+        surv = (
+            src.where(F.col("bytes").isNotNull())
+            .withColumn("_md5", F.md5("bytes"))
+            .withColumn("_keep", F.min("image_id").over(w))
+            .where(F.col("image_id") == F.col("_keep"))
+            .drop("_md5", "_keep")
+            .unionByName(src.where(F.col("bytes").isNull()))
+        )
+        emb = (
+            image_embeddings(surv)
+            .where(F.col("error").isNull())
+            .select("image_id", "embedding")
+        )
+        probes = emb.where(F.col("image_id") < "img000000040")
+        return cosine_topk(
+            emb, probes, k=5, id_col="image_id", vec_col="embedding"
+        ).select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+
+    q["image_embedding_search"] = image_embedding_search
+
     def image_near_dup_from_bytes(spark, sf):
         # the multimodal -> dedup COMPOSITION from raw bytes alone: real PPM
         # decode -> recomputed perceptual hash -> pigeonhole self-search
@@ -1560,6 +1608,7 @@ _MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "image_embedding_search",
     "image_tier_labels_semantic",
     "image_tier_labels",
     "bloom_decontaminate",
@@ -1705,6 +1754,11 @@ _CHECK_LAST = [
     # core stays in-budget via substring_pairs_docs (and rides every checked
     # cluster query); still bit-exact-checked every session locally
     "substring_run_report",
+    # demoted for image_embedding_search: r4-green; the exact-cosine algebra
+    # it shares (cosine_col) now rides the new query's driver row, and the
+    # range variant stays covered by ann_srp_range/ann_ivf_range's rows;
+    # still bit-exact-checked every session locally
+    "ann_cosine_range",
 ]
 
 
@@ -2364,6 +2418,12 @@ def oracle_sql() -> dict[str, str]:
     o["image_tier_labels_semantic"] = _expected_values_sql(
         "image_tier_labels_semantic.parquet",
         {"image_id": "VARCHAR", "tier": "VARCHAR", "is_kept": "INT"},
+    )
+    # semantic reverse image search: numpy mirror of cosine_topk's frozen
+    # rank rule over the same pixel embeddings
+    o["image_embedding_search"] = _expected_values_sql(
+        "image_embedding_search.parquet",
+        {"query_id": "VARCHAR", "neighbor_id": "VARCHAR", "rank": "INT"},
     )
     o["audio_features"] = _expected_values_sql(
         "audio_features.parquet",

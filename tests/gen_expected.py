@@ -1410,6 +1410,68 @@ def main() -> None:
         f"(min |cos - tau| within cells: {sem_margin:.4f})"
     )
 
+    # ---- image_embedding_search: semantic reverse image search ------------
+    # CLIP-retrieval shape: brute cosine top-k over the pixel embeddings of
+    # the BYTE-DEDUPED corpus (the production reality — you query the
+    # survivors' index, not raw re-uploads; and necessarily so for oracle
+    # determinism: byte-identical rows have IDENTICAL embeddings, yet BLAS
+    # matvec gives 1-ulp-DIFFERENT cosines for identical rows at different
+    # memory positions — measured 1.1e-16 gaps — so "exact ties" are not
+    # reproducible ranks in either engine). Frozen rule = ann.cosine_topk
+    # (cosine desc, neighbor_id asc); margin asserted at the rank
+    # boundaries (2.2e-5 here, 11 orders above ulp noise).
+    ies_drop = {i for mem in its_groups.values() for i in mem if i != min(mem)}
+    ies_ids = [i for i in its_ids if i not in ies_drop]
+    ies_k = 5
+    ies_probe_ids = [i for i in ies_ids if i < "img000000040"]
+    ies_rows = []
+    ies_margin = 64.0
+    # the engine's cosine_col formula exactly: dot / (|a||b|) on the RAW
+    # embedding arrays (numpy float64 on both sides)
+    ies_emb = its_emb[[row_of[i] for i in ies_ids]]
+    ies_norm = np.linalg.norm(ies_emb, axis=1)
+    for qid in ies_probe_ids:
+        qi = ies_ids.index(qid)
+        cos = (ies_emb @ ies_emb[qi]) / (ies_norm * ies_norm[qi])
+        order = sorted(
+            (k_ for k_ in range(len(ies_ids)) if k_ != qi),
+            key=lambda k_: (-cos[k_], ies_ids[k_]),
+        )
+        top = order[:ies_k]
+        # margin at the k-boundary and between adjacent ranks
+        for a, b in zip(top, order[1 : ies_k + 1]):
+            ies_margin = min(ies_margin, abs(float(cos[a]) - float(cos[b])))
+        for r, k_ in enumerate(top, start=1):
+            ies_rows.append((qid, ies_ids[k_], r))
+    ies_rows.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "query_id": [a for a, _, _ in ies_rows],
+                "neighbor_id": [b for _, b, _ in ies_rows],
+                "rank": np.array([r for _, _, r in ies_rows], np.int32),
+            },
+            schema=pa.schema(
+                [
+                    ("query_id", pa.string()),
+                    ("neighbor_id", pa.string()),
+                    ("rank", pa.int32()),
+                ]
+            ),
+        ),
+        OUT / "image_embedding_search.parquet",
+    )
+    # no identical-embedding pair may survive into the search corpus (see
+    # the BLAS ulp note above) — byte dedup must have removed them all
+    ies_uniq = {e.tobytes() for e in ies_emb}
+    assert len(ies_uniq) == len(ies_emb), "identical embeddings survived dedup"
+    assert ies_margin > 1e-9, f"rank-boundary margin too thin: {ies_margin}"
+    print(
+        f"image_embedding_search: {len(ies_rows)} rows over "
+        f"{len(ies_probe_ids)} probes of {len(ies_ids)} deduped images "
+        f"(min rank-boundary gap {ies_margin:.2e})"
+    )
+
 
 if __name__ == "__main__":
     main()
