@@ -77,7 +77,18 @@ def main(argv: list[str] | None = None) -> int:
     else:
         keep = near_dup_keep_list(res.clusters, id_col="image_id")
     keep.write.mode("overwrite").parquet(str(out / "keep_list"))
+    from simhash_spark.sources.catalog import CheckpointCatalog
+
+    cat = CheckpointCatalog(spark, args.checkpoint)
+    bx_stats = {}
+    if cat.manifest("00b_bytes_delta"):
+        # byte-exact chain: how many increment rows the 00b index suppressed
+        # (re-uploads that never paid the fingerprint UDF or any later stage)
+        bx_stats["byte_suppressed"] = (
+            cat.read("00b_bytes_delta").where("image_id != keep_id").count()
+        )
     stats = {
+        **bx_stats,
         "increment_rows": res.fingerprints_new.count(),
         "candidates_delta": res.candidates_new.count(),
         "verified_delta": res.verified_new.count(),

@@ -93,9 +93,10 @@ def main(argv: list[str] | None = None) -> int:
         help="run byte-exact dedup (md5 over the binary bytes column, keeper "
         "= min image_id, NULL bytes pass) as stage 00b BEFORE fingerprinting "
         "— the image tier ladder's first rung; every re-upload dropped here "
-        "never pays any downstream stage. NOTE: a byte-exact base refuses "
-        "run_delta chaining (min-id keeper is not add-only); use the "
-        "streaming first-seen path for incremental byte dedup",
+        "never pays any downstream stage. run_delta folds increments into "
+        "the 00b index under an exact per-digest add-only guard (raises if "
+        "an increment row would demote a base keeper; out-of-order byte "
+        "arrivals belong to the streaming first-seen path)",
     )
     ap.add_argument(
         "--tier-labels",

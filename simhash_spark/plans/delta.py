@@ -178,8 +178,9 @@ def incremental_near_dup_update(
 # --------------------------------------------------------------------------
 # Production surface: delta runs over CheckpointCatalog state (jobs/run_delta)
 #
-# A delta catalog stores ONLY increment-sized stages (01_fingerprints_delta,
-# 02b_anchors_delta, 02_candidates_delta, 03_verified_delta) plus the full
+# A delta catalog stores ONLY increment-sized stages (00b_bytes_delta on
+# byte-exact chains, 01_fingerprints_delta, 02b_anchors_delta,
+# 02_candidates_delta, 03_verified_delta) plus the full
 # updated label table (04_clusters — the narrow consumer artifact) and a
 # `_delta_base.json` pointer to the catalog it extends. State that must span
 # the whole corpus (fingerprints, anchors) is never rewritten: readers union
@@ -272,6 +273,16 @@ def run_delta(
     keys depend on the config, so an increment folded in under a different
     one would silently miss candidates (the check makes drift loud).
 
+    Byte-exact bases (run_pipeline ``byte_exact=True``) fold incrementally
+    too: the increment resolves against the chain's 00b byte index (base
+    keeper wins pre-existing digests; new digest groups keep their
+    within-increment min id — the full-run min, since the group lives
+    wholly in the increment), under an exact per-digest add-only guard
+    that raises if an increment row would DEMOTE a base keeper (the one
+    case batch folding cannot express; out-of-order byte arrivals belong
+    to the streaming first-seen rule). With the guard green, the delta
+    labels equal the full byte-exact run's (tests/test_delta.py).
+
     Resumable like run_pipeline: every delta stage lands in the new catalog
     under a lineage fingerprint that embeds the base's, so a crashed delta
     rerun skips complete stages and a changed base/increment/config recomputes.
@@ -297,19 +308,7 @@ def run_delta(
             "config drift: the base chain was built with "
             f"{meta['config']}, which does not match the config passed to run_delta"
         )
-    if meta["byte_exact"]:
-        # The byte tier's min-id keeper rule is NOT add-only: an increment
-        # row with a smaller id than a base keeper would DEMOTE the keeper —
-        # removing an already-indexed row from the near tier, which this
-        # add-only delta machinery cannot express. Incremental byte-exact
-        # dedup needs the first-seen keeper rule, which the STREAMING door
-        # implements (streaming/incremental.py::stream_byte_first_seen);
-        # refuse loudly rather than fold in a silently-wrong increment.
-        raise NotImplementedError(
-            "run_delta: base chain ran with byte_exact=True; the byte tier's "
-            "min-id keeper rule is not add-only — use "
-            "stream_byte_first_seen for incremental byte dedup"
-        )
+    byte_exact = meta["byte_exact"]
     enable_substring = meta["enable_substring"]
     include_phash = meta["include_phash"]
     quality_filter = meta["quality_filter"]
@@ -334,6 +333,7 @@ def run_delta(
         f"{base01['input_fingerprint']}+{input_fingerprint_of(increment_path)}"
         f"-{config_fingerprint(cfg)}-ss{int(enable_substring)}-ph{int(include_phash)}"
         + ("-qf1" if quality_filter else "")
+        + ("-bx1" if byte_exact else "")
     )
 
     src_new = spark.read.parquet(increment_path)
@@ -347,6 +347,71 @@ def run_delta(
             image_quality_filter(src_new, **quality_overrides)
             .where(F.col("keep") == 1)
             .drop("keep", "reason")
+        )
+    if byte_exact:
+        # 00b delta: fold the increment into the byte-exact tier (stage 00b
+        # of the base run). The base's (image_id, digest, keep_id) rows ARE
+        # the byte index; like every other delta stage, the base side is
+        # scanned once and semi-joined against the increment's digests —
+        # never re-expanded. Resolved keeper per increment row: the base
+        # keeper where the digest pre-exists, else the within-increment
+        # min id (new digest groups live wholly in the increment, so that
+        # IS the full-run min). NULL-bytes rows never group (the frozen
+        # absent-content rule) and ride through unsuppressed.
+        #
+        # ADD-ONLY GUARD (exact, per digest — not a blanket id-monotonicity
+        # requirement): the batch keeper rule is min image_id per digest
+        # group, so folding is equality-preserving iff no increment row
+        # undercuts the base keeper of a digest it shares — such a row
+        # would DEMOTE an already-fingerprinted, already-clustered keeper,
+        # which an add-only fold cannot express. That case raises with the
+        # offending rows; out-of-order arrivals need the streaming
+        # first-seen rule (streaming/incremental.py::stream_byte_first_seen)
+        # or a fresh full run.
+        from pyspark.sql import Window
+
+        bx_base = read_chain_stage(
+            spark, base_checkpoint, "00b_bytes", "00b_bytes_delta"
+        )
+        bx_src_new = src_new
+
+        def _bytes_delta() -> DataFrame:
+            inc_h = bx_src_new.where(F.col("bytes").isNotNull()).select(
+                "image_id", F.unhex(F.md5("bytes")).alias("digest")
+            )
+            # keep_id is constant within a digest group in every chain link,
+            # and the guard (below, enforced on every prior link too) makes
+            # the EARLIEST link's keeper the min across links — min() picks it
+            base_keep = (
+                bx_base.join(inc_h.select("digest").distinct(), "digest", "left_semi")
+                .groupBy("digest")
+                .agg(F.min("keep_id").alias("base_keep_id"))
+            )
+            w = Window.partitionBy("digest")
+            return (
+                inc_h.join(base_keep, "digest", "left")
+                .withColumn("inc_min", F.min("image_id").over(w))
+                .select(
+                    "image_id",
+                    "digest",
+                    F.coalesce("base_keep_id", "inc_min").alias("keep_id"),
+                )
+            )
+
+        bx_new = cat.run_stage("00b_bytes_delta", in_fp, _bytes_delta)
+        demoted = bx_new.where(F.col("image_id") < F.col("keep_id")).limit(3).collect()
+        if demoted:
+            raise ValueError(
+                "run_delta: increment rows undercut base byte-tier keepers "
+                "(min-id rule would demote an already-indexed row): "
+                + ", ".join(f"{r['image_id']} < {r['keep_id']}" for r in demoted)
+                + " — out-of-order byte arrivals need stream_byte_first_seen "
+                "or a fresh full run"
+            )
+        src_new = src_new.join(
+            bx_new.where(F.col("image_id") != F.col("keep_id")).select("image_id"),
+            "image_id",
+            "left_anti",
         )
     fp_new = cat.run_stage(
         "01_fingerprints_delta",
@@ -474,11 +539,24 @@ def compact_chain(
             "include_phash": meta["include_phash"],
             "quality_filter": meta["quality_filter"],
             "quality_overrides": meta["quality_overrides"],
+            # without this key a compacted byte-exact root would silently
+            # drop the flag and every later delta would skip byte dedup
+            "byte_exact": meta["byte_exact"],
             "input_path": meta["input_paths"],
             "compacted_from": chain,
         },
         bucket_by=(n_buckets, ["image_id"]),
     )
+    if meta["byte_exact"]:
+        # the byte index is corpus-spanning state exactly like fingerprints:
+        # post-compaction deltas resolve keepers against it
+        cat.run_stage(
+            "00b_bytes",
+            in_fp,
+            lambda: read_chain_stage(
+                spark, tip_checkpoint, "00b_bytes", "00b_bytes_delta"
+            ),
+        )
     if enable_substring:
         cat.run_stage(
             "02b_anchors",

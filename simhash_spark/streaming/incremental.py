@@ -269,10 +269,11 @@ def stream_byte_first_seen(
     stream_df: DataFrame, passthrough: list[str] | None = None
 ) -> DataFrame:
     """Cross-batch streaming BYTE-EXACT dedup — the incremental form of the
-    batch byte tier (run_pipeline's ``byte_exact`` stage 00b) and the reason
-    run_delta refuses byte-exact bases: the batch min-id keeper rule is not
-    add-only (a later row can demote an earlier keeper), but FIRST-SEEN
-    keepers are — each distinct payload digest is admitted ONCE, at its
+    batch byte tier (run_pipeline's ``byte_exact`` stage 00b) and the path
+    run_delta's add-only guard points at when it refuses a demoting
+    increment: the batch min-id keeper rule is not add-only (a later row
+    can demote an earlier keeper), but FIRST-SEEN keepers are — each
+    distinct payload digest is admitted ONCE, at its
     first arrival across the stream's lifetime, and every later re-upload
     of the same bytes is suppressed. Per-digest state survives restarts via
     the query checkpoint. Within the first batch that sees a digest, the

@@ -306,3 +306,99 @@ def test_run_delta_rejects_self_pointing_chain(spark, tmp_path):
     with pytest.raises(ValueError, match="must differ"):
         run_delta(spark, str(same), str(tmp_path / "inc"), str(same))
     assert not same.exists()  # nothing was created
+
+
+def test_run_delta_byte_exact_chain_equals_full_run(spark, tmp_path):
+    """Byte-exact bases fold increments too (the ladder's first rung made
+    add-only): a run_pipeline(byte_exact=True) base extended by two deltas —
+    one folded off the live chain, one off a COMPACTED root — labels the
+    union corpus identically to one full byte-exact run. The increment
+    carries every byte shape: re-uploads of BASE bytes (suppressed against
+    the chain's 00b index, never fingerprinted), re-uploads WITHIN the
+    increment (within-increment min-id keeper — the full-run min, since the
+    group lives wholly in the increment), fresh rows, and a NULL-bytes row
+    (absent content passes every tier). A demoting increment (smaller id
+    than a base keeper, same digest) raises instead of silently folding."""
+    import pandas as pd
+    import pytest
+
+    from simhash_spark.plans.delta import (
+        catalog_chain,
+        compact_chain,
+        run_delta,
+    )
+    from simhash_spark.plans.pipeline import run_pipeline
+    from simhash_spark.sources.catalog import CheckpointCatalog
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_byte_reuploads,
+    )
+
+    pdf = plant_byte_reuploads(make_images_pdf(360, seed=11, with_bytes=True))
+    pdf.at[300, "bytes"] = None  # absent content rides through the byte tier
+    parts = [pdf.iloc[:240], pdf.iloc[240:300], pdf.iloc[300:]]
+    paths = []
+    for i, part in enumerate([pdf, *parts]):
+        p = tmp_path / f"part{i}.parquet"
+        spark.createDataFrame(part, schema=INPUT_HINT_SCHEMA).coalesce(1).write.parquet(
+            str(p)
+        )
+        paths.append(str(p))
+    full_path, base_path, inc1_path, inc2_path = paths
+
+    # the planted re-upload stream (i % 7 == 3 copies i-3) must exercise
+    # BOTH cross-boundary suppression (base keeper) and within-increment
+    # groups under the id-ascending split — assert the fixture delivers
+    planted1 = [i for i in range(240, 300) if i % 7 == 3]
+    cross = {i for i in planted1 if i - 3 < 240}
+    within = {i for i in planted1 if i - 3 >= 240}
+    assert cross and within
+
+    full = run_pipeline(
+        spark, full_path, str(tmp_path / "ck_full"), CFG, byte_exact=True
+    )
+    run_pipeline(spark, base_path, str(tmp_path / "ck_base"), CFG, byte_exact=True)
+    d1 = run_delta(spark, str(tmp_path / "ck_base"), inc1_path, str(tmp_path / "ck_d1"))
+    d2 = run_delta(spark, str(tmp_path / "ck_d1"), inc2_path, str(tmp_path / "ck_d2"))
+    assert _rows(d2.clusters) == _rows(full.clusters)
+
+    # suppressed re-uploads never reach the fingerprint stage; survivors all do
+    bx1 = CheckpointCatalog(spark, tmp_path / "ck_d1").read("00b_bytes_delta")
+    sup1 = {r["image_id"] for r in bx1.where("image_id != keep_id").collect()}
+    assert {f"img{i:09d}" for i in cross} <= sup1
+    base_ids = set(parts[0]["image_id"])
+    assert any(  # at least one suppression resolved against a BASE keeper
+        r["keep_id"] in base_ids for r in bx1.where("image_id != keep_id").collect()
+    )
+    fp1_ids = {r["image_id"] for r in d1.fingerprints_new.select("image_id").collect()}
+    assert fp1_ids == set(parts[1]["image_id"]) - sup1
+    # the NULL-bytes row is fingerprinted and labeled despite no digest
+    assert "img000000300" in {r["image_id"] for r in d2.clusters.collect()}
+
+    # compaction carries the byte index + flag; deltas compose off the root
+    compact_chain(spark, str(tmp_path / "ck_d1"), str(tmp_path / "ck_comp"))
+    comp = CheckpointCatalog(spark, tmp_path / "ck_comp")
+    assert comp.manifest("01_fingerprints")["byte_exact"] is True
+    m00 = comp.manifest("00b_bytes")
+    assert m00 and m00["complete"]
+    d2c = run_delta(
+        spark, str(tmp_path / "ck_comp"), inc2_path, str(tmp_path / "ck_d2c")
+    )
+    assert catalog_chain(str(tmp_path / "ck_d2c")) == [
+        str(tmp_path / "ck_comp"),
+        str(tmp_path / "ck_d2c"),
+    ]
+    assert _rows(d2c.clusters) == _rows(full.clusters)
+
+    # add-only guard: an increment row demoting a base keeper raises
+    demoter = pdf.iloc[[0]].copy()
+    demoter["image_id"] = "aaa000000000"
+    dem_path = tmp_path / "demoter.parquet"
+    spark.createDataFrame(demoter, schema=INPUT_HINT_SCHEMA).coalesce(1).write.parquet(
+        str(dem_path)
+    )
+    with pytest.raises(ValueError, match="undercut"):
+        run_delta(
+            spark, str(tmp_path / "ck_d2"), str(dem_path), str(tmp_path / "ck_bad")
+        )

@@ -585,13 +585,21 @@ def test_cli_byte_exact_tier_ladder(spark, tmp_path):
     }
     assert got == expect
 
-    # (d) the byte-exact base refuses add-only delta chaining
+    # (d) the byte-exact base folds increments only under the add-only
+    # guard: an increment row that would DEMOTE a base keeper (smaller id,
+    # same digest) refuses loudly instead of silently relabeling the index
     from simhash_spark.plans.delta import run_delta
 
-    with pytest.raises(NotImplementedError, match="byte_exact"):
+    demoter = pdf.iloc[[0]].copy()
+    demoter["image_id"] = "aaa000000000"  # sorts before every base id
+    dem_path = tmp_path / "demoter.parquet"
+    spark.createDataFrame(demoter, schema=INPUT_HINT_SCHEMA).coalesce(1).write.parquet(
+        str(dem_path)
+    )
+    with pytest.raises(ValueError, match="undercut"):
         run_delta(
             spark,
             str(out / "_checkpoints"),
-            str(inp),
+            str(dem_path),
             str(tmp_path / "delta_ckpt"),
         )
