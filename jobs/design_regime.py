@@ -128,6 +128,62 @@ def ensure_bytes_corpus(n_rows: int, payload: int = 4096) -> pathlib.Path:
     return out
 
 
+def ensure_delta_byte_inc(
+    base_dir: pathlib.Path, n: int, payload: int = 4096
+) -> pathlib.Path:
+    """Increment for --delta-byte. Ids are the base generator's with an
+    ``_inc`` suffix: at any row index j, ``img{j}_inc`` sorts AFTER every
+    base id ``img{k}_c###`` with k <= j, so re-using a base payload at the
+    SAME index can never demote its base keeper — the append-ordered
+    arrival shape the add-only guard admits. Payload mix: ~20% re-uploads
+    of base part-0000 payloads (index-aligned), the generator's usual ~14%
+    within-increment re-uploads (every 7th copies j-3), rest fresh."""
+    out = CACHE / f"delta_byte_inc_{n}_p{payload}_v1"
+    if (out / "_SUCCESS").exists():
+        return out
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from simhash_spark.sources.fixtures import make_images_pdf
+
+    base0 = (
+        pq.read_table(base_dir / "part-0000.parquet", columns=["bytes"])
+        .column("bytes")
+        .to_pylist()
+    )
+    if n > len(base0):
+        raise ValueError(f"increment n={n} exceeds base part-0000 ({len(base0)} rows)")
+    pdf = make_images_pdf(n, seed=999_001, with_bytes=False, hot_frac=0.002)
+    pdf["image_id"] = pdf["image_id"] + "_inc"
+    rng = np.random.default_rng(999_002)
+    raw = rng.integers(0, 256, size=(n, payload), dtype=np.uint8)
+    payloads = [raw[j].tobytes() for j in range(n)]
+    for j in range(1, n, 5):  # base re-uploads (index-aligned: id-greater)
+        payloads[j] = base0[j]
+    for j in range(3, n, 7):  # within-increment re-uploads
+        payloads[j] = payloads[j - 3]
+    pdf["bytes"] = payloads
+    schema = pa.schema(
+        [
+            ("image_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("w", pa.int32()),
+            ("h", pa.int32()),
+            ("fmt", pa.string()),
+            ("caption", pa.string()),
+            ("phash", pa.int64()),
+        ]
+    )
+    out.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+        out / "part-0000.parquet",
+    )
+    (out / "_SUCCESS").touch()
+    return out
+
+
 def _write_ppm_chunk(args: tuple) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -292,6 +348,19 @@ def main() -> None:
         "point) at its regime: a ROWS/4, ROWS/2, ROWS corpus ladder, "
         "measuring vectorized-keygen keys/s and candidate-pair growth",
     )
+    ap.add_argument(
+        "--delta-byte",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="byte-exact delta fold at regime: run_pipeline(byte_exact=True) "
+        "over base(ROWS) ∪ increment(~1.6%%) vs base + run_delta folding the "
+        "increment against the chain's 00b index. The increment carries the "
+        "production arrival mix: ~20%% re-uploads of BASE payloads "
+        "(suppressed against the index, never fingerprinted), the usual "
+        "~14%% within-increment re-uploads, fresh rows. Reports walls, the "
+        "recompute/delta ratio, suppression counts, label agreement",
+    )
     args = ap.parse_args()
 
     # corpora BEFORE the JVM (process-pool fork safety)
@@ -316,6 +385,12 @@ def main() -> None:
         else []
     )
     bf_paths = {n: ensure_bytes_corpus(n) for n in bf_rungs}
+    db_base = ensure_bytes_corpus(args.delta_byte) if args.delta_byte else None
+    db_inc = (
+        ensure_delta_byte_inc(db_base, max(1, args.delta_byte // 64))
+        if args.delta_byte
+        else None
+    )
     em_rungs = [args.embed // 4, args.embed // 2, args.embed] if args.embed else []
     em_paths = {n: ensure_ppm_corpus(n) for n in em_rungs}
     e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
@@ -993,6 +1068,69 @@ def main() -> None:
             "label_agreement": round(agree / total, 6),
         }
         print(json.dumps({"stage": "delta_maintenance", **results["delta_maintenance"]}), flush=True)
+
+    if db_base is not None:
+        import shutil
+
+        from simhash_spark.config import index_config_for
+        from simhash_spark.plans.delta import run_delta
+        from simhash_spark.plans.pipeline import run_pipeline
+        from simhash_spark.sources.catalog import CheckpointCatalog
+
+        # full corpus dir = base ∪ increment, symlinked (one scan target)
+        union = CACHE / f"delta_byte_union_{args.delta_byte}"
+        if not (union / "_SUCCESS").exists():
+            shutil.rmtree(union, ignore_errors=True)
+            union.mkdir(parents=True)
+            for p in sorted(db_base.glob("part-*.parquet")):
+                os.symlink(p, union / f"base-{p.name}")
+            os.symlink(db_inc / "part-0000.parquet", union / "inc-part-0000.parquet")
+            (union / "_SUCCESS").touch()
+
+        exp = CACHE / f"delta_byte_exp_{args.delta_byte}"
+        shutil.rmtree(exp, ignore_errors=True)  # fresh catalogs: no resume skips
+        cfg = index_config_for(args.delta_byte)
+
+        t0 = time.time()
+        full = run_pipeline(
+            spark, str(union), str(exp / "full"), cfg=cfg, byte_exact=True
+        )
+        wall_full = time.time() - t0
+
+        t0 = time.time()
+        run_pipeline(
+            spark, str(db_base), str(exp / "base"), cfg=cfg, byte_exact=True
+        )
+        wall_base = time.time() - t0
+
+        t0 = time.time()
+        delta = run_delta(spark, str(exp / "base"), str(db_inc), str(exp / "delta"))
+        wall_delta = time.time() - t0
+
+        bx = CheckpointCatalog(spark, exp / "delta").read("00b_bytes_delta")
+        sup = bx.where("image_id != keep_id")
+        n_sup = sup.count()
+        n_sup_base = sup.where(~F.col("keep_id").endswith("_inc")).count()
+
+        lf = full.clusters.select("image_id", F.col("cluster_id").alias("c_full"))
+        ld = delta.clusters.select("image_id", F.col("cluster_id").alias("c_delta"))
+        joined = lf.join(ld, "image_id", "full_outer")
+        agree = joined.where(F.col("c_full") == F.col("c_delta")).count()
+        total = joined.count()
+        results["delta_byte"] = {
+            "base_rows": args.delta_byte,
+            "n_blocks": cfg.n_blocks,
+            "increment_rows": max(1, args.delta_byte // 64),
+            "byte_suppressed": n_sup,
+            "byte_suppressed_vs_base": n_sup_base,
+            "increment_fingerprinted": delta.fingerprints_new.count(),
+            "wall_full_s": round(wall_full, 1),
+            "wall_base_s": round(wall_base, 1),
+            "wall_delta_s": round(wall_delta, 1),
+            "recompute_over_delta": round(wall_full / wall_delta, 1),
+            "label_agreement": round(agree / total, 6),
+        }
+        print(json.dumps({"stage": "delta_byte", **results["delta_byte"]}), flush=True)
 
     print(json.dumps({"metric": "design_regime", "cpus": args.cpus, "stages": results}))
     spark.stop()

@@ -40,6 +40,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--output", required=True, help="output dir for updated clusters")
     ap.add_argument("--parallelism", type=int, default=None)
     ap.add_argument(
+        "--tier-labels",
+        action="store_true",
+        help="write <output>/tier_labels — per-image attribution of the ONE "
+        "tier that removed it (exact/near/kept) over the WHOLE chain corpus, "
+        "assembled from chain state with zero recompute: exact drops from "
+        "the unioned 00b byte index, near drops from the updated clusters. "
+        "Requires a byte-exact chain. The semantic rung is NOT offered here: "
+        "SemDeDup's keep rule is not add-only (a new member can change a "
+        "cell's keeper), so semantic attribution needs a full run_pipeline "
+        "--pixel-embeddings pass or the streaming online-SemDeDup door",
+    )
+    ap.add_argument(
         "--keep-rule",
         choices=["min-id", "best-resolution"],
         default="min-id",
@@ -57,6 +69,14 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(parallelism=args.parallelism, app_name="simhash-delta")
     t0 = time.time()
+    if args.tier_labels and not chain_run_metadata(spark, args.base_checkpoint)[
+        "byte_exact"
+    ]:
+        # fail BEFORE paying for the fold
+        raise SystemExit(
+            "run_delta: --tier-labels requires a byte-exact chain "
+            "(the ladder's first rung; base run_pipeline --byte-exact)"
+        )
     res = run_delta(spark, args.base_checkpoint, args.increment, args.checkpoint)
 
     out = pathlib.Path(args.output)
@@ -80,6 +100,31 @@ def main(argv: list[str] | None = None) -> int:
     from simhash_spark.sources.catalog import CheckpointCatalog
 
     cat = CheckpointCatalog(spark, args.checkpoint)
+    if args.tier_labels:
+        from pyspark.sql import functions as F
+
+        from simhash_spark.plans.delta import read_chain_stage
+
+        bx_all = read_chain_stage(
+            spark, args.checkpoint, "00b_bytes", "00b_bytes_delta"
+        )
+        exact_drops = bx_all.where("image_id != keep_id").select(
+            "image_id", F.lit("exact").alias("tier")
+        )
+        near_drops = res.clusters.where("image_id != cluster_id").select(
+            "image_id", F.lit("near").alias("tier")
+        )
+        corpus = res.clusters.select("image_id").unionByName(
+            exact_drops.select("image_id")
+        )
+        tiers = corpus.join(
+            exact_drops.unionByName(near_drops), "image_id", "left"
+        ).select(
+            "image_id",
+            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
+            F.col("tier").isNull().cast("int").alias("is_kept"),
+        )
+        tiers.write.mode("overwrite").parquet(str(out / "tier_labels"))
     bx_stats = {}
     if cat.manifest("00b_bytes_delta"):
         # byte-exact chain: how many increment rows the 00b index suppressed

@@ -391,6 +391,42 @@ def test_run_delta_byte_exact_chain_equals_full_run(spark, tmp_path):
     ]
     assert _rows(d2c.clusters) == _rows(full.clusters)
 
+    # delta CLI --tier-labels: chain-assembled attribution (exact drops from
+    # the unioned 00b index, near drops from the updated clusters) equals
+    # the FULL run's own state-derived attribution
+    from jobs.run_delta import main as delta_main
+
+    rc = delta_main(
+        [
+            "--base-checkpoint", str(tmp_path / "ck_d1"),
+            "--increment", inc2_path,
+            "--checkpoint", str(tmp_path / "ck_cli"),
+            "--output", str(tmp_path / "out_cli"),
+            "--tier-labels",
+        ]
+    )
+    assert rc == 0
+    got_tiers = _rows(spark.read.parquet(str(tmp_path / "out_cli" / "tier_labels")))
+    full_bx = CheckpointCatalog(spark, tmp_path / "ck_full").read("00b_bytes")
+    full_exact = full_bx.where("image_id != keep_id").select(
+        "image_id", F.lit("exact").alias("tier")
+    )
+    full_near = full.clusters.where("image_id != cluster_id").select(
+        "image_id", F.lit("near").alias("tier")
+    )
+    want_tiers = _rows(
+        full.clusters.select("image_id")
+        .unionByName(full_exact.select("image_id"))
+        .join(full_exact.unionByName(full_near), "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
+            F.col("tier").isNull().cast("int").alias("is_kept"),
+        )
+    )
+    assert got_tiers == want_tiers
+    assert {t for _, t, _ in got_tiers} == {"exact", "near", "kept"}
+
     # add-only guard: an increment row demoting a base keeper raises
     demoter = pdf.iloc[[0]].copy()
     demoter["image_id"] = "aaa000000000"
