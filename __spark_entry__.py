@@ -1413,10 +1413,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # queries broadcast, corpus never shuffles). Oracle = numpy mirror
         # with the engine's cosine formula verbatim; rank-boundary margin
         # asserted at generation (tests/gen_expected.py, 2.2e-5).
-        from pyspark.sql import Window
-
+        #
+        # Plan shape (the 00b invariant — bytes never ride an exchange):
+        # decode+embed runs SCAN-LOCALLY over every row first, then the
+        # byte dedup windows over slim (id, digest, embedding) rows. This
+        # pays dup-fraction decode but never exchanges a payload; the result
+        # is identical to dedup-first because byte-identical rows embed
+        # bit-identically and quarantine is a pure function of the bytes,
+        # so each digest group keeps the same min-id survivor either way.
         from simhash_spark.operators.ann import cosine_topk
         from simhash_spark.operators.multimodal import image_embeddings
+        from simhash_spark.plans.pipeline import byte_keep_col
         from simhash_spark.sources.fixtures import (
             INPUT_HINT_SCHEMA,
             make_images_pdf,
@@ -1428,18 +1435,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
         )
         src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
-        w = Window.partitionBy("_md5")
-        surv = (
-            src.where(F.col("bytes").isNotNull())
-            .withColumn("_md5", F.md5("bytes"))
-            .withColumn("_keep", F.min("image_id").over(w))
-            .where(F.col("image_id") == F.col("_keep"))
-            .drop("_md5", "_keep")
-            .unionByName(src.where(F.col("bytes").isNull()))
+        digests = src.where(F.col("bytes").isNotNull()).select(
+            "image_id", F.md5("bytes").alias("_md5")
         )
         emb = (
-            image_embeddings(surv)
+            image_embeddings(src)
             .where(F.col("error").isNull())
+            .select("image_id", "embedding")
+            .join(digests, "image_id")
+            .withColumn("_keep", byte_keep_col("_md5"))
+            .where(F.col("image_id") == F.col("_keep"))
             .select("image_id", "embedding")
         )
         probes = emb.where(F.col("image_id") < "img000000040")

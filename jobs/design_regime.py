@@ -132,12 +132,15 @@ def ensure_delta_byte_inc(
     base_dir: pathlib.Path, n: int, payload: int = 4096
 ) -> pathlib.Path:
     """Increment for --delta-byte. Ids are the base generator's with an
-    ``_inc`` suffix: at any row index j, ``img{j}_inc`` sorts AFTER every
-    base id ``img{k}_c###`` with k <= j, so re-using a base payload at the
-    SAME index can never demote its base keeper — the append-ordered
-    arrival shape the add-only guard admits. Payload mix: ~20% re-uploads
-    of base part-0000 payloads (index-aligned), the generator's usual ~14%
-    within-increment re-uploads (every 7th copies j-3), rest fresh."""
+    ``_inc`` suffix, and every re-used base payload comes from part-0000
+    (the base's LOWEST-id rows): any ``img*_inc`` id sorts after every
+    part-0000 id of the same generator, so a re-upload can never demote its
+    base keeper — the append-ordered arrival shape the add-only guard
+    admits. Payload mix: ~20% re-uploads of base part-0000 payloads
+    (index j samples part-0000 row j % len(part-0000), and j % m <= j, so
+    any increment size works against any base part size while keeping the
+    id-order argument per row), the generator's usual ~14% within-increment
+    re-uploads (every 7th copies j-3), rest fresh."""
     out = CACHE / f"delta_byte_inc_{n}_p{payload}_v1"
     if (out / "_SUCCESS").exists():
         return out
@@ -152,15 +155,13 @@ def ensure_delta_byte_inc(
         .column("bytes")
         .to_pylist()
     )
-    if n > len(base0):
-        raise ValueError(f"increment n={n} exceeds base part-0000 ({len(base0)} rows)")
     pdf = make_images_pdf(n, seed=999_001, with_bytes=False, hot_frac=0.002)
     pdf["image_id"] = pdf["image_id"] + "_inc"
     rng = np.random.default_rng(999_002)
     raw = rng.integers(0, 256, size=(n, payload), dtype=np.uint8)
     payloads = [raw[j].tobytes() for j in range(n)]
-    for j in range(1, n, 5):  # base re-uploads (index-aligned: id-greater)
-        payloads[j] = base0[j]
+    for j in range(1, n, 5):  # base re-uploads (part-0000 payloads: id-lesser)
+        payloads[j] = base0[j % len(base0)]
     for j in range(3, n, 7):  # within-increment re-uploads
         payloads[j] = payloads[j - 3]
     pdf["bytes"] = payloads

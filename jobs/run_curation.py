@@ -162,6 +162,16 @@ def run_curation(
                                              "phone": tot["p"] or 0},
                                 "wall_s": round(time.time() - ts, 2)})
 
+    def _pin(d, name):
+        # materialize a stage boundary that feeds 2+ downstream actions:
+        # lazy recompute would otherwise re-run the whole upstream chain
+        # (incl. the fingerprint UDF) per action. Parquet, not persist() —
+        # MemoryStore contention at high parallelism (CLAUDE.md), and the
+        # file doubles as an inspectable artifact of the run.
+        p = str(pathlib.Path(output_path) / "_stages" / name)
+        d.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
     if decontaminate_path:
         # 2b — benchmark decontamination over the SCRUBBED text (the shipped
         # artifact; same stage order as the streaming curation gate). Bloom
@@ -191,8 +201,16 @@ def run_curation(
                 df, bench, id_col=id_col, text_col=text_col,
                 bench_text_col=text_col, n=decontaminate_n,
             ).where(F.col("n_overlap") >= decontaminate_min_overlap)
-        n_dirty = dirty.count()
-        df = df.join(dirty.select(F.col("id").alias(id_col)), id_col, "left_anti")
+        # pin the SLIM dirty-id set: it feeds two actions (the count and the
+        # anti-join), and its lineage contains the whole quality+PII+bloom
+        # chain over the corpus — unpinned, that chain would run once per
+        # action (the CLAUDE.md recompute-per-branch rule); pinned, it runs
+        # once and the second action reads a dup-bounded parquet
+        dirty_ids = _pin(
+            dirty.select(F.col("id").alias(id_col)), "02b_decontaminate_dirty"
+        )
+        n_dirty = dirty_ids.count()
+        df = df.join(dirty_ids, id_col, "left_anti")
         stats["stages"].append({
             "stage": "decontaminate",
             "mode": decontaminate_mode,
@@ -201,16 +219,6 @@ def run_curation(
             "dropped": n_dirty,
             "wall_s": round(time.time() - ts, 2),
         })
-
-    def _pin(d, name):
-        # materialize a stage boundary that feeds 2+ downstream actions:
-        # lazy recompute would otherwise re-run the whole upstream chain
-        # (incl. the fingerprint UDF) per action. Parquet, not persist() —
-        # MemoryStore contention at high parallelism (CLAUDE.md), and the
-        # file doubles as an inspectable artifact of the run.
-        p = str(pathlib.Path(output_path) / "_stages" / name)
-        d.write.mode("overwrite").parquet(p)
-        return spark.read.parquet(p)
 
     # exact dedup: md5 groups, keep the minimum id (frozen rule); the
     # semi-join form keeps every audit column on the surviving row. Pinned:

@@ -114,16 +114,12 @@ def main(argv: list[str] | None = None) -> int:
         near_drops = res.clusters.where("image_id != cluster_id").select(
             "image_id", F.lit("near").alias("tier")
         )
+        from simhash_spark.plans.pipeline import assemble_tiers
+
         corpus = res.clusters.select("image_id").unionByName(
             exact_drops.select("image_id")
         )
-        tiers = corpus.join(
-            exact_drops.unionByName(near_drops), "image_id", "left"
-        ).select(
-            "image_id",
-            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
-            F.col("tier").isNull().cast("int").alias("is_kept"),
-        )
+        tiers = assemble_tiers(corpus, exact_drops.unionByName(near_drops))
         tiers.write.mode("overwrite").parquet(str(out / "tier_labels"))
     bx_stats = {}
     if cat.manifest("00b_bytes_delta"):

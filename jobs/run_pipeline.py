@@ -38,6 +38,14 @@ except ImportError:  # plain `python jobs/run_pipeline.py` from a checkout
     sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+# Survivor-id sets at or under this count broadcast to the semantic rung's
+# decode scan (~30 B/id -> ~150 MB at the ceiling, well inside executor
+# memory); above it the rung switches to scan-local decode over the whole
+# post-quality corpus + a slim embedding semi-join, because a sort-merge
+# semi-join would exchange every payload by image_id (bytes never shuffle).
+SEMANTIC_BROADCAST_MAX_IDS = 5_000_000
+
+
 def _quality_hist(spark, ckpt: str) -> dict:
     """Per-reason drop counts from the 00_quality stage checkpoint."""
     from simhash_spark.sources.catalog import CheckpointCatalog
@@ -190,9 +198,11 @@ def main(argv: list[str] | None = None) -> int:
         keep = near_dup_keep_best(res.clusters, scores, id_col="image_id", score_col="score")
     else:
         keep = near_dup_keep_list(res.clusters, id_col="image_id")
-    keep.write.mode("overwrite").parquet(str(out / "keep_list"))
+    # written AFTER the tier block: when the semantic rung runs it demotes
+    # whole clusters, and keep_list must agree with tier_labels on them
 
     tier_counts: dict = {}
+    sem = None
     if args.tier_labels:
         # Assemble the frozen-ladder attribution from this run's OWN stage
         # outputs — zero recompute: exact drops from the 00b_bytes
@@ -219,13 +229,26 @@ def main(argv: list[str] | None = None) -> int:
             surv2 = res.clusters.where(
                 F.col("image_id") == F.col("cluster_id")
             ).select("image_id")
+            # Payload bytes must never ride an exchange (the 00b invariant).
+            # Under the id-broadcast ceiling the survivor set ships to the
+            # scan, so the semi-join is a BroadcastHashJoin and bytes stay
+            # in their input partitions; above it a sort-merge semi-join
+            # would exchange every payload by image_id, so instead decode
+            # scan-locally over the whole post-quality corpus and semi-join
+            # the slim (id, 384-byte embedding) rows — paying dup-fraction
+            # decode, never a byte shuffle. Byte-identical rows embed
+            # identically, so both plans yield the same embedding set.
+            n_surv = surv2.count()
+            src = spark.read.parquet(args.input)
+            if n_surv <= SEMANTIC_BROADCAST_MAX_IDS:
+                src = src.join(F.broadcast(surv2), "image_id", "left_semi")
             emb = (
-                image_embeddings(
-                    spark.read.parquet(args.input).join(surv2, "image_id", "left_semi")
-                )
+                image_embeddings(src)
                 .where(F.col("error").isNull())
                 .select("image_id", "embedding")
             )
+            if n_surv > SEMANTIC_BROADCAST_MAX_IDS:
+                emb = emb.join(surv2, "image_id", "left_semi")
             # a corpus whose every payload quarantines (or is NULL) has no
             # embeddings: the rung is a no-op, not an ivf_fit crash
             if emb.take(1):
@@ -244,14 +267,12 @@ def main(argv: list[str] | None = None) -> int:
                 )
         # post-quality corpus = byte survivors (every cluster vertex) +
         # byte-tier drops; NULL-bytes rows ride through as cluster vertices
+        from simhash_spark.plans.pipeline import assemble_tiers
+
         corpus = res.clusters.select("image_id").unionByName(
             exact_drops.select("image_id")
         )
-        tiers = corpus.join(drops, "image_id", "left").select(
-            "image_id",
-            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
-            F.col("tier").isNull().cast("int").alias("is_kept"),
-        )
+        tiers = assemble_tiers(corpus, drops)
         tiers.write.mode("overwrite").parquet(str(out / "tier_labels"))
         tier_counts = {
             r["tier"]: r["n"]
@@ -260,6 +281,44 @@ def main(argv: list[str] | None = None) -> int:
             .agg(F.count("*").alias("n"))
             .collect()
         }
+
+    if sem is not None:
+        # the keep decision must agree with the ladder: a near cluster whose
+        # representative the semantic rung dropped is a semantic duplicate of
+        # another cell member, so EVERY member of that cluster is demoted
+        # (is_kept=0) and keep_id points at the rung's group keeper — for the
+        # min-id rule this makes keep_list's kept set identical to
+        # tier_labels' is_kept=1 set; for best-resolution it means "best
+        # member of each semantically surviving cluster". All joins are slim
+        # (id, id) tables; the rep map is semantic-drop-bounded.
+        from pyspark.sql import functions as F
+
+        rep_map = (
+            sem.where(F.col("is_kept") == 0)
+            .join(
+                sem.where(F.col("is_kept") == 1).select(
+                    "group_id", F.col("image_id").alias("sem_keep_id")
+                ),
+                "group_id",
+            )
+            .select(F.col("image_id").alias("cluster_id"), "sem_keep_id")
+        )
+        keep = (
+            keep.join(res.clusters.select("image_id", "cluster_id"), "image_id")
+            .join(rep_map, "cluster_id", "left")
+            .select(
+                "image_id",
+                F.coalesce("sem_keep_id", "keep_id").alias("keep_id"),
+                F.when(F.col("sem_keep_id").isNotNull(), F.lit(0))
+                .otherwise(F.col("is_kept"))
+                .alias("is_kept"),
+            )
+        )
+    keep.write.mode("overwrite").parquet(str(out / "keep_list"))
+    # the stats count below is a SECOND action on keep; with the semantic
+    # demotion its lineage includes the decode+embed rung — read the
+    # written artifact back instead of recomputing it
+    keep = spark.read.parquet(str(out / "keep_list"))
 
     stats = {
         "rows": res.fingerprints.count(),

@@ -922,6 +922,18 @@ def cluster_label_eval(
     Output: ONE row, all exact integers (n_rows, n_clusters, n_labels, the
     three pair sums as bigint, precision_bp / recall_bp by floor division)
     — bit-equal across engines.
+
+    Overflow discipline: every pair product/sum is computed in
+    DECIMAL(38,0) — exact to 1e38, which covers C(n,2) for any n <= 1e19,
+    so the math never wraps at the 10^12-row scale this function is sold
+    for (bigint n*(n-1) wraps SILENTLY at n ~ 3e9 with ANSI off, and
+    pairs*10000 at pairs ~ 9.2e14 — both magnitudes routine there; DuckDB's
+    HUGEINT would not, so the engines would also diverge). The bp floor
+    division is made exact via pmod (decimal `/` ROUNDS at reduced scale —
+    subtracting the remainder first makes the quotient an exact integer).
+    The OUTPUT pair-sum columns stay bigint for the driver contract; if a
+    sum genuinely exceeds bigint (>= 9.2e18 pairs) the cast raises via
+    raise_error instead of wrapping — loud, like dedup_eval's guard.
     """
     j = assign.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("g")).join(
         truth.select(F.col(id_col).alias("id"), F.col(label_col).alias("l")), "id"
@@ -931,17 +943,25 @@ def cluster_label_eval(
     # (#g x #l rows, never corpus-sized)
     per_g = ct.groupBy("g").agg(F.sum("n").alias("ng"))
     per_l = ct.groupBy("l").agg(F.sum("n").alias("nl"))
+    # sum(n*(n-1)) is even, so / 2 is an exact integer at any decimal scale
+    pair_sum = "CAST(sum(CAST({c} AS DECIMAL(38,0)) * ({c} - 1)) / 2 AS DECIMAL(38,0))"
     a = ct.agg(
         F.sum("n").cast("bigint").alias("n_rows"),
         F.countDistinct("g").alias("n_clusters"),
         F.countDistinct("l").alias("n_labels"),
-        F.expr("CAST(sum(n * (n - 1)) div 2 AS BIGINT)").alias("pairs_both"),
+        F.expr(pair_sum.format(c="n")).alias("_both"),
     )
-    pg = per_g.agg(
-        F.expr("CAST(sum(ng * (ng - 1)) div 2 AS BIGINT)").alias("pairs_same_cluster")
+    pg = per_g.agg(F.expr(pair_sum.format(c="ng")).alias("_same_g"))
+    pl = per_l.agg(F.expr(pair_sum.format(c="nl")).alias("_same_l"))
+    to_bigint = (
+        "CASE WHEN {x} > CAST(9223372036854775807 AS DECIMAL(38,0)) THEN "
+        "CAST(raise_error('cluster_label_eval: pair sum exceeds bigint "
+        "(>= 9.2e18 pairs) — widen the output contract to decimal before "
+        "trusting these columns') AS BIGINT) ELSE CAST({x} AS BIGINT) END"
     )
-    pl = per_l.agg(
-        F.expr("CAST(sum(nl * (nl - 1)) div 2 AS BIGINT)").alias("pairs_same_label")
+    floor_bp = (
+        "CASE WHEN {d} = 0 THEN CAST(10000 AS BIGINT) ELSE "
+        "CAST((_both * 10000 - pmod(_both * 10000, {d})) / {d} AS BIGINT) END"
     )
     # single-row assembly via a constant-key equi-join (BroadcastHashJoin,
     # never a CartesianProduct — the plan sweep forbids that node)
@@ -954,17 +974,11 @@ def cluster_label_eval(
             "n_rows",
             "n_clusters",
             "n_labels",
-            "pairs_same_cluster",
-            "pairs_same_label",
-            "pairs_both",
-            F.expr(
-                "CASE WHEN pairs_same_cluster = 0 THEN 10000 "
-                "ELSE pairs_both * 10000 div pairs_same_cluster END"
-            ).alias("precision_bp"),
-            F.expr(
-                "CASE WHEN pairs_same_label = 0 THEN 10000 "
-                "ELSE pairs_both * 10000 div pairs_same_label END"
-            ).alias("recall_bp"),
+            F.expr(to_bigint.format(x="_same_g")).alias("pairs_same_cluster"),
+            F.expr(to_bigint.format(x="_same_l")).alias("pairs_same_label"),
+            F.expr(to_bigint.format(x="_both")).alias("pairs_both"),
+            F.expr(floor_bp.format(d="_same_g")).alias("precision_bp"),
+            F.expr(floor_bp.format(d="_same_l")).alias("recall_bp"),
         )
     )
 

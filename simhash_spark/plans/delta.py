@@ -368,8 +368,6 @@ def run_delta(
         # offending rows; out-of-order arrivals need the streaming
         # first-seen rule (streaming/incremental.py::stream_byte_first_seen)
         # or a fresh full run.
-        from pyspark.sql import Window
-
         bx_base = read_chain_stage(
             spark, base_checkpoint, "00b_bytes", "00b_bytes_delta"
         )
@@ -387,10 +385,11 @@ def run_delta(
                 .groupBy("digest")
                 .agg(F.min("keep_id").alias("base_keep_id"))
             )
-            w = Window.partitionBy("digest")
+            from simhash_spark.plans.pipeline import byte_keep_col
+
             return (
                 inc_h.join(base_keep, "digest", "left")
-                .withColumn("inc_min", F.min("image_id").over(w))
+                .withColumn("inc_min", byte_keep_col("digest"))
                 .select(
                     "image_id",
                     "digest",

@@ -106,6 +106,30 @@ def cluster_job(
     )
 
 
+def byte_keep_col(digest_col: str) -> "F.Column":
+    """The byte tier's FROZEN keep rule as one shared expression: keeper =
+    lexicographic min image_id per digest group (hex or binary digest — the
+    rule only groups on equality). Every face that byte-dedups (run_pipeline
+    stage 00b, image_tier_labels' exact tier, the semantic-search query
+    face) builds its window from here so the rule cannot fork."""
+    from pyspark.sql import Window
+
+    return F.min("image_id").over(Window.partitionBy(digest_col))
+
+
+def assemble_tiers(corpus_ids: DataFrame, drops: DataFrame) -> DataFrame:
+    """The ladder's FROZEN label assembly, shared by every face that
+    publishes tier attribution (image_tier_labels, run_pipeline
+    --tier-labels, run_delta --tier-labels): left-join the (image_id, tier)
+    drop set onto the corpus ids; unlabeled rows are 'kept' / is_kept=1.
+    Disjointness of the drop tiers is the caller's funnel invariant."""
+    return corpus_ids.join(drops, "image_id", "left").select(
+        "image_id",
+        F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
+        F.col("tier").isNull().cast("int").alias("is_kept"),
+    )
+
+
 def image_tier_labels(
     spark: SparkSession,
     src: DataFrame,
@@ -149,17 +173,14 @@ def image_tier_labels(
     runs materialize tier boundaries through the CheckpointCatalog like
     run_pipeline.
     """
-    from pyspark.sql import Window
-
     cfg = cfg or DEFAULT_CONFIG
     id_c, by_c = F.col("image_id"), F.col("bytes")
-    # "_md5", not "h" — the input_hint schema already carries h (height)
-    w = Window.partitionBy("_md5")
     nulls = src.where(by_c.isNull())
+    # "_md5", not "h" — the input_hint schema already carries h (height)
     ex = (
         src.where(by_c.isNotNull())
         .withColumn("_md5", F.md5(by_c))
-        .withColumn("_keep", F.min("image_id").over(w))
+        .withColumn("_keep", byte_keep_col("_md5"))
     )
     exact_drops = ex.where(id_c != F.col("_keep")).select(
         "image_id", F.lit("exact").alias("tier")
@@ -195,15 +216,7 @@ def image_tier_labels(
         )
         drops = drops.unionByName(sem_drops)
 
-    return (
-        src.select("image_id")
-        .join(drops, "image_id", "left")
-        .select(
-            "image_id",
-            F.coalesce(F.col("tier"), F.lit("kept")).alias("tier"),
-            F.col("tier").isNull().cast("int").alias("is_kept"),
-        )
-    )
+    return assemble_tiers(src.select("image_id"), drops)
 
 
 def stage_fingerprint(
@@ -318,16 +331,13 @@ def run_pipeline(
         # state; bytes themselves never shuffle (md5 reduces them inside the
         # scan projection) and never land in the catalog. Survivors are an
         # anti-join against the drop subset on read.
-        from pyspark.sql import Window
-
         bx_src = src
 
         def _bytes_stage() -> DataFrame:
-            w = Window.partitionBy("digest")
             return (
                 bx_src.where(F.col("bytes").isNotNull())
                 .select("image_id", F.unhex(F.md5("bytes")).alias("digest"))
-                .withColumn("keep_id", F.min("image_id").over(w))
+                .withColumn("keep_id", byte_keep_col("digest"))
             )
 
         bx = cat.run_stage("00b_bytes", in_fp, _bytes_stage)

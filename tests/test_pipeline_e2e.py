@@ -585,6 +585,20 @@ def test_cli_byte_exact_tier_ladder(spark, tmp_path):
     }
     assert got == expect
 
+    # keep_list agrees with the ladder: under the min-id rule the kept sets
+    # are identical, a semantically dropped cluster's EVERY member is
+    # demoted, and every keep_id points at a row that itself survived all
+    # three tiers (referential integrity of the decision artifact)
+    keep = {
+        r["image_id"]: (r["keep_id"], r["is_kept"])
+        for r in spark.read.parquet(str(out / "keep_list")).collect()
+    }
+    kept_ids = {i for i, (kid, k) in keep.items() if k == 1}
+    assert kept_ids == {i for i, (t, _) in got.items() if t == "kept"}
+    sem_ids = {i for i, (t, _) in got.items() if t == "semantic"}
+    assert sem_ids and all(keep[i][1] == 0 for i in sem_ids)
+    assert {kid for kid, _ in keep.values()} <= kept_ids
+
     # (d) the byte-exact base folds increments only under the add-only
     # guard: an increment row that would DEMOTE a base keeper (smaller id,
     # same digest) refuses loudly instead of silently relabeling the index

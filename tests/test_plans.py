@@ -323,3 +323,15 @@ def test_byte_exact_stage_exchange_carries_no_bytes(spark, tmp_path):
     assert "caption" not in read_schema and "phash" not in read_schema, (
         f"embedding scan reads more than (image_id, bytes, fmt): {read_schema}"
     )
+
+
+def test_image_embedding_search_exchanges_carry_no_bytes(spark):
+    """The semantic-search query face holds the same invariant: its byte
+    dedup windows over slim (id, digest, embedding) rows AFTER the
+    scan-local decode+embed pass, so no hash exchange in the whole top-k
+    plan ships the payload column."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["image_embedding_search"](spark, "unused")
+    offenders = _vector_carrying_hash_exchanges(spark, df, vec_names=("bytes",))
+    assert not offenders, f"bytes ride an exchange in image_embedding_search: {offenders}"
