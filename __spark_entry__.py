@@ -1423,12 +1423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # asserted at generation (tests/gen_expected.py, 2.2e-5).
         #
         # Plan shape (the 00b invariant — bytes never ride an exchange):
-        # decode+embed runs SCAN-LOCALLY over every row first, then the
-        # byte dedup windows over slim (id, digest, embedding) rows. This
-        # pays dup-fraction decode but never exchanges a payload; the result
-        # is identical to dedup-first because byte-identical rows embed
-        # bit-identically and quarantine is a pure function of the bytes,
-        # so each digest group keeps the same min-id survivor either way.
+        # the keep decision needs only (id, digest), so it windows over
+        # that slim table alone — semantics identical to dedup-first (the
+        # keeper is chosen among ALL non-null-bytes rows, decodable or not,
+        # exactly as 00b does it) — and decode+embed runs SCAN-LOCALLY over
+        # every row, semi-joined down to the keepers afterwards. Pays
+        # dup-fraction decode, never exchanges a payload.
         from simhash_spark.operators.ann import cosine_topk
         from simhash_spark.operators.multimodal import image_embeddings
         from simhash_spark.plans.pipeline import byte_keep_col
@@ -1443,17 +1443,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             plant_byte_reuploads(make_images_pdf(300, seed=42, with_bytes=True))
         )
         src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
-        digests = src.where(F.col("bytes").isNotNull()).select(
-            "image_id", F.md5("bytes").alias("_md5")
+        keepers = (
+            src.where(F.col("bytes").isNotNull())
+            .select("image_id", F.md5("bytes").alias("_md5"))
+            .withColumn("_keep", byte_keep_col("_md5"))
+            .where(F.col("image_id") == F.col("_keep"))
+            .select("image_id")
         )
         emb = (
             image_embeddings(src)
             .where(F.col("error").isNull())
             .select("image_id", "embedding")
-            .join(digests, "image_id")
-            .withColumn("_keep", byte_keep_col("_md5"))
-            .where(F.col("image_id") == F.col("_keep"))
-            .select("image_id", "embedding")
+            .join(keepers, "image_id", "left_semi")
         )
         probes = emb.where(F.col("image_id") < "img000000040")
         return cosine_topk(

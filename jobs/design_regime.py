@@ -131,16 +131,18 @@ def ensure_bytes_corpus(n_rows: int, payload: int = 4096) -> pathlib.Path:
 def ensure_delta_byte_inc(
     base_dir: pathlib.Path, n: int, payload: int = 4096
 ) -> pathlib.Path:
-    """Increment for --delta-byte. Ids are the base generator's with an
-    ``_inc`` suffix, and every re-used base payload comes from part-0000
-    (the base's LOWEST-id rows): any ``img*_inc`` id sorts after every
-    part-0000 id of the same generator, so a re-upload can never demote its
-    base keeper — the append-ordered arrival shape the add-only guard
-    admits. Payload mix: ~20% re-uploads of base part-0000 payloads
-    (index j samples part-0000 row j % len(part-0000), and j % m <= j, so
-    any increment size works against any base part size while keeping the
-    id-order argument per row), the generator's usual ~14% within-increment
-    re-uploads (every 7th copies j-3), rest fresh."""
+    """Increment for --delta-byte. The add-only guard's PER-ROW invariant:
+    increment row j (id ``img{j:09d}_inc``) may only re-use a base payload
+    whose keeper id sorts BEFORE it. Sampling part-0000 row ``j % m``
+    guarantees that: j % m <= j, ids are zero-padded, and ``_c`` < ``_i``
+    on an equal digit prefix, so ``img{j%m}_c000`` (and the group's keeper,
+    which has an even smaller index) always precedes ``img{j}_inc``. NOTE
+    this is an index-by-index argument, NOT "every _inc id sorts after
+    every part-0000 id" (false: img…001_inc < img…500_c000) — do not
+    replace the ``j % m`` rule with random sampling or the guard will
+    correctly raise at regime. Payload mix: ~20% base re-uploads by that
+    rule, the generator's usual ~14% within-increment re-uploads (every 7th
+    copies j-3), rest fresh."""
     out = CACHE / f"delta_byte_inc_{n}_p{payload}_v1"
     if (out / "_SUCCESS").exists():
         return out

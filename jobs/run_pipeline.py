@@ -249,6 +249,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             if n_surv > SEMANTIC_BROADCAST_MAX_IDS:
                 emb = emb.join(surv2, "image_id", "left_semi")
+            # pin the embeddings: the decode+embed pass is the run's most
+            # expensive stage and feeds THREE actions (the emptiness probe,
+            # ivf_fit's driver sample, the semdedup kernel) — unpinned, the
+            # whole corpus decode would run once per action (the CLAUDE.md
+            # recompute-per-branch rule). Order-safety: ivf_fit
+            # canonical-sorts its training sample, so the quantizer is a
+            # pure function of the vector multiset, not the parquet layout.
+            emb.write.mode("overwrite").parquet(str(out / "_sem_embeddings"))
+            emb = spark.read.parquet(str(out / "_sem_embeddings"))
             # a corpus whose every payload quarantines (or is NULL) has no
             # embeddings: the rung is a no-op, not an ivf_fit crash
             if emb.take(1):
@@ -260,6 +269,10 @@ def main(argv: list[str] | None = None) -> int:
                     emb, cent, threshold=args.semantic_tau,
                     id_col="image_id", vec_col="embedding",
                 )
+                # pin the slim decision too: it feeds the tier_labels write
+                # AND both sides of the keep_list rep-map self-join
+                sem.write.mode("overwrite").parquet(str(out / "_sem_keep"))
+                sem = spark.read.parquet(str(out / "_sem_keep"))
                 drops = drops.unionByName(
                     sem.where(F.col("is_kept") == 0).select(
                         "image_id", F.lit("semantic").alias("tier")
@@ -286,13 +299,24 @@ def main(argv: list[str] | None = None) -> int:
         # the keep decision must agree with the ladder: a near cluster whose
         # representative the semantic rung dropped is a semantic duplicate of
         # another cell member, so EVERY member of that cluster is demoted
-        # (is_kept=0) and keep_id points at the rung's group keeper — for the
+        # (is_kept=0) and keep_id points at the surviving side — for the
         # min-id rule this makes keep_list's kept set identical to
         # tier_labels' is_kept=1 set; for best-resolution it means "best
         # member of each semantically surviving cluster". All joins are slim
         # (id, id) tables; the rep map is semantic-drop-bounded.
         from pyspark.sql import functions as F
 
+        # the rung's group keeper is a cluster REPRESENTATIVE (min-id rep);
+        # under --keep-rule best-resolution that rep may not be its own
+        # cluster's chosen keeper, so resolve one hop further through the
+        # pre-demotion keep decision — keep_id then always lands on a row
+        # that is itself is_kept=1 (its cluster survived the rung, so the
+        # demotion below never touches it): referential integrity holds for
+        # BOTH keep rules.
+        rep_keep = keep.select(
+            F.col("image_id").alias("sem_keep_id"),
+            F.col("keep_id").alias("sem_final_id"),
+        )
         rep_map = (
             sem.where(F.col("is_kept") == 0)
             .join(
@@ -301,7 +325,11 @@ def main(argv: list[str] | None = None) -> int:
                 ),
                 "group_id",
             )
-            .select(F.col("image_id").alias("cluster_id"), "sem_keep_id")
+            .join(rep_keep, "sem_keep_id")
+            .select(
+                F.col("image_id").alias("cluster_id"),
+                F.col("sem_final_id").alias("sem_keep_id"),
+            )
         )
         keep = (
             keep.join(res.clusters.select("image_id", "cluster_id"), "image_id")

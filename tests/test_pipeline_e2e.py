@@ -599,6 +599,41 @@ def test_cli_byte_exact_tier_ladder(spark, tmp_path):
     assert sem_ids and all(keep[i][1] == 0 for i in sem_ids)
     assert {kid for kid, _ in keep.values()} <= kept_ids
 
+    # same ladder under --keep-rule best-resolution: tier labels are
+    # keep-rule-independent, the kept COUNT matches (one survivor per
+    # semantically surviving cluster, different member), and referential
+    # integrity still holds — the semantic demotion resolves the rung's
+    # min-id rep one hop further to the cluster's best-resolution keeper
+    out_b = tmp_path / "out_best"
+    rc = cli.main(
+        [
+            "--input", str(inp),
+            "--output", str(out_b),
+            "--n-blocks", str(CFG.n_blocks),
+            "--no-substring",
+            "--byte-exact",
+            "--tier-labels",
+            "--pixel-embeddings",
+            "--semantic-tau", "0.9",
+            "--semantic-centroids", "8",
+            "--keep-rule", "best-resolution",
+        ]
+    )
+    assert rc == 0
+    got_b = {
+        r["image_id"]: (r["tier"], r["is_kept"])
+        for r in spark.read.parquet(str(out_b / "tier_labels")).collect()
+    }
+    assert got_b == got
+    keep_b = {
+        r["image_id"]: (r["keep_id"], r["is_kept"])
+        for r in spark.read.parquet(str(out_b / "keep_list")).collect()
+    }
+    kept_b = {i for i, (kid, k) in keep_b.items() if k == 1}
+    assert len(kept_b) == len(kept_ids)
+    assert all(keep_b[i][1] == 0 for i in sem_ids)
+    assert {kid for kid, _ in keep_b.values()} <= kept_b
+
     # (d) the byte-exact base folds increments only under the add-only
     # guard: an increment row that would DEMOTE a base keeper (smaller id,
     # same digest) refuses loudly instead of silently relabeling the index
