@@ -1094,18 +1094,31 @@ def main() -> None:
         shutil.rmtree(exp, ignore_errors=True)  # fresh catalogs: no resume skips
         cfg = index_config_for(args.delta_byte)
 
+        def _stage_gc():
+            # bench.py's timed() discipline, same reasons (CLAUDE.md
+            # accumulation cliff): drop cached blocks and force the driver
+            # GC the ContextCleaner waits on, OUTSIDE each wall timer —
+            # without this the FIRST pipeline after the earlier design
+            # stages pays their leftover shuffle/broadcast debris (measured
+            # 355 s vs 146 s for full-vs-base at 800k, a 1.6%-rows delta)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+
+        _stage_gc()
         t0 = time.time()
         full = run_pipeline(
             spark, str(union), str(exp / "full"), cfg=cfg, byte_exact=True
         )
         wall_full = time.time() - t0
 
+        _stage_gc()
         t0 = time.time()
         run_pipeline(
             spark, str(db_base), str(exp / "base"), cfg=cfg, byte_exact=True
         )
         wall_base = time.time() - t0
 
+        _stage_gc()
         t0 = time.time()
         delta = run_delta(spark, str(exp / "base"), str(db_inc), str(exp / "delta"))
         wall_delta = time.time() - t0
