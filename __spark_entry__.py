@@ -1540,6 +1540,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["image_quality_filter"] = image_quality_filter
 
+    def caption_alignment_filter(spark, sf):
+        # cross-modal image-caption ALIGNMENT filter (the DataComp "CLIP-
+        # score filter" shape, deterministic stand-in encoders): integer
+        # channel sums from ONE decode pass x integer palette-word counts
+        # from ONE native HOF pass -> frozen cosine -> keep/drop with
+        # absent-signal pass-through. Zero exchanges end-to-end. Oracle =
+        # independent python mirror of the frozen rules (gen_expected;
+        # matched/mismatched margins >= 300 bp around tau asserted there).
+        from simhash_spark.operators.multimodal import caption_pixel_alignment
+        from simhash_spark.sources.fixtures import (
+            INPUT_HINT_SCHEMA,
+            make_images_pdf,
+            plant_alignment_tints,
+        )
+
+        pdf = plant_alignment_tints(make_images_pdf(300, seed=42, with_bytes=True))
+        src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+        # driver face: NULL align_bp (absent signal) -> -1 sentinel, keeping
+        # the compared table pure non-null ints (a nullable int column rides
+        # the comparators as NaN float64, where NaN != NaN breaks hashing)
+        return caption_pixel_alignment(src, tau_bp=8500).withColumn(
+            "align_bp", F.coalesce("align_bp", F.lit(-1))
+        )
+
+    q["caption_alignment_filter"] = caption_alignment_filter
+
     def dedup_truth_eval(spark, sf):
         # the BASELINE recall>=0.99 gate as a driver-visible operator: run
         # the FULL pipeline (simhash + phash + substring stages) on the
@@ -1622,6 +1648,7 @@ _MIX_TARGETS = {"src0": 4000, "src1": 3000, "src2": 2000, "src3": 1000}
 
 _CHECK_FIRST = [
     # never driver-checked (new in r5)
+    "caption_alignment_filter",
     "image_embedding_search",
     "image_tier_labels_semantic",
     "image_tier_labels",
@@ -1773,6 +1800,12 @@ _CHECK_LAST = [
     # range variant stays covered by ann_srp_range/ann_ivf_range's rows;
     # still bit-exact-checked every session locally
     "ann_cosine_range",
+    # demoted for caption_alignment_filter: QUADRUPLE-green (r1-r4)
+    # hash-exact; the identical fingerprint->candidates->verify->CC plan
+    # rides INSIDE four queries still in budget (text_near_dup_clusters_
+    # substr, incremental_near_dup_clusters, dedup_tier_labels,
+    # dedup_truth_eval); still bit-exact-checked every session locally
+    "text_near_dup_clusters",
 ]
 
 
@@ -2471,6 +2504,16 @@ def oracle_sql() -> dict[str, str]:
     o["image_quality_filter"] = _expected_values_sql(
         "image_quality.parquet",
         {"image_id": "VARCHAR", "keep": "INT", "reason": "VARCHAR"},
+    )
+    o["caption_alignment_filter"] = _expected_values_sql(
+        "caption_alignment.parquet",
+        {
+            "image_id": "VARCHAR",
+            "align_bp": "INT",
+            "n_color": "INT",
+            "keep": "INT",
+            "reason": "VARCHAR",
+        },
     )
     o["dup_kind_report"] = _expected_values_sql(
         "dup_kind_report.parquet",

@@ -156,6 +156,178 @@ def image_embeddings(src: DataFrame, grid: int = 4) -> DataFrame:
     return slim.mapInPandas(run, IMAGE_EMBEDDING_SCHEMA)
 
 
+# ------------------------------------------- caption-pixel alignment filter
+
+# FROZEN palette: color word -> RGB anchor direction. The cross-modal shared
+# space of the container's deterministic encoder stand-ins (a production run
+# swaps both sides for one learned joint encoder, e.g. CLIP — the operator's
+# plan shape is encoder-agnostic). Deliberately no white/black/gray: they are
+# directionally ambiguous with every tint (white ~ the all-ones direction is
+# within cosine ~0.91 of any saturated secondary color, measured — it would
+# collapse the matched/mismatched margin the filter thresholds on).
+ALIGNMENT_PALETTE: list[tuple[str, tuple[int, int, int]]] = [
+    ("red", (255, 0, 0)),
+    ("green", (0, 255, 0)),
+    ("blue", (0, 0, 255)),
+    ("yellow", (255, 255, 0)),
+    ("cyan", (0, 255, 255)),
+    ("magenta", (255, 0, 255)),
+]
+
+ALIGNMENT_SUMS_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("sr", T.LongType()),
+        T.StructField("sg", T.LongType()),
+        T.StructField("sb", T.LongType()),
+        T.StructField("cr", T.LongType()),
+        T.StructField("cg", T.LongType()),
+        T.StructField("cb", T.LongType()),
+        T.StructField("n_color", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def caption_pixel_alignment(src: DataFrame, tau_bp: int = 8500) -> DataFrame:
+    """DataComp/LAION-style image-caption ALIGNMENT filter (the "CLIP-score
+    filter", Gadre'23 §3.2 / Schuhmann'22 §2.3): score how well the caption
+    matches the pixels and drop pairs below a cosine threshold — the
+    curation axis the geometry/caption-shape rules (image_quality_filter)
+    cannot see, because a perfectly-formed caption on the WRONG image passes
+    every per-modality rule.
+
+    Container stand-in encoders (deterministic, no model weights — the plan
+    shape is the real contract): pixel side = the image's summed RGB channel
+    vector (sr, sg, sb) — INTEGER sums, and cosine is scale-invariant so the
+    pixel count divides out; caption side = the summed RGB anchors of frozen
+    palette color words (ALIGNMENT_PALETTE) counted by whitespace-token
+    equality over the lowercased caption (the engine's standing tokenizer
+    rule; integer counts x integer anchors = integer vector). Both sides are
+    integers out of their kernels; the ONLY float math is the final frozen
+    cosine, evaluated in one codegen'd projection:
+
+        align_bp = floor(10000.0 * (sr*cr + sg*cg + sb*cb)
+                         / (sqrt(sr^2+sg^2+sb^2) * sqrt(cr^2+cg^2+cb^2)))
+
+    FROZEN decision rules (first match wins), with the engine-wide
+    absent-content rule — a missing SIGNAL never drops a row, only a
+    contradicting one does:
+      1. no_pixel_signal   — null bytes, decode quarantine, or an all-zero
+                             pixel sum (no direction) -> keep=1, align_bp NULL
+      2. no_caption_signal — zero palette tokens in the caption -> keep=1,
+                             align_bp NULL
+      3. misaligned        — align_bp < tau_bp -> keep=0
+      4. ok                -> keep=1
+
+    Scale shape: caption counts are a native projection (no caption text
+    ever enters Python — only its four integer accumulators ride through the
+    decode pass as mapInPandas passthrough columns); the decode UDF ships
+    (image_id, bytes, fmt) and emits nine scalars; the verdict is one more
+    native projection. ZERO exchanges end-to-end (plan-asserted in tests) —
+    at 10^12 rows this pipelines inside the scan like the quality filter,
+    and like the semantic tier it belongs AFTER dedup in the funnel so the
+    per-payload decode pays only for survivors.
+
+    Output: (image_id, align_bp int|NULL, n_color int, keep int, reason).
+    """
+    # ALL SIX color counters in ONE interpreted-HOF pass (the measured
+    # engine lesson: every HOF re-evaluates its captured children, so six
+    # separate filter() calls would re-run the split chain six times per
+    # row; one aggregate whose lambda touches only its (acc, element) args
+    # runs it once). Counts bit-pack at 10 bits/color into one int64
+    # accumulator — the slice to 1023 tokens bounds each count below 2^10
+    # by construction (captions are sentence-scale; a 1k-token caption is
+    # already past every quality gate).
+    tokens = F.slice(
+        F.split(F.lower(F.coalesce(F.col("caption"), F.lit(""))), r"\s+"), 1, 1023
+    )
+
+    def _weight(t):
+        w = F.lit(0).cast("long")
+        for i, (name, _) in enumerate(ALIGNMENT_PALETTE):
+            w = F.when(t == name, F.lit(1 << (10 * i)).cast("long")).otherwise(w)
+        return w
+
+    packed = F.aggregate(tokens, F.lit(0).cast("long"), lambda a, t: a + _weight(t))
+    cnt = [
+        F.shiftrightunsigned(packed, 10 * i).bitwiseAND(F.lit(1023)).cast("long")
+        for i in range(len(ALIGNMENT_PALETTE))
+    ]
+    # integer caption vector: sum over palette of count * anchor (per channel)
+    chan = [F.lit(0).cast("long")] * 3
+    n_color = F.lit(0).cast("long")
+    for i, (_, rgb) in enumerate(ALIGNMENT_PALETTE):
+        n_color = n_color + cnt[i]
+        chan = [chan[k] + cnt[i] * F.lit(rgb[k]) for k in range(3)]
+    slim = src.select(
+        "image_id",
+        "bytes",
+        "fmt",
+        chan[0].alias("cr"),
+        chan[1].alias("cg"),
+        chan[2].alias("cb"),
+        n_color.cast("int").alias("n_color"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            sums = np.zeros((n, 3), np.int64)
+            errs: list[str | None] = [None] * n
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                try:
+                    if data is None:
+                        raise ValueError("null bytes")
+                    px = decode_rgb(bytes(data), fmt)  # the per-payload codec call
+                    # integer channel sums — exact, order-independent, and the
+                    # pixel count cancels inside the (scale-invariant) cosine
+                    sums[i] = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                except (NotImplementedError, ValueError) as e:
+                    errs[i] = f"{type(e).__name__}: {e}"
+                    sums[i] = 0
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "sr": sums[:, 0],
+                    "sg": sums[:, 1],
+                    "sb": sums[:, 2],
+                    "cr": pdf["cr"].to_numpy(),
+                    "cg": pdf["cg"].to_numpy(),
+                    "cb": pdf["cb"].to_numpy(),
+                    "n_color": pdf["n_color"].to_numpy(),
+                    "error": errs,
+                }
+            )
+
+    sums = slim.mapInPandas(run, ALIGNMENT_SUMS_SCHEMA)
+
+    d = lambda c: F.col(c).cast("double")  # noqa: E731 — int64 sums < 2^53, exact
+    dot = d("sr") * d("cr") + d("sg") * d("cg") + d("sb") * d("cb")
+    np_ = F.sqrt(d("sr") * d("sr") + d("sg") * d("sg") + d("sb") * d("sb"))
+    nc_ = F.sqrt(d("cr") * d("cr") + d("cg") * d("cg") + d("cb") * d("cb"))
+    no_pixel = F.col("error").isNotNull() | (
+        (F.col("sr") == 0) & (F.col("sg") == 0) & (F.col("sb") == 0)
+    )
+    no_caption = F.col("n_color") == 0
+    align_bp = F.when(
+        no_pixel | no_caption, F.lit(None).cast("int")
+    ).otherwise(F.floor(F.lit(10000.0) * dot / (np_ * nc_)).cast("int"))
+    reason = (
+        F.when(no_pixel, F.lit("no_pixel_signal"))
+        .when(no_caption, F.lit("no_caption_signal"))
+        .when(align_bp < F.lit(int(tau_bp)), F.lit("misaligned"))
+        .otherwise(F.lit("ok"))
+    )
+    return sums.select(
+        "image_id",
+        align_bp.alias("align_bp"),
+        "n_color",
+        (reason != "misaligned").cast("int").alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 IMAGE_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

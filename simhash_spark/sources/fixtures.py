@@ -220,6 +220,76 @@ def plant_semantic_rerenders(
     return out
 
 
+def plant_alignment_tints(
+    pdf: pd.DataFrame,
+    every: int = 3,
+    mismatch_every: int = 4,
+    tint: float = 0.8,
+) -> pd.DataFrame:
+    """Plant image-caption ALIGNMENT structure into a ``with_bytes=True``
+    fixture — the ground truth for the cross-modal alignment filter
+    (operators/multimodal.py::caption_pixel_alignment). Every ``every``-th
+    row with bytes is TINTED toward one palette anchor (cycling through
+    ALIGNMENT_PALETTE) and its caption gains the matching color word as a
+    whitespace-separated suffix (" mostly <color>"); every
+    ``mismatch_every``-th tinted row instead claims a DIFFERENT palette
+    color — the scraped-web mismatch the filter exists to drop. Untinted
+    rows keep their color-word-free captions (make_images_pdf's vocab has
+    none), exercising the no_caption_signal pass-through.
+
+    Three deterministic special rows exercise the remaining frozen rules:
+      row 1: bytes -> None, caption claims a color  -> no_pixel_signal
+             (rule ORDER: pixel-absence wins over present caption signal)
+      row 2: fmt -> 'png' (payload untouched)       -> decode quarantine
+      row 4: bytes -> all-zero pixels, claims a color -> zero-norm pixel sum
+
+    Tint rule: px' = clip(rint((1-tint)*px + tint*anchor)); stored phash is
+    re-derived from the tinted pixels (the from-pixels contract); w/h/fmt
+    unchanged. Pure deterministic post-pass, no RNG — the shared
+    make_images_pdf stream is untouched. The matched-vs-mismatched cosine
+    margin this construction yields is asserted at expected-parquet
+    generation (tests/gen_expected.py), so a drifting fixture fails loudly.
+    """
+    from simhash_spark.operators.multimodal import ALIGNMENT_PALETTE, decode_rgb
+
+    names = [n for n, _ in ALIGNMENT_PALETTE]
+    anchors = {n: np.array(rgb, np.float64) for n, rgb in ALIGNMENT_PALETTE}
+    out = pdf.copy()
+    j = 0
+    for i in range(0, len(out), every):
+        if i in (1, 2, 4) or out.at[i, "bytes"] is None:
+            continue
+        color = names[j % len(names)]
+        claimed = color
+        if j % mismatch_every == mismatch_every - 1:
+            claimed = names[(j + 3) % len(names)]  # 3 != 0 (mod 6): never equal
+        px = decode_rgb(bytes(out.at[i, "bytes"]), "ppm")
+        h, w = px.shape[:2]
+        tinted = np.clip(
+            np.rint((1.0 - tint) * px.astype(np.float64) + tint * anchors[color]),
+            0,
+            255,
+        ).astype(np.uint8)
+        out.at[i, "bytes"] = f"P6\n{w} {h}\n255\n".encode() + tinted.tobytes()
+        out.at[i, "phash"] = int(spec.u64_to_i64(np.array([ahash64(tinted)]))[0])
+        out.at[i, "caption"] = f"{out.at[i, 'caption']} mostly {claimed}"
+        j += 1
+    if len(out) > 4:
+        out.at[1, "bytes"] = None
+        out.at[1, "caption"] = f"{out.at[1, 'caption']} mostly red"
+        out.at[2, "fmt"] = "png"
+        out.at[2, "caption"] = f"{out.at[2, 'caption']} mostly green"
+        b = out.at[4, "bytes"]
+        if b is not None:
+            px = decode_rgb(bytes(b), "ppm")
+            h, w = px.shape[:2]
+            zeros = np.zeros_like(px)
+            out.at[4, "bytes"] = f"P6\n{w} {h}\n255\n".encode() + zeros.tobytes()
+            out.at[4, "phash"] = int(spec.u64_to_i64(np.array([ahash64(zeros)]))[0])
+            out.at[4, "caption"] = f"{out.at[4, 'caption']} mostly blue"
+    return out
+
+
 def _flip_bits(ph: np.uint64, rng: np.random.Generator, k: int) -> np.uint64:
     v = int(ph)
     for bit in rng.choice(64, size=k, replace=False):

@@ -1472,6 +1472,104 @@ def main() -> None:
         f"(min rank-boundary gap {ies_margin:.2e})"
     )
 
+    # ---- caption_alignment_filter: cross-modal alignment scores -----------
+    # Mirror of caption_pixel_alignment's FROZEN rules in plain python:
+    # whitespace-token color counts (first 1023 tokens of the lowercased
+    # caption), integer channel sums over decode_rgb'd pixels, and the
+    # frozen cosine formula evaluated in the operator's exact op order
+    # (python float64 == JVM double for these correctly-rounded ops on
+    # bit-equal integer inputs; floor stability additionally asserted below).
+    import math as _math
+
+    from simhash_spark.operators.multimodal import ALIGNMENT_PALETTE
+    from simhash_spark.sources.fixtures import plant_alignment_tints
+
+    CAF_TAU_BP = 8500
+    caf = plant_alignment_tints(make_images_pdf(300, seed=42, with_bytes=True))
+    caf_rows = []
+    caf_ok_min, caf_mis_max, caf_floor_gap = 10**9, -(10**9), 1.0
+    for iid, data, fmt, cap in zip(
+        caf["image_id"], caf["bytes"], caf["fmt"], caf["caption"]
+    ):
+        toks = (cap or "").lower().split()[:1023]
+        cnts = {n: toks.count(n) for n, _ in ALIGNMENT_PALETTE}
+        cr = sum(cnts[n] * rgb[0] for n, rgb in ALIGNMENT_PALETTE)
+        cg = sum(cnts[n] * rgb[1] for n, rgb in ALIGNMENT_PALETTE)
+        cb = sum(cnts[n] * rgb[2] for n, rgb in ALIGNMENT_PALETTE)
+        n_color = sum(cnts.values())
+        err, (sr, sg, sb) = None, (0, 0, 0)
+        try:
+            if data is None:
+                raise ValueError("null bytes")
+            cpx = decode_rgb(bytes(data), str(fmt))
+            sr, sg, sb = (
+                int(v) for v in cpx.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+            )
+        except (NotImplementedError, ValueError) as e:
+            err = str(e)
+        if err is not None or (sr == 0 and sg == 0 and sb == 0):
+            reason, bp = "no_pixel_signal", None
+        elif n_color == 0:
+            reason, bp = "no_caption_signal", None
+        else:
+            dot = float(sr) * float(cr) + float(sg) * float(cg) + float(sb) * float(cb)
+            npx = _math.sqrt(
+                float(sr) * float(sr) + float(sg) * float(sg) + float(sb) * float(sb)
+            )
+            ncp = _math.sqrt(
+                float(cr) * float(cr) + float(cg) * float(cg) + float(cb) * float(cb)
+            )
+            x = 10000.0 * dot / (npx * ncp)
+            bp = int(_math.floor(x))
+            if x != bp:  # non-integral: floor must sit clear of ulp noise
+                caf_floor_gap = min(caf_floor_gap, x - bp, bp + 1 - x)
+            reason = "misaligned" if bp < CAF_TAU_BP else "ok"
+            if reason == "ok":
+                caf_ok_min = min(caf_ok_min, bp)
+            else:
+                caf_mis_max = max(caf_mis_max, bp)
+        # -1 sentinel for absent-signal rows (the driver face's rule: a
+        # nullable int column degrades to NaN float64 in the comparators)
+        caf_rows.append(
+            (str(iid), -1 if bp is None else bp, n_color, int(reason != "misaligned"), reason)
+        )
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": [r[0] for r in caf_rows],
+                "align_bp": pa.array([r[1] for r in caf_rows], type=pa.int32()),
+                "n_color": np.array([r[2] for r in caf_rows], np.int32),
+                "keep": np.array([r[3] for r in caf_rows], np.int32),
+                "reason": [r[4] for r in caf_rows],
+            },
+            schema=pa.schema(
+                [
+                    ("image_id", pa.string()),
+                    ("align_bp", pa.int32()),
+                    ("n_color", pa.int32()),
+                    ("keep", pa.int32()),
+                    ("reason", pa.string()),
+                ]
+            ),
+        ),
+        OUT / "caption_alignment.parquet",
+    )
+    caf_reasons = _Counter(r[4] for r in caf_rows)
+    assert set(caf_reasons) == {
+        "ok",
+        "misaligned",
+        "no_pixel_signal",
+        "no_caption_signal",
+    }, f"alignment fixture must exercise all four reasons: {dict(caf_reasons)}"
+    assert caf_ok_min - CAF_TAU_BP >= 300, f"matched margin too thin: {caf_ok_min}"
+    assert CAF_TAU_BP - caf_mis_max >= 300, f"mismatch margin too thin: {caf_mis_max}"
+    assert caf_floor_gap > 1e-6, f"align_bp floor boundary too close: {caf_floor_gap}"
+    print(
+        f"caption_alignment: {dict(caf_reasons)} "
+        f"(tau {CAF_TAU_BP}, ok>= {caf_ok_min}, mis<= {caf_mis_max}, "
+        f"floor gap {caf_floor_gap:.2e})"
+    )
+
 
 if __name__ == "__main__":
     main()

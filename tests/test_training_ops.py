@@ -858,6 +858,122 @@ def test_image_quality_filter_rule_order_and_plan(spark):
     assert "Exchange" not in plan and "PythonUDF" not in plan
 
 
+def test_caption_pixel_alignment_rules_and_plan(spark):
+    """Frozen cross-modal alignment rules on constructed rows: exact cosine
+    on proportional vectors, rule order (pixel absence beats a present
+    caption claim), the zero-norm and quarantine branches, lowercase token
+    counting with the 1023-token slice bound, and the zero-exchange plan."""
+    import numpy as np
+
+    from simhash_spark.operators.multimodal import caption_pixel_alignment
+
+    def ppm(r, g, b, w=8, h=8):
+        px = np.zeros((h, w, 3), np.uint8)
+        px[:, :] = (r, g, b)
+        return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+    filler = " ".join(f"t{i}" for i in range(1030))
+    rows = [
+        ("exact_red", ppm(255, 0, 0), "ppm", "a mostly red thing"),
+        ("wrong_color", ppm(255, 0, 0), "ppm", "a mostly green thing"),
+        ("no_claim", ppm(255, 0, 0), "ppm", "no palette words here"),
+        ("null_bytes", None, "ppm", "claims red anyway"),
+        ("bad_codec", ppm(255, 0, 0), "png", "claims red anyway"),
+        ("zero_norm", ppm(0, 0, 0), "ppm", "claims blue anyway"),
+        ("multi", ppm(255, 64, 0), "ppm", "red RED green"),
+        ("sliced", ppm(255, 0, 0), "ppm", filler + " red"),
+    ]
+    src = spark.createDataFrame(
+        [(i, d, 8, 8, f, c, 0) for i, d, f, c in rows],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long",
+    )
+    out = caption_pixel_alignment(src, tau_bp=8500)
+    got = {
+        r["image_id"]: (r["align_bp"], r["n_color"], r["keep"], r["reason"])
+        for r in out.collect()
+    }
+    # proportional vectors -> cosine exactly 1.0 -> floor(10000.0) = 10000
+    assert got["exact_red"] == (10000, 1, 1, "ok")
+    # orthogonal -> cosine 0 -> misaligned, keep 0
+    assert got["wrong_color"] == (0, 1, 0, "misaligned")
+    assert got["no_claim"] == (None, 0, 1, "no_caption_signal")
+    # rule ORDER: pixel absence wins although the caption claims a color
+    assert got["null_bytes"] == (None, 1, 1, "no_pixel_signal")
+    assert got["bad_codec"] == (None, 1, 1, "no_pixel_signal")
+    assert got["zero_norm"] == (None, 1, 1, "no_pixel_signal")
+    # lowercase token counting: 'red' x2 + 'green' -> caption vec (510,255,0)
+    # vs pixel (255,64,0)*64: cos = (510*255+255*64)/(sqrt(255^2+64^2)*
+    # sqrt(510^2+255^2)) = 0.9764 -> inside tau
+    bp, n_color, keep, reason = got["multi"]
+    assert (n_color, keep, reason) == (3, 1, "ok") and 9700 < bp < 9800
+    # the 1023-token slice bound: a color word past it never counts
+    assert got["sliced"] == (None, 0, 1, "no_caption_signal")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_plant_alignment_tints_structure():
+    """The alignment fixture's planted ground truth: tinted rows claim their
+    own tint color except every 4th (mismatch), untinted captions carry no
+    palette words, and the three special rows exercise the absent/degenerate
+    pixel branches."""
+    import numpy as np
+
+    from simhash_spark.operators.multimodal import (
+        ALIGNMENT_PALETTE,
+        decode_rgb,
+    )
+    from simhash_spark.sources.fixtures import make_images_pdf, plant_alignment_tints
+
+    base = make_images_pdf(60, seed=42, with_bytes=True)
+    out = plant_alignment_tints(base)
+    names = {n for n, _ in ALIGNMENT_PALETTE}
+    anchors = dict(ALIGNMENT_PALETTE)
+    n_match = n_mismatch = 0
+    for i in range(len(out)):
+        cap = out.at[i, "caption"]
+        toks = set(cap.lower().split())
+        claimed = toks & names
+        if i == 1:
+            assert out.at[i, "bytes"] is None and claimed == {"red"}
+        elif i == 2:
+            assert out.at[i, "fmt"] == "png" and claimed == {"green"}
+        elif i == 4:
+            px = decode_rgb(bytes(out.at[i, "bytes"]), "ppm")
+            assert int(px.sum()) == 0 and claimed == {"blue"}
+        elif i % 3 == 0 and out.at[i, "bytes"] is not None:
+            assert len(claimed) == 1, f"tinted row {i} must claim exactly one color"
+            word = claimed.pop()
+            px = decode_rgb(bytes(out.at[i, "bytes"]), "ppm").astype(np.float64)
+            mean = px.reshape(-1, 3).mean(axis=0)
+            # the dominant palette direction of the TINT
+            best = max(
+                anchors,
+                key=lambda n: float(mean @ np.array(anchors[n], float))
+                / (np.linalg.norm(mean) * np.linalg.norm(anchors[n])),
+            )
+            if word == best:
+                n_match += 1
+            else:
+                n_mismatch += 1
+            # caption text (sans suffix) must be untouched
+            assert cap.rsplit(" mostly ", 1)[0] == base.at[i, "caption"]
+        else:
+            assert not claimed, f"untinted row {i} caption gained a palette word"
+    assert n_match > 0 and n_mismatch > 0
+    # stored phash stays the from-pixels contract on tinted rows
+    from simhash_spark.operators.multimodal import ahash64
+    from simhash_spark import spec
+
+    i = next(
+        j for j in range(0, len(out), 3)
+        if j not in (1, 2, 4) and out.at[j, "bytes"] is not None
+    )
+    px = decode_rgb(bytes(out.at[i, "bytes"]), "ppm")
+    assert int(spec.u64_to_i64(np.array([ahash64(px)]))[0]) == out.at[i, "phash"]
+
+
 def test_dedup_eval_counts(spark):
     """Counts + basis-point ratios on a hand-checkable case: clusters
     {a,b,c},{d,e},{f}; truth edges (a,b),(b,c),(d,e),(d,x). Pred closure =
