@@ -139,6 +139,25 @@ def main(argv: list[str] | None = None) -> int:
         "rows (parallelism AND per-task memory are both set by k)",
     )
     ap.add_argument(
+        "--alignment-filter",
+        action="store_true",
+        help="write <output>/alignment — the cross-modal image-caption "
+        "alignment verdict (operators/multimodal.caption_pixel_alignment, "
+        "the DataComp CLIP-score-filter shape) over the KEPT rows only (the "
+        "funnel order: the per-payload decode pays only for dedup "
+        "survivors). A curation verdict table, deliberately NOT folded into "
+        "keep_list (alignment is orthogonal to dedup — downstream training "
+        "jobs intersect keep_list is_kept=1 with alignment keep=1); "
+        "absent-signal rows pass per the operator's frozen rules",
+    )
+    ap.add_argument(
+        "--alignment-tau",
+        type=int,
+        default=8500,
+        help="alignment threshold in basis points of cosine (align_bp < tau "
+        "drops as 'misaligned')",
+    )
+    ap.add_argument(
         "--n-blocks",
         type=int,
         default=None,
@@ -347,6 +366,38 @@ def main(argv: list[str] | None = None) -> int:
     # demotion its lineage includes the decode+embed rung — read the
     # written artifact back instead of recomputing it
     keep = spark.read.parquet(str(out / "keep_list"))
+    kept_n = keep.where("is_kept = 1").count()
+
+    align_stats: dict = {}
+    if args.alignment_filter:
+        # Alignment over the kept set only — the funnel order (the decode
+        # pass never touches rows dedup already dropped). Same byte-shuffle
+        # discipline as the semantic rung: under the id-broadcast ceiling
+        # the kept-id set ships to the scan (BroadcastHashJoin semi-join,
+        # bytes stay in their input partitions); above it the zero-exchange
+        # alignment pass runs scan-locally over the whole corpus and only
+        # its slim 5-scalar verdict rows join down to the kept set.
+        from pyspark.sql import functions as F
+
+        from simhash_spark.operators.multimodal import caption_pixel_alignment
+
+        kept_ids = keep.where("is_kept = 1").select("image_id")
+        src = spark.read.parquet(args.input)
+        if kept_n <= SEMANTIC_BROADCAST_MAX_IDS:
+            align = caption_pixel_alignment(
+                src.join(F.broadcast(kept_ids), "image_id", "left_semi"),
+                tau_bp=args.alignment_tau,
+            )
+        else:
+            align = caption_pixel_alignment(src, tau_bp=args.alignment_tau).join(
+                kept_ids, "image_id", "left_semi"
+            )
+        align.write.mode("overwrite").parquet(str(out / "alignment"))
+        align = spark.read.parquet(str(out / "alignment"))
+        align_stats = {
+            "misaligned": align.where("keep = 0").count(),
+            "alignment_tau_bp": args.alignment_tau,
+        }
 
     stats = {
         "rows": res.fingerprints.count(),
@@ -356,7 +407,8 @@ def main(argv: list[str] | None = None) -> int:
         "candidates": res.candidates.count(),
         "verified": res.verified.count(),
         "clusters": res.clusters.select("cluster_id").distinct().count(),
-        "kept": keep.where("is_kept = 1").count(),
+        "kept": kept_n,
+        **align_stats,
         **({"tiers": tier_counts} if tier_counts else {}),
         "wall_s": round(time.time() - t0, 2),
     }

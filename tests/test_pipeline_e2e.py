@@ -652,3 +652,76 @@ def test_cli_byte_exact_tier_ladder(spark, tmp_path):
             str(dem_path),
             str(tmp_path / "delta_ckpt"),
         )
+
+
+def test_cli_alignment_filter_output(spark, tmp_path):
+    """--alignment-filter writes <output>/alignment covering EXACTLY the
+    kept set, equal to caption_pixel_alignment run directly on the kept
+    rows (the CLI adds only the funnel restriction, never a rule change);
+    keep_list itself is untouched by the verdict (alignment is a curation
+    table consumers intersect, not a dedup decision)."""
+    import pathlib
+    import sys
+
+    from pyspark.sql import functions as F
+
+    from simhash_spark.config import DEFAULT_CONFIG as CFG
+    from simhash_spark.operators.multimodal import caption_pixel_alignment
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_alignment_tints,
+        plant_byte_reuploads,
+    )
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "jobs"))
+    try:
+        import run_pipeline as cli
+    finally:
+        sys.path.pop(0)
+
+    # byte re-uploads THEN alignment tints: the re-upload copies planted
+    # first keep byte groups intact, and the tints give the kept survivors
+    # matched/mismatched/absent alignment structure
+    pdf = plant_alignment_tints(plant_byte_reuploads(make_images_pdf(120, seed=42, with_bytes=True)))
+    src = spark.createDataFrame(pdf, schema=INPUT_HINT_SCHEMA)
+    inp = tmp_path / "images.parquet"
+    src.coalesce(1).write.parquet(str(inp))
+
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            "--input", str(inp),
+            "--output", str(out),
+            "--n-blocks", str(CFG.n_blocks),
+            "--byte-exact",
+            "--alignment-filter",
+            "--alignment-tau", "8500",
+        ]
+    )
+    assert rc == 0
+
+    keep = spark.read.parquet(str(out / "keep_list"))
+    kept_ids = {r["image_id"] for r in keep.where("is_kept = 1").collect()}
+    align = spark.read.parquet(str(out / "alignment"))
+    got = {
+        r["image_id"]: (r["align_bp"], r["n_color"], r["keep"], r["reason"])
+        for r in align.collect()
+    }
+    # coverage: exactly the kept set, no dropped row pays the decode
+    assert set(got) == kept_ids
+
+    # rule equality: the CLI verdict == the operator on the same kept rows
+    direct = caption_pixel_alignment(
+        spark.read.parquet(str(inp)).where(F.col("image_id").isin(list(kept_ids))),
+        tau_bp=8500,
+    )
+    expect = {
+        r["image_id"]: (r["align_bp"], r["n_color"], r["keep"], r["reason"])
+        for r in direct.collect()
+    }
+    assert got == expect
+    # the fixture must actually exercise a drop and a pass among kept rows
+    reasons = {v[3] for v in got.values()}
+    assert "misaligned" in reasons and "ok" in reasons
