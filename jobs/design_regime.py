@@ -331,6 +331,17 @@ def main() -> None:
         "ladder's tier-3 cost model",
     )
     ap.add_argument(
+        "--alignment",
+        type=int,
+        default=0,
+        metavar="ROWS",
+        help="caption-pixel alignment kernel at regime on a ROWS/4, ROWS/2, "
+        "ROWS ladder of REAL decodable PPM payloads (shares the --embed "
+        "corpus cache); half the captions get a deterministic color claim "
+        "so the cosine verdict path runs, not just the no-signal "
+        "short-circuit; asserts the zero-exchange plan at every rung",
+    )
+    ap.add_argument(
         "--byte-funnel",
         type=int,
         default=0,
@@ -396,6 +407,12 @@ def main() -> None:
     )
     em_rungs = [args.embed // 4, args.embed // 2, args.embed] if args.embed else []
     em_paths = {n: ensure_ppm_corpus(n) for n in em_rungs}
+    al_rungs = (
+        [args.alignment // 4, args.alignment // 2, args.alignment]
+        if args.alignment
+        else []
+    )
+    al_paths = {n: ensure_ppm_corpus(n) for n in al_rungs}
     e2e_path = ensure_images_corpus(args.e2e) if args.e2e else None
     if args.wide:
         # the top rung shuffles ~3e9 (k, id) rows — more than tmpfs + JVM
@@ -637,6 +654,43 @@ def main() -> None:
             em_out.append(rec)
             print(json.dumps({"stage": "embed_kernel", **rec}), flush=True)
         results["embed_kernel"] = em_out
+
+    if al_rungs:
+        from simhash_spark.operators.multimodal import caption_pixel_alignment
+
+        al_out = []
+        for n in al_rungs:
+            src = spark.read.parquet(str(al_paths[n]))
+            # half the captions claim a color deterministically (id-hash
+            # parity) so the cosine verdict path runs on real volume; the
+            # other half exercise the no_caption_signal short-circuit — the
+            # realistic mix (most scraped captions name no palette color)
+            src = src.withColumn(
+                "caption",
+                F.when(
+                    F.pmod(F.xxhash64("image_id"), F.lit(2)) == 0,
+                    F.concat(F.col("caption"), F.lit(" mostly red")),
+                ).otherwise(F.col("caption")),
+            )
+            out_df = caption_pixel_alignment(src, tau_bp=8500)
+            plan = out_df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, "alignment kernel must stay zero-exchange"
+            best = None
+            for _ in range(2):
+                spark.catalog.clearCache()
+                spark.sparkContext._jvm.System.gc()
+                t0 = time.time()
+                sink(out_df)
+                w = time.time() - t0
+                best = w if best is None else min(best, w)
+            rec = {
+                "rows": n,
+                "align_wall_s": round(best, 1),
+                "align_images_per_sec": round(n / best, 1),
+            }
+            al_out.append(rec)
+            print(json.dumps({"stage": "alignment_kernel", **rec}), flush=True)
+        results["alignment_kernel"] = al_out
 
     if bf_rungs:
         import shutil
