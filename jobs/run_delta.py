@@ -52,6 +52,24 @@ def main(argv: list[str] | None = None) -> int:
         "--pixel-embeddings pass or the streaming online-SemDeDup door",
     )
     ap.add_argument(
+        "--alignment-filter",
+        action="store_true",
+        help="write <output>/alignment_delta — the cross-modal image-caption "
+        "verdict (caption_pixel_alignment) for the INCREMENT's newly-kept "
+        "rows only. Sound because the verdict is a PER-ROW pure function "
+        "(pixels + caption of that row alone): unlike SemDeDup's keep rule "
+        "a row's verdict can never change as the corpus grows, so base "
+        "verdicts stay valid and the delta face is add-only by "
+        "construction — union alignment_delta over the chain to cover the "
+        "whole corpus",
+    )
+    ap.add_argument(
+        "--alignment-tau",
+        type=int,
+        default=8500,
+        help="alignment threshold in basis points of cosine",
+    )
+    ap.add_argument(
         "--keep-rule",
         choices=["min-id", "best-resolution"],
         default="min-id",
@@ -97,6 +115,33 @@ def main(argv: list[str] | None = None) -> int:
     else:
         keep = near_dup_keep_list(res.clusters, id_col="image_id")
     keep.write.mode("overwrite").parquet(str(out / "keep_list"))
+    align_stats = {}
+    if args.alignment_filter:
+        # the increment's newly-KEPT rows only: per-row pure verdict, so
+        # the base's existing alignment rows remain valid verbatim (the
+        # add-only argument in the flag's help text). Increment row sets
+        # are batch-sized, so the kept-id semi-join broadcasts.
+        from pyspark.sql import functions as F
+
+        from simhash_spark.operators.multimodal import caption_pixel_alignment
+
+        keep_r = spark.read.parquet(str(out / "keep_list"))
+        inc_kept = (
+            spark.read.parquet(args.increment)
+            .join(
+                F.broadcast(keep_r.where("is_kept = 1").select("image_id")),
+                "image_id",
+                "left_semi",
+            )
+        )
+        align = caption_pixel_alignment(inc_kept, tau_bp=args.alignment_tau)
+        align.write.mode("overwrite").parquet(str(out / "alignment_delta"))
+        align = spark.read.parquet(str(out / "alignment_delta"))
+        align_stats = {
+            "alignment_delta_rows": align.count(),
+            "misaligned_delta": align.where("keep = 0").count(),
+            "alignment_tau_bp": args.alignment_tau,
+        }
     from simhash_spark.sources.catalog import CheckpointCatalog
 
     cat = CheckpointCatalog(spark, args.checkpoint)
@@ -130,6 +175,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     stats = {
         **bx_stats,
+        **align_stats,
         "increment_rows": res.fingerprints_new.count(),
         "candidates_delta": res.candidates_new.count(),
         "verified_delta": res.verified_new.count(),

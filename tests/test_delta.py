@@ -438,3 +438,71 @@ def test_run_delta_byte_exact_chain_equals_full_run(spark, tmp_path):
         run_delta(
             spark, str(tmp_path / "ck_d2"), str(dem_path), str(tmp_path / "ck_bad")
         )
+
+
+def test_run_delta_cli_alignment_delta(spark, tmp_path):
+    """--alignment-filter on the delta CLI writes the cross-modal verdict
+    for the INCREMENT's newly-kept rows only (the per-row-pure add-only
+    face: base verdicts can never change, so the chain's full coverage is
+    the union of per-link alignment_delta tables), equal to the operator
+    run directly on the same rows."""
+    import pathlib
+    import sys
+
+    from simhash_spark.operators.multimodal import caption_pixel_alignment
+    from simhash_spark.plans.pipeline import run_pipeline
+    from simhash_spark.sources.fixtures import (
+        INPUT_HINT_SCHEMA,
+        make_images_pdf,
+        plant_alignment_tints,
+    )
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "jobs"))
+    try:
+        import run_delta as cli
+    finally:
+        sys.path.pop(0)
+
+    pdf = plant_alignment_tints(make_images_pdf(200, seed=11, with_bytes=True))
+    mid = sorted(pdf["image_id"])[120]
+    base_pdf, inc_pdf = pdf[pdf["image_id"] < mid], pdf[pdf["image_id"] >= mid]
+    base_p, inc_p = tmp_path / "base.parquet", tmp_path / "inc.parquet"
+    spark.createDataFrame(base_pdf, schema=INPUT_HINT_SCHEMA).coalesce(1).write.parquet(str(base_p))
+    spark.createDataFrame(inc_pdf, schema=INPUT_HINT_SCHEMA).coalesce(1).write.parquet(str(inc_p))
+
+    run_pipeline(spark, str(base_p), str(tmp_path / "ck_base"), CFG)
+    out = tmp_path / "out"
+    rc = cli.main(
+        [
+            "--base-checkpoint", str(tmp_path / "ck_base"),
+            "--increment", str(inc_p),
+            "--checkpoint", str(tmp_path / "ck_d1"),
+            "--output", str(out),
+            "--alignment-filter",
+            "--alignment-tau", "8500",
+        ]
+    )
+    assert rc == 0
+
+    keep = spark.read.parquet(str(out / "keep_list"))
+    kept_ids = {r["image_id"] for r in keep.where("is_kept = 1").collect()}
+    inc_ids = set(inc_pdf["image_id"].astype(str))
+    got = {
+        r["image_id"]: (r["align_bp"], r["n_color"], r["keep"], r["reason"])
+        for r in spark.read.parquet(str(out / "alignment_delta")).collect()
+    }
+    # coverage: exactly the increment's newly-kept rows — never a base row
+    assert set(got) == kept_ids & inc_ids and set(got)
+
+    direct = caption_pixel_alignment(
+        spark.read.parquet(str(inc_p)).where(F.col("image_id").isin(list(got))),
+        tau_bp=8500,
+    )
+    expect = {
+        r["image_id"]: (r["align_bp"], r["n_color"], r["keep"], r["reason"])
+        for r in direct.collect()
+    }
+    assert got == expect
+    reasons = {v[3] for v in got.values()}
+    assert "ok" in reasons and "misaligned" in reasons
